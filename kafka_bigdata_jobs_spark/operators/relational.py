@@ -1,0 +1,169 @@
+"""Relational core: aggregation idioms, top-k, pivot, set ops.
+
+Mirrors SURVEY.md §2.3/2.5/2.7/2.8.  Everything here is a thin,
+deliberately Catalyst-native composition — partial aggregation,
+TakeOrderedAndProject for sort+limit, and whole-stage codegen all come
+for free because these stay inside pyspark.sql.functions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cents(col: Column | str, scale: int = 2) -> Column:
+    """Exact integer representation of d-decimal double data.
+
+    The fixture's money/metric columns are 2-decimal values stored as
+    doubles; summing them as doubles is order-dependent, which breaks
+    cross-engine value-hash parity at rounding boundaries (e.g. an avg
+    landing exactly on .025).  ``round(x*100) :: bigint`` recovers the
+    exact integer both in Spark and in the DuckDB oracle, so sums/avgs
+    built on it are bit-identical across engines.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * (10 ** scale)).cast("long")
+
+
+def exact_sum(col: Column | str, scale: int = 2) -> Column:
+    """Order-independent sum of d-decimal double data (via cents).
+
+    Oracle-SQL twin: ``SUM(CAST(ROUND(x*100) AS BIGINT)) / 100.0``.
+    """
+    return F.sum(cents(col, scale)) / float(10 ** scale)
+
+
+def exact_avg(col: Column | str, decimals: int = 2, scale: int = 2) -> Column:
+    """Order-independent rounded avg of d-decimal double data.
+
+    Oracle-SQL twin:
+    ``ROUND(SUM(CAST(ROUND(x*100) AS BIGINT)) / (COUNT(*) * 100.0), d)``.
+    Both engines divide identical exact integers, so the double fed to
+    ROUND is bit-identical and the rounded value matches exactly.
+    """
+    return F.round(
+        F.sum(cents(col, scale)) / (F.count(F.lit(1)) * float(10 ** scale)), decimals
+    )
+
+
+def count_if(cond: Column) -> Column:
+    """Conditional-count idiom ``sum(when(cond,1).otherwise(0))``.
+
+    Reference uses this shape everywhere, e.g. verified-user counts
+    (reference ``batch/job2_historico.py:174,198,227-228``).
+    """
+    return F.sum(F.when(cond, 1).otherwise(0))
+
+
+def pct(numer: Column, denom: Column, decimals: int = 2) -> Column:
+    """``round(100*numer/denom, d)`` post-agg metric
+    (reference ``batch/job1_locations.py:117-118``)."""
+    return F.round(numer * 100.0 / denom, decimals)
+
+
+def having(df_agg: DataFrame, cond: Column) -> DataFrame:
+    """HAVING-style post-aggregation filter
+    (reference ``streaming/job1_bots.py:158``)."""
+    return df_agg.where(cond)
+
+
+def top_k(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    k: int,
+    tie_breakers: Sequence[Column] = (),
+) -> DataFrame:
+    """Global top-k: ``orderBy(desc).limit(k)``.
+
+    Spark plans this as TakeOrderedAndProject — per-partition heaps, no
+    global sort shuffle — so it holds at 100 TB.  ``tie_breakers`` make
+    the result deterministic (the reference's bare ``orderBy(desc
+    ("count")).limit(10)`` at ``batch/job5_menciones.py:90-91`` is
+    tie-unstable; oracle checking requires total order).
+    """
+    return df.orderBy(*order_by, *tie_breakers).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-group top-k via ranking window function.
+
+    The reference emulates this with a driver-side Python loop over
+    ``collect()`` output (``streaming/job2.py:215-227``) — the one place
+    SURVEY.md §2.6 calls for a deliberate upgrade.  A window
+    ``row_number`` keeps the computation distributed: one shuffle on the
+    partition keys, streaming rank within each partition.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+    )
+
+
+def pivot_counts(
+    df: DataFrame,
+    group_by: Sequence[str],
+    pivot_col: str,
+    pivot_values: Sequence[str],
+    fill: int = 0,
+) -> DataFrame:
+    """Crosstab: ``groupBy(keys).pivot(col, values).count()`` + fillna.
+
+    Reference shape: ``batch/job1_locations.py:111-124`` /
+    ``batch/job5_menciones.py:115-129``.  Explicit ``pivot_values`` are
+    mandatory here: without them Spark runs an extra distinct-scan job
+    to discover the values and the output schema becomes data-dependent
+    (SURVEY.md §4 hazard b).
+    """
+    return (
+        df.groupBy(*group_by)
+        .pivot(pivot_col, list(pivot_values))
+        .count()
+        .na.fill(fill)
+    )
+
+
+def union_all(*dfs: DataFrame) -> DataFrame:
+    """Positional bag union (reference ``batch/job1_locations.py:65``)."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.union(d)
+    return out
+
+
+def union_by_name(*dfs: DataFrame, allow_missing: bool = True) -> DataFrame:
+    """By-name union tolerating missing columns — the reference chains
+    four alert streams this way (``streaming/job1_bots.py:358-360``)."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=allow_missing)
+    return out
+
+
+def tagged_union(
+    dfs_with_tags: Sequence[tuple[DataFrame, str]],
+    tag_col: str,
+    common_cols: Sequence[str],
+) -> DataFrame:
+    """Union heterogeneous sources under a discriminator column.
+
+    This is the reference's substitute for joins: bitcoin/ethereum CSVs
+    each get ``lit(crypto_type)`` and are unioned, then grouped by the
+    tag (``batch/job1_locations.py:38,53,65``).
+    """
+    parts = [
+        df.select(*[F.col(c) for c in common_cols]).withColumn(tag_col, F.lit(tag))
+        for df, tag in dfs_with_tags
+    ]
+    return union_all(*parts)

@@ -1,0 +1,75 @@
+"""SparkSession factory with scale-sane defaults.
+
+Reference parity note: every reference job hard-codes
+``spark.sql.shuffle.partitions=3`` (reference ``streaming/job1_bots.py:24``,
+``batch/job1_locations.py:16``).  We instead enable AQE with partition
+coalescing so the identical code runs on ``local[32]`` for tests and on a
+1000-executor cluster without retuning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime confs that are safe to (re)apply to an existing session.
+RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # The driver's events.parquet carries TIMESTAMP(NANOS) which Spark's
+    # reader rejects by default; read as long and convert in the loader.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(
+    app_name: str = "kafka-bigdata-jobs-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (32) so tests and
+    bench.py share one code path; on a real cluster pass ``master=None``
+    with ``SPARK_GRAFT_MASTER`` unset and spark-submit's master wins.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf: dict[str, str] = {
+        **RUNTIME_CONF,
+        # 32 matches local test parallelism; AQE coalesces down when small
+        # and a cluster deployment overrides upward.  Never the reference's
+        # hard-coded 3.
+        "spark.sql.shuffle.partitions": str(shuffle_partitions or 32),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.parquet.filterPushdown": "true",
+        # Graceful stop for streaming queries (reference keeps this too:
+        # streaming/job1_bots.py:25).
+        "spark.streaming.stopGracefullyOnShutdown": "true",
+        "spark.ui.enabled": "false",
+        **(extra_conf or {}),
+    }
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def apply_runtime_conf(spark: SparkSession) -> SparkSession:
+    """Apply session-safe confs to an externally-created session.
+
+    The correctness driver owns its own SparkSession; queries() callables
+    route through this so UTC timezone + AQE hold regardless of who built
+    the session.
+    """
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on this build — leave as-is
+    return spark
