@@ -1,0 +1,125 @@
+"""Training-data text analysis: language-ID, quality score, token
+counts, document fingerprinting.
+
+All expression-compiled (whole-stage codegen, no Python in the hot
+path); each has an exact ANSI-SQL twin so the DuckDB oracle can check
+it.  These are the "beyond-reference" operators a 100 TB text pipeline
+needs on top of the reference's tweet analytics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: BPE-ish tokenizer: word pieces or single non-space symbols.
+TOKEN_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+#: Tiny stopword profiles for n-gram/stopword-hit language scoring.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "value", "data"),
+    "es": ("el", "la", "de", "que", "los", "por"),
+    "fr": ("le", "la", "les", "des", "une", "est"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+}
+
+
+def word_count(text: Column) -> Column:
+    return F.when(F.trim(text) == "", 0).otherwise(
+        F.size(F.split(F.trim(text), r"\s+"))
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Token count under the BPE-ish regex (SQL twin:
+    ``len(regexp_extract_all(text, pattern))``)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0))
+
+
+def stopword_hits(text: Column, words: tuple[str, ...]) -> Column:
+    """How many tokens are in ``words`` — whole-word regex alternation
+    count, identical semantics in Spark and DuckDB."""
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 0))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {lang: stopword_hits(text, prof) for lang, prof in LANG_PROFILES.items()}
+
+
+def predict_lang(text: Column) -> Column:
+    """Argmax over stopword-profile hit counts, ties broken by language
+    code order (deterministic); 'und' (undetermined) when no profile
+    hits at all."""
+    scores = lang_scores(text)
+    # Process alphabetically; replacement requires a strictly greater
+    # score, so the alphabetically-first language wins ties.
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang, score in sorted(scores.items()):
+        take = score > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, score).otherwise(best_score)
+    return best_lang
+
+
+def quality_score(text: Column, n_words: Column | None = None) -> Column:
+    """0–100 heuristic quality score.
+
+    Components (each 0–25): length band, mean word length band, unique-
+    word ratio, alphabetic ratio.  Integer arithmetic end-to-end so the
+    oracle matches exactly.
+    """
+    wc = n_words if n_words is not None else word_count(text)
+    length = F.length(text)
+    len_pts = (
+        F.when((length >= 100) & (length <= 400), 25)
+        .when((length >= 50) & (length < 100), 15)
+        .when(length > 400, 10)
+        .otherwise(0)
+    )
+    mean_wlen_x10 = F.when(wc > 0, (length * 10) / wc).otherwise(F.lit(0.0))
+    wlen_pts = (
+        F.when((mean_wlen_x10 >= 35) & (mean_wlen_x10 <= 80), 25)
+        .when(mean_wlen_x10 > 0, 10)
+        .otherwise(0)
+    )
+    uniq_ratio_x100 = F.when(
+        wc > 0,
+        (F.size(F.array_distinct(F.split(F.trim(text), r"\s+"))) * 100) / wc,
+    ).otherwise(F.lit(0.0))
+    uniq_pts = (
+        F.when(uniq_ratio_x100 >= 50, 25)
+        .when(uniq_ratio_x100 >= 20, 15)
+        .otherwise(5)
+    )
+    alpha_ratio_x100 = F.when(
+        length > 0,
+        (F.length(F.regexp_replace(text, r"[^A-Za-z]", "")) * 100) / length,
+    ).otherwise(F.lit(0.0))
+    alpha_pts = (
+        F.when(alpha_ratio_x100 >= 70, 25)
+        .when(alpha_ratio_x100 >= 40, 15)
+        .otherwise(0)
+    )
+    return (len_pts + wlen_pts + uniq_pts + alpha_pts).cast("int")
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic content fingerprint: md5 of whitespace-normalized
+    lowercase text.  md5 exists in both Spark and DuckDB, so fingerprint
+    values themselves are oracle-checkable (unlike xxhash64, whose seeds
+    differ across engines)."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def with_text_stats(df: DataFrame, text_col: str) -> DataFrame:
+    t = F.col(text_col)
+    return (
+        df.withColumn("word_count", word_count(t))
+        .withColumn("token_count", token_count(t))
+        .withColumn("predicted_lang", predict_lang(t))
+        .withColumn("quality_score", quality_score(t))
+        .withColumn("fingerprint", doc_fingerprint(t))
+    )

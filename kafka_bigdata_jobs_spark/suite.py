@@ -340,3 +340,596 @@ def q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = TX.extract_words(d, "text", out_col="word")
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n_occurrences"))
     return R.top_k(counts, [F.desc("n_occurrences")], 20, tie_breakers=[F.col("word")])
+
+
+# ---------------------------------------------------------------------------
+# Joins (beyond-reference; SURVEY §2.4) — broadcast star, semi/anti
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_order_revenue",
+    """
+    SELECT c.c_custkey, c.c_name,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders,
+           SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT))) / 10000.0
+                                        AS revenue
+    FROM customer c
+    JOIN orders o    ON o.o_custkey = c.c_custkey
+    JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q3 shape: broadcast dim (customer) -> fact joins -> grouped "
+    "revenue top-k.  Customer is explicitly broadcast so the lineitem "
+    "scan joins map-side; lineitem-orders shuffles on the order key with "
+    "AQE skew handling.",
+)
+def q_customer_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import joins as J
+
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = J.broadcast_join(
+        o, c.select("c_custkey", "c_name"), F.col("o_custkey") == F.col("c_custkey")
+    ).join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+    revenue_bp = R.cents("l_extendedprice") * (100 - R.cents("l_discount"))
+    agg = joined.groupBy("c_custkey", "c_name").agg(
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        (F.sum(revenue_bp) / 10000.0).alias("revenue"),
+    )
+    return R.top_k(agg, [F.desc("revenue")], 20, tie_breakers=[F.col("c_custkey")])
+
+
+@register(
+    "region_revenue",
+    """
+    SELECT r.r_name,
+           COUNT(*) AS n_lineitems,
+           SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT))) / 10000.0
+                    AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY r.r_name
+    """,
+    doc="TPC-H Q5 shape: star join, every dimension broadcast so the only "
+    "shuffles are lineitem-orders and the final small aggregation; the "
+    "o_orderdate filter pushes into the orders parquet scan.",
+)
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import joins as J
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        li.join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_regionkey")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    _ = J  # star_join covers the generic case; spelled out here for the plan doc
+    revenue_bp = R.cents("l_extendedprice") * (100 - R.cents("l_discount"))
+    return joined.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        (F.sum(revenue_bp) / 10000.0).alias("revenue"),
+    )
+
+
+@register(
+    "inactive_customers_anti",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_inactive,
+           ROUND(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) / (COUNT(*) * 100.0), 2)
+                    AS avg_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2001-01-01'
+    )
+    GROUP BY c_mktsegment
+    """,
+    doc="Anti join (NOT EXISTS): customers with no recent orders, "
+    "aggregated per segment.  left_anti keeps the probe side unexploded.",
+)
+def q_inactive_customers_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import anti_join
+
+    c = _t(spark, sf_dir, "customer")
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    inactive = anti_join(c, recent, F.col("c_custkey") == F.col("o_custkey"))
+    return inactive.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_inactive"),
+        R.exact_avg("c_acctbal", 2).alias("avg_acctbal"),
+    )
+
+
+@register(
+    "big_spenders_semi",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_big_spenders
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+    GROUP BY c_mktsegment
+    """,
+    doc="Semi join (EXISTS): customers having at least one large order; "
+    "left_semi never duplicates customer rows however many orders match.",
+)
+def q_big_spenders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import semi_join
+
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 400000)
+        .select("o_custkey")
+    )
+    hit = semi_join(c, big, F.col("c_custkey") == F.col("o_custkey"))
+    return hit.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_big_spenders"))
+
+
+# ---------------------------------------------------------------------------
+# Window functions, HAVING, multi-level agg (SURVEY §2.5 A10/A11, §2.6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "heavy_users_having",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value*100) AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) >= 70
+    """,
+    doc="HAVING-style post-agg filter (reference bot rule: groupBy window+"
+    "user -> count >= threshold, streaming/job1_bots.py:146-158).",
+)
+def q_heavy_users_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        R.exact_sum("value").alias("total_value"),
+    )
+    return R.having(agg, F.col("n_events") >= 70)
+
+
+@register(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id, event_type, ts
+    FROM (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+    doc="Deterministic last-event-per-key via ranking window — replaces "
+    "the reference's arbitrary first() per group "
+    "(streaming/job1_bots.py:154-157; FIXTURES.md §4).",
+)
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    ranked = R.top_k_per_group(
+        ev, ["user_id"], [F.desc("ts"), F.desc("event_id")], 1, rank_col="rn"
+    )
+    return ranked.drop("rn")
+
+
+@register(
+    "top3_events_per_type",
+    """
+    SELECT event_type, event_id, user_id, value, rank
+    FROM (
+      SELECT event_type, event_id, user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rank
+      FROM events
+    )
+    WHERE rank <= 3
+    """,
+    doc="Per-group top-k via row_number window — the deliberate upgrade "
+    "over the reference's driver-side Python loop "
+    "(streaming/job2.py:215-227; SURVEY §2.6).",
+)
+def q_top3_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "user_id", "value")
+    return R.top_k_per_group(
+        ev, ["event_type"], [F.desc("value"), F.col("event_id")], 3, rank_col="rank"
+    )
+
+
+@register(
+    "monthly_rollup",
+    """
+    SELECT month,
+           COUNT(*)                                        AS n_days,
+           SUM(n_events)                                   AS n_events,
+           ROUND(SUM(n_events) / (COUNT(*) * 1.0), 2)      AS avg_daily_events
+    FROM (
+      SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+             CAST(ts AS DATE)                      AS day,
+             COUNT(*)                              AS n_events
+      FROM events
+      GROUP BY 1, 2
+    )
+    GROUP BY month
+    """,
+    doc="Multi-level re-aggregation: daily counts re-aggregated to "
+    "monthly (reference batch/job2_historico.py:110-115).",
+)
+def q_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.trunc(F.to_date("ts"), "month").alias("month"),
+        F.to_date("ts").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return daily.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").alias("n_events"),
+        F.round(F.sum("n_events") / (F.count(F.lit(1)) * 1.0), 2).alias(
+            "avg_daily_events"
+        ),
+    )
+
+
+@register(
+    "alerts_union_by_name",
+    """
+    SELECT alert_type,
+           COUNT(*)                                        AS n_alerts,
+           SUM(CAST(ROUND(value*100) AS BIGINT)) / 100.0   AS total_value
+    FROM (
+      SELECT 'high_value' AS alert_type, value FROM events WHERE value > 400
+      UNION ALL
+      SELECT 'error_burst' AS alert_type, NULL AS value
+      FROM events WHERE event_type = 'error'
+    )
+    GROUP BY alert_type
+    """,
+    doc="unionByName with missing columns — the reference chains four "
+    "alert streams this way (streaming/job1_bots.py:358-360); the "
+    "missing metric column null-fills.",
+)
+def q_alerts_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    high_value = (
+        ev.where(F.col("value") > 400)
+        .select("value")
+        .withColumn("alert_type", F.lit("high_value"))
+    )
+    error_burst = (
+        ev.where(F.col("event_type") == "error")
+        .select(F.lit("error_burst").alias("alert_type"))
+    )
+    u = R.union_by_name(high_value, error_burst)
+    return u.groupBy("alert_type").agg(
+        F.count(F.lit(1)).alias("n_alerts"),
+        R.exact_sum("value").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analytics (SURVEY §2.9, phase 2) + training-data text ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_cleaning_funnel",
+    """
+    SELECT lang,
+           COUNT(*)                                       AS n_docs,
+           ROUND(AVG(n_chars), 2)                         AS avg_chars
+    FROM documents
+    WHERE text IS NOT NULL
+      AND trim(text) <> ''
+      AND length(text) BETWEEN 100 AND 500
+      AND lang IN ('en', 'es', 'de')
+      AND source NOT IN ('src0', 'src1')
+      AND text LIKE '%spark%'
+      AND regexp_matches(text, 'query|window')
+    GROUP BY lang
+    """,
+    doc="Multi-predicate cleaning pipeline as ONE composed filter: "
+    "null/empty drop, length bounds, isin whitelist, isin blacklist, "
+    "contains, rlike — the reference's location-cleaning chain "
+    "(streaming/job4_locationsreal_time.py:132-162, "
+    "batch/job1_locations.py:68-93) without its 26-filter Python loop.",
+)
+def q_docs_cleaning_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    cleaned = d.where(
+        t.isNotNull()
+        & (F.trim(t) != "")
+        & F.length(t).between(100, 500)
+        & F.col("lang").isin("en", "es", "de")
+        & ~F.col("source").isin("src0", "src1")
+        & t.contains("spark")
+        & t.rlike("query|window")
+    )
+    return cleaned.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
+@register(
+    "token_stats",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))), 2)
+                    AS avg_tokens,
+           MAX(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')))
+                    AS max_tokens,
+           SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')))
+                    AS total_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="BPE-ish regex token counting per language "
+    "(training-data op; word-count parity with batch/job4_spam.py:96-105).",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textstats as TS
+
+    d = _t(spark, sf_dir, "documents")
+    tc = TS.token_count(F.col("text"))
+    return d.select("lang", tc.alias("tc")).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("tc"), 2).alias("avg_tokens"),
+        F.max("tc").alias("max_tokens"),
+        F.sum("tc").cast("bigint").alias("total_tokens"),
+    )
+
+
+@register(
+    "quality_histogram",
+    """
+    WITH scored AS (
+      SELECT
+        (CASE WHEN length(text) BETWEEN 100 AND 400 THEN 25
+              WHEN length(text) BETWEEN 50 AND 99 THEN 15
+              WHEN length(text) > 400 THEN 10 ELSE 0 END)
+      + (CASE WHEN length(trim(text)) = 0 THEN 0
+              WHEN (length(text) * 10) / len(string_split_regex(trim(text), '\\s+'))
+                   BETWEEN 35 AND 80 THEN 25
+              WHEN (length(text) * 10) / len(string_split_regex(trim(text), '\\s+')) > 0
+                   THEN 10 ELSE 0 END)
+      + (CASE WHEN length(trim(text)) = 0 THEN 5
+              WHEN (len(list_distinct(string_split_regex(trim(text), '\\s+'))) * 100)
+                   / len(string_split_regex(trim(text), '\\s+')) >= 50 THEN 25
+              WHEN (len(list_distinct(string_split_regex(trim(text), '\\s+'))) * 100)
+                   / len(string_split_regex(trim(text), '\\s+')) >= 20 THEN 15
+              ELSE 5 END)
+      + (CASE WHEN length(text) = 0 THEN 0
+              WHEN (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 100)
+                   / length(text) >= 70 THEN 25
+              WHEN (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 100)
+                   / length(text) >= 40 THEN 15 ELSE 0 END)
+        AS quality_score
+      FROM documents
+    )
+    SELECT quality_score, COUNT(*) AS n_docs
+    FROM scored
+    GROUP BY quality_score
+    """,
+    doc="Document quality scoring (length/word-length/uniqueness/alpha "
+    "bands, integer arithmetic) — training-data quality op.",
+)
+def q_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textstats as TS
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(TS.quality_score(F.col("text")).alias("quality_score"))
+        .groupBy("quality_score")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "lang_id_eval",
+    """
+    WITH scored AS (
+      SELECT lang,
+             len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|ein)\\b'))   AS s_de,
+             len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|value|data)\\b')) AS s_en,
+             len(regexp_extract_all(lower(text), '\\b(el|la|de|que|los|por)\\b'))       AS s_es,
+             len(regexp_extract_all(lower(text), '\\b(le|la|les|des|une|est)\\b'))      AS s_fr
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+                WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+                WHEN s_fr > 0 THEN 'fr'
+                ELSE 'und' END AS predicted_lang,
+           COUNT(*) AS n_docs
+    FROM scored
+    GROUP BY 1, 2
+    """,
+    doc="Language-ID via stopword-profile argmax (alphabetical tie-break) "
+    "crossed against the labeled lang column — training-data lang-ID op.",
+)
+def q_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textstats as TS
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", TS.predict_lang(F.col("text")).alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_SENTIMENT_ORACLE = """
+    WITH scored AS (
+      SELECT source,
+             len(regexp_extract_all(lower(text), '\\b(fast|small|merge|value|spark)\\b'))
+             - len(regexp_extract_all(lower(text), '\\b(slow|big|scan|dup|filter)\\b'))
+             + (CASE WHEN regexp_matches(text, '!{2,}') THEN -3 ELSE 0 END)
+             + (CASE WHEN length(regexp_replace(text, '[^A-Z]', '', 'g')) * 2 > length(text)
+                      AND length(text) > 10 THEN -2 ELSE 0 END)
+               AS sentiment_score
+      FROM documents
+    )
+    SELECT source,
+           CASE WHEN sentiment_score >= 3 THEN 'very_positive'
+                WHEN sentiment_score >= 1 THEN 'positive'
+                WHEN sentiment_score <= -3 THEN 'very_negative'
+                WHEN sentiment_score <= -1 THEN 'negative'
+                ELSE 'neutral' END AS sentiment,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(sentiment_score), 2) AS avg_score
+    FROM scored
+    GROUP BY 1, 2
+"""
+
+
+@register(
+    "sentiment_distribution",
+    _SENTIMENT_ORACLE,
+    doc="The reference's one UDF (rule-based sentiment, "
+    "streaming/job3_sentiment.py:154-243) compiled to pure column "
+    "expressions: lexicon hit counts, repeated-! and shouting "
+    "penalties, linear score, 5-way ladder.",
+)
+def q_sentiment_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sentiment import with_sentiment
+
+    d = _t(spark, sf_dir, "documents")
+    scored = with_sentiment(d, "text")
+    return scored.groupBy("source", "sentiment").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("sentiment_score"), 2).alias("avg_score"),
+    )
+
+
+@register(
+    "sentiment_pandas_udf",
+    _SENTIMENT_ORACLE,
+    doc="Identical sentiment semantics through the Arrow-vectorized "
+    "pandas UDF surface (engine UDF slot, SURVEY §2.11) — checked "
+    "against the same SQL oracle as the expression variant.",
+)
+def q_sentiment_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sentiment import with_sentiment_pandas_udf
+
+    d = _t(spark, sf_dir, "documents")
+    scored = with_sentiment_pandas_udf(d, "text")
+    return scored.groupBy("source", "sentiment").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("sentiment_score"), 2).alias("avg_score"),
+    )
+
+
+@register(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    WHERE doc_id < 20
+    """,
+    doc="Content fingerprinting (md5 of normalized text) — value-level "
+    "cross-engine check of the dedup key itself.",
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textstats as TS
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    return d.select("doc_id", TS.doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "dedup_exact_summary",
+    """
+    SELECT COUNT(*)                                              AS n_docs,
+           COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+                                                                 AS n_unique,
+           COUNT(*) - COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+                                                                 AS n_duplicates
+    FROM documents
+    """,
+    doc="Exact dedup summary over normalized-content fingerprints "
+    "(training-data exact dedup; full operator in operators/dedup.py).",
+)
+def q_dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textstats as TS
+
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select(TS.doc_fingerprint(F.col("text")).alias("fp"))
+    return fp.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_duplicates"),
+    )
+
+
+@register(
+    "s_token_topk",
+    """
+    SELECT token, COUNT(*) AS n_occurrences
+    FROM (
+      SELECT unnest(regexp_extract_all(text, '\\bs[a-z]+')) AS token
+      FROM documents
+    )
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT 15
+    """,
+    doc="regexp_extract_all + explode + top-k — the reference's @mention "
+    "extraction shape (batch/job5_menciones.py:74-91) over patterned "
+    "tokens.",
+)
+def q_s_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit(r"\bs[a-z]+"), 0)).alias(
+            "token"
+        )
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    return R.top_k(counts, [F.desc("n_occurrences")], 15, tie_breakers=[F.col("token")])
+
+
+@register(
+    "approx_uniq_users",
+    None,  # HLL sketch differs across engines — rows-only check (SURVEY §5.1)
+    doc="approx_count_distinct (HLL) per event type — every reference "
+    "streaming job's metrics use it (streaming/job1_bots.py:321 etc.); "
+    "exempt from value-hash because DuckDB's sketch differs.",
+)
+def q_approx_uniq_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
