@@ -1,0 +1,347 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the whole point — these must run over 100 TB of text):
+
+- **exact**: one shuffle on the content fingerprint, keep the minimum id
+  per group (deterministic survivor).
+- **MinHash+LSH**: O(n) signature computation (expression-only, JVM
+  codegen), then candidate generation by banding — a self-equi-join on
+  ``(band_id, band_hash)``, which Catalyst executes as a shuffle join on
+  a high-cardinality key.  Nothing is O(n²): only colliding candidates
+  pay the exact-Jaccard verification.
+- **SimHash**: 64-bit signature folded entirely in expressions
+  (aggregate over token hash bit-votes), then banded hamming join.
+
+Candidate verification uses exact set Jaccard (array_intersect), so LSH
+parameters only affect recall, never precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import doc_fingerprint
+
+
+# -- exact ------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Drop exact duplicates (after whitespace/case normalization),
+    keeping the smallest id per content group (deterministic, unlike
+    ``dropDuplicates`` which keeps an arbitrary row)."""
+    from pyspark.sql.window import Window
+
+    fp = doc_fingerprint(F.col(text_col))
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col))
+    return (
+        df.withColumn("__fp", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+# -- shingling --------------------------------------------------------------
+
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct k-character shingles.
+
+    SQL twin: ``list_distinct(list_transform(range(length(t)-k+1),
+    i -> substr(t, i+1, k)))``.
+    """
+    idx = F.sequence(F.lit(0), F.length(text) - k)
+    return F.array_distinct(
+        F.transform(idx, lambda i: text.substr(i + 1, F.lit(k)))
+    )
+
+
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """Distinct word n-grams (space-joined)."""
+    words = F.split(F.trim(text), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(words, i + j + 1) for j in range(n)]
+    )
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two (distinct-element) array columns."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter * 1.0 / (F.size(a) + F.size(b) - inter)
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+
+_HASH_MASK = (1 << 31) - 1
+_MERSENNE31 = (1 << 31) - 1  # prime modulus for the universal hash family
+
+
+def _perm_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash constants (a odd, b), 31-bit.
+
+    31-bit domain keeps ``a·x + b`` below 2^62 — Spark 4 runs ANSI mode
+    by default, where a wrapping long multiply throws instead of
+    wrapping.  Derived from a fixed LCG — no runtime randomness
+    (resume/replay safe).
+    """
+    out = []
+    state = 0x9E3779B97F4A7C15
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = ((state | 1) & _HASH_MASK) or 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = state & _HASH_MASK
+        out.append((a, b))
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, shingles_col: str, num_hashes: int = 64
+) -> DataFrame:
+    """MinHash signatures via explode → hash-aggregate.
+
+    Each shingle is string-hashed once (``xxhash64``), then the
+    ``num_hashes`` permutations are universal-hash maps
+    ``(a·x + b) mod p`` evaluated as ``num_hashes`` codegen'd ``min``
+    aggregates over the exploded shingles.  Two earlier formulations
+    benched far worse at sf0.1: per-seed string re-hashing inside nested
+    lambdas (240s) and an array-fold of running minima (interpreted HOF,
+    ~40s); this shape runs in whole-stage codegen with map-side partial
+    mins (~2s).  The modular wrap is essential: without it a·x+b is
+    monotone in x and every "permutation" would select the same element
+    (a rank-1 signature with terrible recall).
+
+    31-bit domain keeps a·x+b below 2^62: Spark 4 defaults to ANSI mode,
+    where a wrapping long multiply throws.
+
+    Returns ``df[id_col, sig: array<long>[num_hashes]]``.
+    """
+    consts = _perm_constants(num_hashes)
+    exploded = df.select(
+        F.col(id_col), F.explode(F.col(shingles_col)).alias("__s")
+    ).withColumn("__x", F.xxhash64(F.col("__s")).bitwiseAND(F.lit(_HASH_MASK)))
+    mins = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.pmod(F.col("__x") * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))).alias(
+                f"__m{i}"
+            )
+            for i, (a, b) in enumerate(consts)
+        ]
+    )
+    return mins.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def lsh_band_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Banding: explode each signature into ``bands`` buckets keyed by
+    ``(band_id, hash(band slice))``; equi-self-join yields candidate id
+    pairs (a < b), deduplicated across bands.
+
+    The join key has cardinality ≈ n_docs × bands, so the shuffle
+    spreads evenly; a popular bucket (many near-identical docs) is the
+    data telling us they're all duplicates — AQE's skew-join splitting
+    handles the pathological case.
+    """
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = sig_df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bh"),
+    ).select(id_col, "bh.band_id", "bh.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    num_hashes: int = 128,
+    bands: int = 16,
+    shingle_fn=None,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, verified with exact Jaccard.
+
+    Returns ``(id_a, id_b, jaccard)`` for pairs with similarity ≥
+    threshold.  Three-stage funnel, cheapest test first:
+
+    1. banding (16 bands × 8 rows) — collision prob at j=0.8 background
+       similarity is j⁸ per band, so moderately-similar corpora don't
+       flood the candidate set (4-row bands admitted ~1% of ALL pairs
+       on the word-soup fixture and verification dominated the runtime);
+    2. signature-estimate prefilter — positional signature agreement
+       approximates j with sd ≈ sqrt(j(1-j)/128) ≈ 0.03, so a
+       threshold-0.15 cut is a >4σ-safe recall margin at 64-element
+       cost instead of shingle-set cost;
+    3. exact Jaccard on the survivors — precision is exact regardless
+       of LSH parameters.
+    """
+    from .relational import spread
+
+    rows_per_band = num_hashes // bands
+    make_shingles = shingle_fn or (lambda t: char_shingles(t, shingle_k))
+    # Cached: shingles feed both the signature branch and the final
+    # verification joins; signatures feed banding and the prefilter.
+    sh = spread(df).select(
+        F.col(id_col), make_shingles(F.col(text_col)).alias("__sh")
+    ).cache()
+    sig = minhash_signatures(sh, id_col, "__sh", num_hashes).withColumnRenamed(
+        "sig", "__sig"
+    ).cache()
+    cands = lsh_band_pairs(sig, id_col, "__sig", bands, rows_per_band)
+
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("__sig").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("__sig").alias("sig_b"))
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    ) / float(num_hashes)
+    prefiltered = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(est >= threshold - 0.15)
+        .select("id_a", "id_b")
+    )
+
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    verified = (
+        prefiltered.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+# -- SimHash ----------------------------------------------------------------
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document: tokens vote ±1 per bit of their
+    xxhash64; signature bit b is 1 where the vote sum is positive.
+
+    Formulated as explode → hash-aggregate with 64 conditional sums
+    (whole-stage codegen), NOT an array fold: higher-order-function
+    lambdas evaluate interpreted per element and benched 40s vs ~2s for
+    this shape at sf0.1.  Partial aggregation also combines map-side, so
+    the shuffle carries one 64-vote row per document, not per token.
+    """
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))).alias(
+            "__tok"
+        ),
+    ).withColumn("__h", F.xxhash64(F.col("__tok")))
+    votes = tokens.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"__v{b}")
+            for b in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"__v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Banding over four 16-bit chunks: any pair within hamming ≤ 3 shares
+    at least one exact chunk (pigeonhole), so candidates come from four
+    equi-joins, never a cross join; popcount verifies the distance.
+    """
+    from .relational import spread
+
+    sh = simhash_signatures(spread(df), id_col, text_col).withColumnRenamed(
+        "simhash", "__sim"
+    )
+    banded = sh.select(
+        F.col(id_col),
+        F.col("__sim"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright(F.col("__sim"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cv"),
+    ).select(id_col, "__sim", "cv.chunk_id", "cv.chunk_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__sim").alias("sim_a"),
+            F.col("b.__sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cands.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

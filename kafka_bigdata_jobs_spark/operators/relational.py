@@ -14,6 +14,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the input is
+    under-partitioned (e.g. one small parquet file → 1 scan partition,
+    which would serialize every downstream per-row computation onto one
+    core).  Heavy per-row operators (shingling, signatures, pair joins)
+    call this first; already-wide inputs pass through untouched."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def cents(col: Column | str, scale: int = 2) -> Column:
     """Exact integer representation of d-decimal double data.
 

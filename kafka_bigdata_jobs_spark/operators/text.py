@@ -24,10 +24,15 @@ def extract_hashtags(
     ``[ ] '`` then split on comma, explode, lower/trim, drop empties).
     """
     cleaned = F.regexp_replace(F.col(hashtags_col), r"[\[\]']", "")
-    tag = F.lower(F.trim(F.explode(F.split(cleaned, ","))))
-    return (
+    # explode must be a top-level select expression (generators can't
+    # nest inside other functions); normalize afterwards.
+    exploded = (
         df.where(F.col(hashtags_col).isNotNull() & (F.col(hashtags_col) != "[]"))
-        .select("*", tag.alias(out_col))
+        .select("*", F.explode(F.split(cleaned, ",")).alias("__raw_tag"))
+    )
+    return (
+        exploded.withColumn(out_col, F.lower(F.trim(F.col("__raw_tag"))))
+        .drop("__raw_tag")
         .where((F.col(out_col) != "") & F.col(out_col).isNotNull())
     )
 

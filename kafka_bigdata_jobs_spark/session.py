@@ -42,6 +42,10 @@ def get_spark(
         master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = SparkSession.builder.appName(app_name).master(master)
     conf: dict[str, str] = {
+        # local-mode default heap is 1g; the 32-thread local runner needs
+        # real memory for wide aggregate folds / cached signatures.  Only
+        # effective when this call creates the JVM (ignored on attach).
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
         **RUNTIME_CONF,
         # 32 matches local test parallelism; AQE coalesces down when small
         # and a cluster deployment overrides upward.  Never the reference's

@@ -1,0 +1,70 @@
+"""Batch CSV sources for the canonical tweet tables.
+
+The reference reads the headerless bitcoin CSV with ``inferSchema`` and
+a positional ``_c{i}`` rename loop (``batch/job1_locations.py:30-37``)
+and the ethereum CSV with ``header=True, inferSchema=True``
+(``:49-62``).  Declared schemas kill the inference scan (a full extra
+pass over 100 TB) and give stable types.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import BITCOIN_CSV_COLUMNS
+
+#: Declared schema for the 13-column headerless bitcoin CSV.
+_BITCOIN_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("user_name", T.StringType()),
+        T.StructField("user_location", T.StringType()),
+        T.StructField("user_description", T.StringType()),
+        T.StructField("user_created", T.StringType()),
+        T.StructField("user_followers", T.DoubleType()),  # CSV carries "1234.0"
+        T.StructField("user_friends", T.DoubleType()),
+        T.StructField("user_favourites", T.DoubleType()),
+        T.StructField("user_verified", T.BooleanType()),
+        T.StructField("date", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("hashtags", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("is_retweet", T.BooleanType()),
+    ]
+)
+
+#: fillna defaults (reference batch/job1_locations.py:39-43, job4_spam.py:43-47).
+FILL_DEFAULTS = {
+    "user_location": "Unknown",
+    "user_description": "",
+    "user_followers": 0,
+    "user_friends": 0,
+    "user_favourites": 0,
+    "text": "",
+    "hashtags": "",
+    "source": "Unknown",
+}
+
+
+def read_tweets_csv(
+    spark: SparkSession,
+    path: str,
+    crypto_type: str,
+    header: bool = False,
+) -> DataFrame:
+    """Read one tweet CSV, tag it with its ``crypto_type`` discriminator,
+    repair nulls, and normalize metric columns to int."""
+    df = spark.read.csv(
+        path,
+        schema=_BITCOIN_CSV_SCHEMA if not header else None,
+        header=header,
+        multiLine=True,
+        escape='"',
+    )
+    if header:
+        df = df.toDF(*BITCOIN_CSV_COLUMNS[: len(df.columns)])
+    df = df.na.fill(FILL_DEFAULTS).withColumn("crypto_type", F.lit(crypto_type))
+    for c in ("user_followers", "user_friends", "user_favourites"):
+        df = df.withColumn(c, F.col(c).cast("long"))
+    return df

@@ -1,0 +1,118 @@
+"""Streaming query runner: single-query multi-sink fan-out.
+
+The reference starts up to 7 concurrent streaming queries per job, each
+with its own Kafka consumer group and checkpoint
+(``streaming/job1_bots.py:363-412``) — 7× broker read amplification.
+Here ONE query consumes the source and ``foreachBatch`` multiplexes each
+micro-batch to every sink; the batch is persisted so sinks don't
+recompute the lineage (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+#: A sink receives (micro-batch DataFrame, batch_id).
+Sink = Callable[[DataFrame, int], None]
+
+
+@dataclass
+class ParquetSink:
+    path: str
+    mode: str = "append"
+    partition_by: tuple[str, ...] = ()
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        w = batch.write.mode(self.mode)
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.parquet(self.path)
+
+
+@dataclass
+class ConsoleReportSink:
+    """Bounded console reporter — the reference collect()s the whole
+    micro-batch into the driver (``streaming/job2.py:206-246``); this
+    caps it with limit() first (SURVEY §2.12)."""
+
+    title: str
+    limit: int = 20
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        rows = batch.limit(self.limit).collect()
+        print(f"=== {self.title} [batch {batch_id}] ({len(rows)} rows) ===")
+        for r in rows:
+            print("  ", r.asDict())
+
+
+@dataclass
+class MemorySink:
+    """Test sink: accumulates micro-batch rows in the driver (bounded)."""
+
+    limit_per_batch: int = 10_000
+
+    def __post_init__(self):
+        self.batches: list[list] = []
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        self.batches.append(batch.limit(self.limit_per_batch).collect())
+
+    @property
+    def rows(self) -> list:
+        return [r for b in self.batches for r in b]
+
+
+def run_multi_sink(
+    df: DataFrame,
+    sinks: Sequence[Sink],
+    checkpoint: str,
+    trigger: dict | None = None,
+    query_name: str = "multi_sink",
+):
+    """Start ONE streaming query that fans each micro-batch out to all
+    sinks.  ``trigger`` defaults to availableNow (drain-and-stop, used
+    by tests); pass ``{"processingTime": "30 seconds"}`` for the
+    reference's cadence."""
+
+    def fan_out(batch: DataFrame, batch_id: int) -> None:
+        many = len(sinks) > 1
+        if many:
+            batch.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            for sink in sinks:
+                sink(batch, batch_id)
+        finally:
+            if many:
+                batch.unpersist()
+
+    writer = (
+        df.writeStream.queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(fan_out)
+    )
+    return writer.trigger(**(trigger or {"availableNow": True})).start()
+
+
+def run_to_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+):
+    """Plain append parquet sink (reference K1 shape,
+    ``streaming/job1_bots.py:363-369``) — kept for single-sink jobs
+    where the native sink's exactly-once file tracking beats
+    foreachBatch."""
+    return (
+        df.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

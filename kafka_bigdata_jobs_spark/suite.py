@@ -933,3 +933,191 @@ def q_approx_uniq_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup + similarity search (beyond-reference north star; SURVEY §7 phase 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "near_dup_pairs_minhash",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(length(text)-4),
+                                          i -> substr(text, i+1, 5))) AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+             AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+    """,
+    doc="MinHash(64)+LSH(16 bands x 4 rows) near-dup candidate generation "
+    "over 5-char shingles, verified with exact Jaccard >= 0.8.  The "
+    "oracle brute-forces all pairs; the Spark path is O(n) signatures + "
+    "a banded equi-join, never O(n^2) — the miss probability at the "
+    "planted j~0.93 pairs is (1-0.93^4)^16 ~ 3e-10.",
+)
+def q_near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return near_dup_pairs(d, "doc_id", "text", threshold=0.8)
+
+
+@register(
+    "near_dup_pairs_word_bigram",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(words)-1),
+                i -> list_extract(words, i+1) || ' ' || list_extract(words, i+2)))
+               AS sh
+      FROM w
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+             AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+    """,
+    doc="n-gram Jaccard near-dup: word-bigram shingles through the same "
+    "MinHash-LSH pipeline (shingling strategy is a parameter).",
+)
+def q_near_dup_pairs_word_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup as D
+
+    d = _t(spark, sf_dir, "documents")
+    return D.near_dup_pairs(
+        d,
+        "doc_id",
+        "text",
+        threshold=0.8,
+        shingle_fn=lambda t: D.word_ngrams(t, 2),
+    )
+
+
+@register(
+    "simhash_near_dups",
+    None,  # xxhash64 bit patterns are engine-specific — rows-only check
+    doc="SimHash(64-bit, expression-folded bit votes) near-dup pairs at "
+    "hamming <= 3 via 16-bit chunk banding (pigeonhole: any such pair "
+    "shares an exact chunk).",
+)
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_near_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "similarity_topk_bruteforce",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.qv, e.emb) /
+                   sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(e.emb, e.emb)),
+                   6) AS cosine
+      FROM e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    WHERE rank <= 10
+    """,
+    doc="Brute-force cosine top-10 neighbors for 5 query vectors: "
+    "queries broadcast, corpus never shuffles, expression-folded double "
+    "dot products, ranking window per query (ANN baseline).",
+)
+def q_similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import topk_neighbors
+
+    e = _t(spark, sf_dir, "embeddings")
+    return topk_neighbors(
+        e, e.where(F.col("vec_id") < 5), "vec_id", "embedding", k=10
+    )
+
+
+@register(
+    "similarity_topk_ivf",
+    """
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, label AS qlabel, emb AS qv FROM e WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.qv, e.emb) /
+                   sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(e.emb, e.emb)),
+                   6) AS cosine
+      FROM e JOIN q ON e.label = q.qlabel
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    WHERE rank <= 10
+    """,
+    doc="IVF top-k: the label column acts as the coarse-quantizer cell, "
+    "so each query scores only its own cell — the scan shrinks by the "
+    "cell fraction; same scoring/top-k code as brute force.",
+)
+def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import topk_neighbors
+
+    e = _t(spark, sf_dir, "embeddings")
+    return topk_neighbors(
+        e,
+        e.where(F.col("vec_id") < 5),
+        "vec_id",
+        "embedding",
+        k=10,
+        cell_col="label",
+    )
+
+
+@register(
+    "embedding_close_pairs",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.emb, b.emb) /
+                 sqrt(list_dot_product(a.emb, a.emb) * list_dot_product(b.emb, b.emb)),
+                 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.emb, b.emb) /
+          sqrt(list_dot_product(a.emb, a.emb) * list_dot_product(b.emb, b.emb)) >= 0.45
+    """,
+    doc="Embedding-cosine near-dup pair detection (upper-triangle self "
+    "join; threshold sits in a verified gap of the fixture's cosine "
+    "distribution so both engines cut identically).",
+)
+def q_embedding_close_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, "vec_id", "embedding", threshold=0.45)

@@ -1,0 +1,136 @@
+"""Streaming semantics tests (SURVEY.md §5.2).
+
+Strategy: file-source streams + ``trigger(availableNow=True)`` drain
+deterministically; the golden output is the SAME transform run in batch
+mode on the same data (stream/batch duality).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_bigdata_jobs_spark.schemas import load_table
+from kafka_bigdata_jobs_spark.sources.kafka import decode_json_events
+from kafka_bigdata_jobs_spark.sources.stream_files import read_parquet_stream
+from kafka_bigdata_jobs_spark.streaming.runner import MemorySink, ParquetSink, run_multi_sink
+from kafka_bigdata_jobs_spark.streaming.windows import windowed_agg
+
+SF = "/root/testdata/sf0.001"
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark):
+    """Events fixture as 4 time-ordered parquet files → 4 in-order
+    micro-batches (written sequentially so file mod-times ascend with
+    event time; out-of-order files would look like late data and be
+    watermark-dropped, which is NOT what this test exercises)."""
+    import time
+
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    ev = load_table(spark, SF, "events").cache()
+    bounds = ev.selectExpr(
+        "percentile(cast(ts as double), array(0.25, 0.5, 0.75)) as q"
+    ).first()["q"]
+    lo = None
+    for i, hi in enumerate([*bounds, None]):
+        part = ev
+        if lo is not None:
+            part = part.where(F.col("ts").cast("double") >= lo)
+        if hi is not None:
+            part = part.where(F.col("ts").cast("double") < hi)
+        part.coalesce(1).write.mode("append").parquet(d)
+        time.sleep(1.1)  # distinct mod-times → deterministic file order
+        lo = hi
+    ev.unpersist()
+    return d
+
+
+def _windowed_counts(df):
+    return windowed_agg(
+        df,
+        "ts",
+        "10 minutes",
+        [F.count(F.lit(1)).alias("n_events"), F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents")],
+        keys=["event_type"],
+    )
+
+
+def test_stream_equals_batch_windowed_agg(spark, events_stream_dir):
+    batch = _windowed_counts(load_table(spark, SF, "events"))
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in batch.collect()
+    }
+
+    stream = read_parquet_stream(spark, events_stream_dir, EVENTS_SCHEMA)
+    sink = MemorySink()
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = run_multi_sink(_windowed_counts(stream), [sink], checkpoint=ckpt)
+        q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in sink.rows
+    }
+    # availableNow drains everything; watermark never closes the final
+    # window(s) beyond max event time, so the stream emits only windows
+    # the watermark passed — every emitted window must match batch, and
+    # coverage must be substantial.
+    assert got, "stream produced no windows"
+    for k, v in got.items():
+        assert expected[k] == v, f"window {k}: stream={v} batch={expected[k]}"
+    assert len(got) >= len(expected) - len({k[1] for k in expected}) * 2
+
+
+def test_multi_sink_fanout(spark, events_stream_dir):
+    stream = read_parquet_stream(spark, events_stream_dir, EVENTS_SCHEMA)
+    mem1, mem2 = MemorySink(), MemorySink()
+    with tempfile.TemporaryDirectory() as ckpt, tempfile.TemporaryDirectory() as out:
+        pq = ParquetSink(path=out)
+        q = run_multi_sink(
+            stream.select("event_id", "event_type"), [mem1, mem2, pq], checkpoint=ckpt
+        )
+        q.awaitTermination(120)
+        n_parquet = spark.read.parquet(out).count()
+    n = load_table(spark, SF, "events").count()
+    assert len(mem1.rows) == len(mem2.rows) == n_parquet == n
+
+
+def test_json_decode_malformed_to_nulls(spark):
+    payloads = [
+        ('{"crypto_type":"bitcoin","user_name":"alice","user_followers":10,'
+         '"user_verified":true,"text":"hi","timestamp":"2024-01-01T00:00:00"}',),
+        ("not json at all",),
+        ('{"crypto_type":"ethereum","user_name":"bob","timestamp":"2024-01-01T00:05:00"}',),
+    ]
+    raw = spark.createDataFrame(payloads, ["value"]).select(
+        F.col("value").cast("binary").alias("value")
+    )
+    decoded = decode_json_events(raw)
+    rows = decoded.collect()
+    assert len(rows) == 3
+    by_user = {r["user_name"]: r for r in rows}
+    assert by_user["alice"]["user_followers"] == 10
+    assert by_user["alice"]["event_time"] is not None
+    assert None in by_user  # malformed row → all-null struct
+    assert by_user["bob"]["user_followers"] is None
+
+
+def test_watermark_applied_only_on_streams(spark):
+    batch = load_table(spark, SF, "events")
+    out = _windowed_counts(batch)
+    assert not out.isStreaming
