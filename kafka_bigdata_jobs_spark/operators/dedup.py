@@ -43,6 +43,20 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def dedup_by_keys(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Keep exactly one row per key combination — the row with the
+    smallest ``order_col`` (deterministic; ``dropDuplicates`` keeps an
+    arbitrary one, which can't be oracle-checked)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 # -- shingling --------------------------------------------------------------
 
 

@@ -1,0 +1,194 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Design (training-data pipeline at 100 TB):
+
+- media travels as an opaque ``binary`` column plus a typed metadata
+  struct (``media_type``, ``mime``, ``width``, ``height``,
+  ``duration_ms``, ``size_bytes``) — Spark shuffles/stores bytes
+  without interpreting them; parquet keeps them as BYTE_ARRAY.
+- decode / feature-extract / resize / frame-sample run as Arrow-batched
+  ``mapInPandas`` stages: one Python worker per partition, whole-batch
+  numpy work, bounded batch sizes via
+  ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+- the actual codec calls (PIL/ffmpeg/librosa) are NOT available in this
+  environment, so the codec boundary is stubbed: ``decode_image_stub``
+  raises ``NotImplementedError`` unless ``deterministic_fake=True``, in
+  which case it derives a deterministic fake decode from the bytes —
+  the Spark-side plumbing (schema, batching, partitioning, UDF
+  signatures) is real and tested either way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),   # image | audio | video
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("size_bytes", T.LongType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", MEDIA_META),
+    ]
+)
+
+IMAGE_FEATURES = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("size_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def attach_media_meta(df: DataFrame, payload_col: str, media_type: str, mime: str) -> DataFrame:
+    """Wrap a bare binary column into the canonical payload+meta shape;
+    size is computed, pixel/duration fields left null until decode."""
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(mime).alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.length(F.col(payload_col)).cast("long").alias("size_bytes"),
+        ),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, float]:
+    """Deterministic fake decode: dimensions and mean luma derived from
+    the payload digest — stable across runs/machines, no codec needed."""
+    digest = hashlib.sha256(payload).digest()
+    w = 64 + digest[0] % 192
+    h = 64 + digest[1] % 192
+    luma = round(sum(digest[2:10]) / 8 / 255.0, 6)
+    return w, h, luma
+
+
+def decode_image_stub(payload: bytes, deterministic_fake: bool = False):
+    """Codec boundary.  Real deployments plug PIL/turbojpeg here."""
+    if deterministic_fake:
+        return _fake_decode(payload)
+    raise NotImplementedError(
+        "image codecs are not available in this environment; "
+        "pass deterministic_fake=True for the test pipeline"
+    )
+
+
+def extract_image_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Arrow-batched image feature extraction via ``mapInPandas``.
+
+    Batch shape: the iterator yields pandas DataFrames of whole Arrow
+    record batches; per-batch work is vectorized except the per-payload
+    codec call (inherently per-item).  Output schema is fixed
+    (IMAGE_FEATURES) so downstream plans don't depend on Python.
+    """
+
+    fake = deterministic_fake
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained on purpose: Python workers unpickle this closure
+        # without importing kafka_bigdata_jobs_spark (the engine package
+        # isn't necessarily on the worker path), so it may only touch
+        # locals and importable stdlib/site-packages modules.
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        def _decode(payload: bytes):
+            if not fake:
+                raise NotImplementedError(
+                    "image codecs are not available in this environment; "
+                    "pass deterministic_fake=True for the test pipeline"
+                )
+            digest = _hashlib.sha256(payload).digest()
+            return (
+                64 + digest[0] % 192,
+                64 + digest[1] % 192,
+                round(sum(digest[2:10]) / 8 / 255.0, 6),
+            )
+
+        for pdf in it:
+            payloads = pdf[payload_col]
+            decoded = [_decode(bytes(p)) for p in payloads]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "sha256": [
+                        _hashlib.sha256(bytes(p)).hexdigest() for p in payloads
+                    ],
+                    "size_bytes": payloads.map(len).astype("int64"),
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "mean_luma": [d[2] for d in decoded],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, IMAGE_FEATURES)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    every_ms: int = 1000,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: explodes each payload
+    into (media_id, frame_idx, frame_sha256) rows.  The frame decoder is
+    the stubbed codec boundary; the fake derives a deterministic frame
+    count from the digest."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_sha256", T.StringType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, hashes = [], [], []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(p)
+                if not deterministic_fake:
+                    raise NotImplementedError("video codecs unavailable; use fake")
+                digest = hashlib.sha256(payload).digest()
+                n_frames = 1 + digest[3] % 8
+                for i in range(n_frames):
+                    ids.append(int(mid))
+                    idxs.append(i)
+                    hashes.append(
+                        hashlib.sha256(payload + i.to_bytes(4, "big")).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_sha256": hashes}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, out_schema)

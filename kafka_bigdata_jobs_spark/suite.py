@@ -1121,3 +1121,192 @@ def q_embedding_close_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(e, "vec_id", "embedding", threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (beyond-reference): binary payloads + mapInPandas
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "media_fingerprints",
+    """
+    SELECT doc_id,
+           sha256(text)    AS payload_sha256,
+           length(text)    AS size_bytes
+    FROM documents
+    WHERE doc_id < 25
+    """,
+    doc="Binary-payload content addressing: documents' text bytes as an "
+    "opaque payload column, sha-256 content hash computed JVM-side "
+    "(F.sha2 over binary) — value-level cross-engine check.",
+)
+def q_media_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 25)
+    payload = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.sha2(payload, 256).alias("payload_sha256"),
+        F.length(payload).cast("bigint").alias("size_bytes"),
+    )
+
+
+@register(
+    "multimodal_image_features",
+    None,  # fake-codec decode isn't SQL-expressible — rows-only check
+    doc="Arrow-batched mapInPandas image feature extraction over binary "
+    "payloads (deterministic fake codec; real codec is the stubbed "
+    "boundary).  Exercises the multimodal schema + batch plumbing end "
+    "to end: attach meta -> decode -> aggregate by width band.",
+)
+def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal as M
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.col("text").cast("binary").alias("payload"),
+        )
+    )
+    media = M.attach_media_meta(d, "payload", "image", "image/png")
+    feats = M.extract_image_features(media)
+    return (
+        feats.withColumn("width_band", (F.col("width") / 64).cast("int") * 64)
+        .groupBy("width_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.round(F.avg("mean_luma"), 4).alias("avg_luma"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function surface + batch windows (SURVEY §2.9, §2.10-T2-as-batch)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_age_bands",
+    """
+    SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') < 365
+                THEN 'recent'
+                WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') < 1460
+                THEN 'mid'
+                ELSE 'old' END               AS age_band,
+           COUNT(*)                          AS n_orders,
+           MIN(CAST(o_orderdate AS DATE))    AS first_date,
+           MAX(CAST(o_orderdate AS DATE))    AS last_date
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Account-age pattern: datediff against a frozen reference date "
+    "(reference uses current_date at streaming/job1_bots.py:247; frozen "
+    "here per FIXTURES.md §4 determinism rules) + CASE banding + "
+    "min/max date aggs.",
+)
+def q_order_age_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    age = F.datediff(F.lit("2002-01-01").cast("date"), F.to_date("o_orderdate"))
+    band = (
+        F.when(age < 365, "recent").when(age < 1460, "mid").otherwise("old")
+    )
+    return o.withColumn("age_band", band).groupBy("age_band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min(F.to_date("o_orderdate")).alias("first_date"),
+        F.max(F.to_date("o_orderdate")).alias("last_date"),
+    )
+
+
+@register(
+    "order_labels",
+    """
+    SELECT o_orderkey,
+           upper(o_orderstatus) || '-' || substr(o_orderpriority, 3) AS label,
+           concat_ws('/', o_orderstatus, CAST(o_orderkey AS VARCHAR)) AS slug,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING')           AS status_name,
+           lpad(CAST(o_orderkey AS VARCHAR), 8, '0')                 AS padded_key
+    FROM orders
+    WHERE o_orderkey < 100
+    """,
+    doc="String scalar surface: concat/||, concat_ws, substr, upper, "
+    "coalesce+nullif, lpad (reference concat+lit interleave, "
+    "streaming/job1_bots.py:161-169; SURVEY §2.9).",
+)
+def q_order_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 100)
+    return o.select(
+        "o_orderkey",
+        F.concat(
+            F.upper("o_orderstatus"), F.lit("-"), F.substring("o_orderpriority", 3, 100)
+        ).alias("label"),
+        F.concat_ws("/", F.col("o_orderstatus"), F.col("o_orderkey").cast("string")).alias(
+            "slug"
+        ),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("PENDING")).alias(
+            "status_name"
+        ),
+        F.lpad(F.col("o_orderkey").cast("string"), 8, "0").alias("padded_key"),
+    )
+
+
+@register(
+    "windowed_events_batch",
+    """
+    SELECT time_bucket(INTERVAL '15 minutes', ts)                      AS window_start,
+           time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes'
+                                                                       AS window_end,
+           event_type,
+           COUNT(*)                                                    AS n_events,
+           SUM(CAST(ROUND(value*100) AS BIGINT)) / 100.0               AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc="Tumbling window aggregation in batch mode — F.window() as a "
+    "grouping expression (reference T2, streaming/job1_bots.py:146-158); "
+    "the streaming twin is covered by the duality tests.",
+)
+def q_windowed_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.windows import windowed_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return windowed_agg(
+        ev,
+        "ts",
+        "15 minutes",
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            R.exact_sum("value").alias("total_value"),
+        ],
+        keys=["event_type"],
+    )
+
+
+@register(
+    "events_dedup_by_user_type",
+    """
+    SELECT event_type,
+           COUNT(*)                                       AS n_survivors,
+           SUM(CAST(ROUND(value*100) AS BIGINT)) / 100.0  AS total_value
+    FROM (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY event_id) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    GROUP BY event_type
+    """,
+    doc="Keyed exact dedup: one deterministic survivor (min event_id) "
+    "per (user, event_type) — dropDuplicates keeps an arbitrary row "
+    "and can't be verified; ranking-window dedup can.",
+)
+def q_events_dedup_by_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import dedup_by_keys
+
+    ev = _t(spark, sf_dir, "events")
+    survivors = dedup_by_keys(ev, ["user_id", "event_type"], "event_id")
+    return survivors.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        R.exact_sum("value").alias("total_value"),
+    )
