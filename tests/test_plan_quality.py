@@ -1,0 +1,81 @@
+"""Physical-plan assertions — the scale contract (SURVEY.md §4).
+
+Correctness tests prove the answers; these prove the plans would
+survive a 100 TB input: filters reach the parquet scan, scans read only
+needed columns, dimensions broadcast, aggregation is partial+final, and
+sort+limit plans as TakeOrderedAndProject instead of a global sort.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_bigdata_jobs_spark import suite
+
+SF = "/root/testdata/sf0.001"
+
+
+def formatted_plan(df) -> str:
+    jdf = df._jdf
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return jdf.queryExecution().explainString(mode)
+
+
+def _plan(spark, name: str) -> str:
+    return formatted_plan(suite.registry()[name].fn(spark, SF))
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = _plan(spark, "pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan, "shipdate filter not pushed to scan"
+    # Projection pruning: unused columns must not appear in ReadSchema.
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    for unused in ("l_orderkey", "l_partkey", "l_suppkey", "l_tax", "l_linenumber"):
+        assert unused not in read_schema, f"column {unused} not pruned from scan"
+    assert "partial_sum" in plan, "no map-side partial aggregation"
+
+
+def test_top_orders_is_take_ordered(spark):
+    plan = _plan(spark, "top_orders")
+    assert "TakeOrderedAndProject" in plan, "sort+limit did not plan as top-k"
+    assert "Exchange" not in plan, "top-k should not need a full shuffle"
+
+
+def test_region_revenue_broadcasts_dims(spark):
+    plan = _plan(spark, "region_revenue")
+    assert plan.count("BroadcastExchange") >= 3, "dimensions not broadcast"
+    assert "GreaterThanOrEqual(o_orderdate" in plan, "date filter not pushed"
+    li_scan = [
+        l for l in plan.splitlines()
+        if "ReadSchema" in l and "l_extendedprice" in l
+    ]
+    assert li_scan and "l_quantity" not in li_scan[0], "lineitem scan not pruned"
+
+
+def test_semi_anti_joins_plan_as_semi_anti(spark):
+    semi = _plan(spark, "big_spenders_semi")
+    anti = _plan(spark, "inactive_customers_anti")
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+    # The probe-side payload never shuffles wider than the key needs:
+    # orders scan reads only the join key + pushed filter column.
+    semi_orders_scan = [
+        l for l in semi.splitlines() if "ReadSchema" in l and "o_custkey" in l
+    ]
+    assert semi_orders_scan and "o_orderpriority" not in semi_orders_scan[0]
+
+
+def test_customer_order_revenue_explicit_broadcast(spark):
+    plan = _plan(spark, "customer_order_revenue")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_whole_stage_codegen_on_flagship(spark):
+    # AQE finalizes the plan lazily, so codegen visibility requires an
+    # executed plan; `*(n)` prefixes mark whole-stage-codegen stages.
+    df = suite.registry()["pricing_summary"].fn(spark, SF)
+    df.collect()
+    final_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in final_plan, "no whole-stage codegen stage in final plan"
