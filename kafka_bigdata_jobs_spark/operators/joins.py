@@ -46,6 +46,38 @@ def anti_join(left: DataFrame, right: DataFrame, on: str | list[str] | Column) -
     return left.join(right, on=on, how="left_anti")
 
 
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    skewed_key: str,
+    other_key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with salting for a pathologically skewed key.
+
+    The skewed side gets a deterministic salt ``hash(row) % salt``; the
+    other side replicates each row ``salt`` times.  The shuffle then
+    spreads one hot key over ``salt`` reducers.  AQE's skew-join split
+    (enabled in session.py) covers most cases at runtime; explicit
+    salting is for the keys AQE can't split — e.g. one key holding >50%
+    of a 100 TB table, where a single post-split partition still
+    overflows an executor.  Results are identical to a plain join.
+    """
+    salted_left = skewed.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
+    )
+    replicated_right = other.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = salted_left.join(
+        replicated_right,
+        (F.col(skewed_key) == F.col(other_key)) & (salted_left["__salt"] == replicated_right["__salt"]),
+        how,
+    )
+    return out.drop("__salt")
+
+
 def star_join(
     fact: DataFrame,
     dims: Sequence[tuple[DataFrame, str | list[str] | Column]],

@@ -1310,3 +1310,106 @@ def q_events_dedup_by_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_survivors"),
         R.exact_sum("value").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sessions, high-frequency windows, decode tolerance (streaming parity ops
+# expressed in batch; streaming execution covered by tests/)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_sessions",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, value, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts >= INTERVAL '10 minutes' THEN 1
+                     ELSE 0 END AS new_s
+      FROM ordered
+    ), sessions AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts)                                 AS session_start,
+           MAX(ts)                                 AS session_end,
+           COUNT(*)                                AS n_events,
+           SUM(CAST(ROUND(value*100) AS BIGINT))   AS total_value_cents
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+    doc="Session windows (10-min gap) via F.session_window, oracled as a "
+    "gaps-and-islands SQL query.  The streaming twin runs the same "
+    "semantics through applyInPandasWithState custom state "
+    "(streaming/stateful.py; duality-tested in tests/test_stateful.py).",
+)
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.stateful import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize_batch(ev, gap="10 minutes")
+
+
+@register(
+    "high_frequency_types",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts)      AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+                                                   AS window_end,
+           event_type,
+           COUNT(*)                                AS tweet_count
+    FROM events
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) >= 8
+    """,
+    doc="High-frequency rule: tumbling-window count + HAVING threshold — "
+    "the reference's bot-burst detector shape "
+    "(streaming/job1_bots.py:146-158) in batch mode.",
+)
+def q_high_frequency_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.windows import high_frequency_keys
+
+    ev = _t(spark, sf_dir, "events")
+    return high_frequency_keys(
+        ev, "ts", ["event_type"], window_duration="1 hour", min_count=8
+    ).withColumnRenamed("count", "tweet_count")
+
+
+@register(
+    "malformed_json_tolerance",
+    """
+    SELECT event_type,
+           COUNT(*)                                 AS n_events,
+           COUNT(*) FILTER (
+             WHERE (CASE WHEN json_valid(substr(props, 3))
+                         THEN json_extract_string(substr(props, 3), '$.k')
+                    END) IS NULL
+           )                                        AS n_malformed,
+           COUNT(*) FILTER (
+             WHERE (CASE WHEN json_valid(substr(props, 3))
+                         THEN json_extract_string(substr(props, 3), '$.k')
+                    END) IS NOT NULL
+           )                                        AS n_decoded
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Decode-boundary tolerance: malformed JSON null-fills, never "
+    "errors (reference from_json contract, streaming/job5.py:131-135). "
+    "Spark's PERMISSIVE from_json yields an all-null struct (not a NULL "
+    "struct), so 'malformed' is detected as the extracted field being "
+    "null — mirrored in the oracle via json_valid + extract.",
+)
+def q_malformed_json_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    corrupted = F.expr("substring(props, 3)")
+    parsed = F.from_json(corrupted, "k INT")
+    return ev.withColumn("p", parsed).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        R.count_if(F.col("p.k").isNull()).alias("n_malformed"),
+        R.count_if(F.col("p.k").isNotNull()).alias("n_decoded"),
+    )

@@ -1,0 +1,86 @@
+"""Stateful sessionization: stream (applyInPandasWithState) must equal
+batch (session_window) on the same data — the engine's golden-output
+pattern for custom state."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_bigdata_jobs_spark.schemas import load_table
+from kafka_bigdata_jobs_spark.sources.stream_files import read_parquet_stream
+from kafka_bigdata_jobs_spark.streaming.runner import MemorySink, run_multi_sink
+from kafka_bigdata_jobs_spark.streaming.stateful import (
+    sessionize_batch,
+    sessionize_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+GAP = "10 minutes"
+
+
+@pytest.fixture(scope="module")
+def small_events(spark):
+    # A subset small enough to eyeball: 3 users, preserves real gaps.
+    return (
+        load_table(spark, SF, "events")
+        .where(F.col("user_id") < 3)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .cache()
+    )
+
+
+def _key(r):
+    return (r["user_id"], r["session_start"], r["session_end"])
+
+
+def test_batch_sessionization_sane(spark, small_events):
+    sessions = sessionize_batch(small_events, gap=GAP).collect()
+    assert sessions
+    total = sum(s["n_events"] for s in sessions)
+    assert total == small_events.count()
+    for s in sessions:
+        assert s["session_start"] <= s["session_end"]
+
+
+def test_stream_sessions_match_batch(spark, small_events):
+    import time
+
+    batch = {
+        _key(r): (r["n_events"], r["total_value_cents"])
+        for r in sessionize_batch(small_events, gap=GAP).collect()
+    }
+
+    d = tempfile.mkdtemp(prefix="sessions_")
+    ev = small_events.orderBy("ts")
+    bounds = ev.selectExpr(
+        "percentile(cast(ts as double), array(0.5)) as q"
+    ).first()["q"]
+    ev.where(F.col("ts").cast("double") < bounds[0]).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    time.sleep(1.1)
+    ev.where(F.col("ts").cast("double") >= bounds[0]).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    from tests.test_streaming import EVENTS_SCHEMA
+    import pyspark.sql.types as T
+
+    schema = T.StructType([f for f in EVENTS_SCHEMA if f.name != "props"])
+    stream = read_parquet_stream(spark, d, schema)
+    sessions = sessionize_stream(stream, gap=GAP)
+    sink = MemorySink()
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = run_multi_sink(sessions, [sink], checkpoint=ckpt)
+        q.awaitTermination(180)
+
+    got = {_key(r): (r["n_events"], r["total_value_cents"]) for r in sink.rows}
+    assert got, "stream emitted no sessions"
+    # Every emitted (closed) session must match the batch session exactly;
+    # sessions still open at end-of-stream are never emitted in append mode.
+    for k, v in got.items():
+        assert batch[k] == v, f"session {k}: stream={v} batch={batch[k]}"
+    assert len(got) >= len(batch) - 3  # ≤ one open session per user withheld
