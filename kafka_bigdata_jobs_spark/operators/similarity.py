@@ -119,6 +119,59 @@ def topk_neighbors(
     )
 
 
+def _hyperplane(seed: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane components in
+    [-0.5, 0.5), derived from a fixed LCG (no runtime randomness)."""
+    out = []
+    state = (seed * 0x9E3779B97F4A7C15 + 0xD1B54A32D192ED03) % (1 << 64)
+    for _ in range(dim):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        out.append((state >> 11) / float(1 << 53) - 0.5)
+    return out
+
+
+def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 12) -> Column:
+    """Random-hyperplane LSH bucket id: bit b = sign(vec · plane_b).
+
+    Cosine-similar vectors agree on most sign bits, so near neighbors
+    land in the same bucket with high probability; 12 planes → 4096
+    buckets.  Unrolled dot products keep this in whole-stage codegen.
+    """
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        plane = _hyperplane(p, dim)
+        d = vec.getItem(0) * F.lit(plane[0])
+        for i in range(1, dim):
+            d = d + vec.getItem(i) * F.lit(plane[i])
+        bucket = bucket + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def topk_neighbors_hyperplane_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 12,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's
+    hyperplane bucket.  The recall/speed trade is governed by
+    ``n_planes`` (more planes → smaller buckets → faster, lower recall);
+    production variants multi-probe neighboring buckets.  Reuses the
+    exact scoring/ranking path with the bucket as the IVF cell."""
+    c = corpus.withColumn(
+        "__bucket", hyperplane_bucket(as_double_vec(F.col(vec_col)), dim, n_planes)
+    )
+    q = queries.withColumn(
+        "__bucket", hyperplane_bucket(as_double_vec(F.col(vec_col)), dim, n_planes)
+    )
+    return topk_neighbors(
+        c, q, id_col, vec_col, k=k, cell_col="__bucket", dim=dim
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,

@@ -50,6 +50,29 @@ class ConsoleReportSink:
 
 
 @dataclass
+class BufferedExternalSink:
+    """External-index sink pattern (reference K3: OpenSearch via per-row
+    HTTP posts inside foreachBatch, ``streaming/elk_sender.py:107-128``).
+
+    The reference collect()s then POSTs row-at-a-time from the driver —
+    N network round-trips per micro-batch.  Here rows are shipped in
+    bulk chunks through an injectable ``send`` callable (the HTTP/bulk
+    client boundary), so tests inject a recorder and production injects
+    an OpenSearch/ES bulk call; at real scale prefer
+    ``foreachPartition`` executor-side senders or a Kafka hop.
+    """
+
+    send: "Callable[[list[dict]], None]"
+    chunk_size: int = 500
+    limit_per_batch: int = 100_000
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        rows = [r.asDict() for r in batch.limit(self.limit_per_batch).collect()]
+        for i in range(0, len(rows), self.chunk_size):
+            self.send(rows[i : i + self.chunk_size])
+
+
+@dataclass
 class MemorySink:
     """Test sink: accumulates micro-batch rows in the driver (bounded)."""
 

@@ -1413,3 +1413,20 @@ def q_malformed_json_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         R.count_if(F.col("p.k").isNull()).alias("n_malformed"),
         R.count_if(F.col("p.k").isNotNull()).alias("n_decoded"),
     )
+
+
+@register(
+    "similarity_topk_hyperplane_lsh",
+    None,  # approximate by design (bucket recall) — rows-only check
+    doc="Random-hyperplane LSH top-k: 12 deterministic sign-bit planes "
+    "bucket the corpus (4096 cells); queries score only their own "
+    "bucket.  The scale path when no precomputed IVF cells exist; "
+    "recall trades against bucket size via n_planes.",
+)
+def q_similarity_topk_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import topk_neighbors_hyperplane_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    return topk_neighbors_hyperplane_lsh(
+        e, e.where(F.col("vec_id") < 5), "vec_id", "embedding", k=10, n_planes=6
+    )

@@ -1,0 +1,51 @@
+"""Batch CSV sources (SURVEY §2.1 S4-S6) + external sink pattern (K2/K3)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_bigdata_jobs_spark.sources.batch import read_tweets_csv
+from kafka_bigdata_jobs_spark.streaming.runner import BufferedExternalSink
+
+HEADERLESS_ROWS = (
+    'alice,"Lima, Peru",crypto fan,2020-01-01,100.0,50.0,10.0,true,'
+    '2021-02-03 04:05:06,hello world,"[\'btc\']",Twitter Web App,false\n'
+    "bob,,,2019-05-05,,,,false,2021-02-03 05:00:00,gm,,iPhone,true\n"
+)
+
+
+@pytest.fixture()
+def csv_dir():
+    d = tempfile.mkdtemp(prefix="tweets_csv_")
+    with open(f"{d}/bitcoin.csv", "w") as f:
+        f.write(HEADERLESS_ROWS)
+    return d
+
+
+def test_headerless_csv_declared_schema(spark, csv_dir):
+    df = read_tweets_csv(spark, f"{csv_dir}/bitcoin.csv", crypto_type="bitcoin")
+    rows = {r["user_name"]: r for r in df.collect()}
+    assert rows["alice"]["user_location"] == "Lima, Peru"  # quoted comma survives
+    assert rows["alice"]["user_followers"] == 100
+    assert rows["alice"]["crypto_type"] == "bitcoin"
+    assert dict(df.dtypes)["user_followers"] == "bigint"
+
+
+def test_null_repair_defaults(spark, csv_dir):
+    df = read_tweets_csv(spark, f"{csv_dir}/bitcoin.csv", crypto_type="bitcoin")
+    bob = df.where(F.col("user_name") == "bob").first()
+    assert bob["user_location"] == "Unknown"   # fillna default (S6)
+    assert bob["user_followers"] == 0
+    assert bob["hashtags"] == ""
+
+
+def test_buffered_external_sink_chunks(spark):
+    sent: list[list[dict]] = []
+    sink = BufferedExternalSink(send=sent.append, chunk_size=3)
+    batch = spark.range(8).withColumnRenamed("id", "doc_id")
+    sink(batch, batch_id=0)
+    assert [len(c) for c in sent] == [3, 3, 2]
+    assert sent[0][0] == {"doc_id": 0}
