@@ -61,15 +61,51 @@ def dedup_by_keys(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
 
 
 def char_shingles(text: Column, k: int = 5) -> Column:
-    """Distinct k-character shingles.
+    """Distinct k-character shingles as an array column.
 
     SQL twin: ``list_distinct(list_transform(range(length(t)-k+1),
-    i -> substr(t, i+1, k)))``.
+    i -> substr(t, i+1, k)))``.  HOF transform evaluates interpreted —
+    fine for the (small) verification set; the signature path uses the
+    codegen-friendly :func:`char_shingle_rows` instead.
     """
     idx = F.sequence(F.lit(0), F.length(text) - k)
     return F.array_distinct(
         F.transform(idx, lambda i: text.substr(i + 1, F.lit(k)))
     )
+
+
+def char_shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """One row per (id, k-char shingle position) — explode a position
+    sequence then substring, which stays in whole-stage codegen (array
+    ``transform`` lambdas are interpreted per element and dominated the
+    minhash runtime).  Duplicates are NOT removed: min-aggregation over
+    a multiset equals min over its set, so signatures are unaffected."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.length(t) - k)).alias("__i"),
+        t.alias("__t"),
+    ).select(
+        id_col, F.col("__t").substr(F.col("__i") + 1, F.lit(k)).alias("__s")
+    )
+
+
+def word_ngram_rows(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> DataFrame:
+    """One row per (id, word n-gram), codegen-friendly (see
+    :func:`char_shingle_rows`)."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    exploded = df.select(
+        F.col(id_col),
+        words.alias("__w"),
+    ).select(
+        id_col,
+        F.col("__w"),
+        F.explode(F.sequence(F.lit(0), F.size("__w") - n)).alias("__i"),
+    )
+    gram = F.concat_ws(
+        " ", *[F.element_at(F.col("__w"), F.col("__i") + j + 1) for j in range(n)]
+    )
+    return exploded.select(id_col, gram.alias("__s"))
 
 
 def word_ngrams(text: Column, n: int = 2) -> Column:
@@ -115,7 +151,7 @@ def _perm_constants(num_hashes: int) -> list[tuple[int, int]]:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, shingles_col: str, num_hashes: int = 64
+    df: DataFrame, id_col: str, shingles_col: str | None, num_hashes: int = 64
 ) -> DataFrame:
     """MinHash signatures via explode → hash-aggregate.
 
@@ -136,9 +172,15 @@ def minhash_signatures(
     Returns ``df[id_col, sig: array<long>[num_hashes]]``.
     """
     consts = _perm_constants(num_hashes)
-    exploded = df.select(
-        F.col(id_col), F.explode(F.col(shingles_col)).alias("__s")
-    ).withColumn("__x", F.xxhash64(F.col("__s")).bitwiseAND(F.lit(_HASH_MASK)))
+    if shingles_col is None:
+        exploded = df  # already one row per (id, __s) from *_shingle_rows
+    else:
+        exploded = df.select(
+            F.col(id_col), F.explode(F.col(shingles_col)).alias("__s")
+        )
+    exploded = exploded.withColumn(
+        "__x", F.xxhash64(F.col("__s")).bitwiseAND(F.lit(_HASH_MASK))
+    )
     mins = exploded.groupBy(id_col).agg(
         *[
             F.min(F.pmod(F.col("__x") * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))).alias(
@@ -210,6 +252,7 @@ def near_dup_pairs(
     num_hashes: int = 128,
     bands: int = 16,
     shingle_fn=None,
+    shingle_rows_fn=None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified with exact Jaccard.
 
@@ -231,12 +274,13 @@ def near_dup_pairs(
 
     rows_per_band = num_hashes // bands
     make_shingles = shingle_fn or (lambda t: char_shingles(t, shingle_k))
-    # Cached: shingles feed both the signature branch and the final
-    # verification joins; signatures feed banding and the prefilter.
-    sh = spread(df).select(
-        F.col(id_col), make_shingles(F.col(text_col)).alias("__sh")
-    ).cache()
-    sig = minhash_signatures(sh, id_col, "__sh", num_hashes).withColumnRenamed(
+    make_rows = shingle_rows_fn or (
+        lambda d: char_shingle_rows(d, id_col, text_col, shingle_k)
+    )
+    base = spread(df).select(F.col(id_col), F.col(text_col)).cache()
+    # Signatures from codegen'd shingle ROWS (no HOF, no array alloc);
+    # shingle ARRAYS are built only for the surviving candidate pairs.
+    sig = minhash_signatures(make_rows(base), id_col, None, num_hashes).withColumnRenamed(
         "sig", "__sig"
     ).cache()
     cands = lsh_band_pairs(sig, id_col, "__sig", bands, rows_per_band)
@@ -256,12 +300,17 @@ def near_dup_pairs(
         .select("id_a", "id_b")
     )
 
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    # Join texts first, THEN build shingle arrays — the (interpreted)
+    # array construction runs only on candidate pairs, not the corpus.
+    a = base.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
     verified = (
         prefiltered.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .withColumn(
+            "jaccard",
+            jaccard(make_shingles(F.col("__ta")), make_shingles(F.col("__tb"))),
+        )
         .where(F.col("jaccard") >= threshold)
     )
     return verified.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))

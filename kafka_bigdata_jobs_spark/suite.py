@@ -1004,6 +1004,7 @@ def q_near_dup_pairs_word_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         threshold=0.8,
         shingle_fn=lambda t: D.word_ngrams(t, 2),
+        shingle_rows_fn=lambda df: D.word_ngram_rows(df, "doc_id", "text", 2),
     )
 
 
