@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def as_double_vec(col: Column) -> Column:
@@ -169,6 +170,81 @@ def topk_neighbors_hyperplane_lsh(
     )
     return topk_neighbors(
         c, q, id_col, vec_col, k=k, cell_col="__bucket", dim=dim
+    )
+
+
+def embedding_near_dup_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    dim: int = 64,
+    margin: float = 1e-6,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold, via numpy-blocked candidate
+    generation + exact expression verification.
+
+    Stage 1 broadcasts the (id, vector) matrix to every partition and
+    runs a vectorized ``mapInPandas`` block·corpusᵀ matmul — dense
+    linear algebra is where a Pandas UDF beats row-expressions by an
+    order of magnitude.  It emits candidate id pairs above
+    ``threshold - margin`` (margin covers numpy's pairwise-summation FP
+    drift vs the sequential oracle order).  Stage 2 recomputes the
+    candidates' cosines with the bit-stable unrolled expression, so the
+    OUTPUT is identical to :func:`embedding_near_dup_pairs` — numpy
+    only decides which pairs get verified, never a final value.
+
+    The broadcast corpus bounds this at ~corpus_size·dim·8 bytes per
+    executor; beyond that, partition by LSH/IVF cell first
+    (``cell_col`` on the exact variant) so each block only multiplies
+    against its cell.
+    """
+    from .relational import spread
+
+    base = spread(df).select(
+        F.col(id_col).alias("__id"), as_double_vec(F.col(vec_col)).alias("__v")
+    ).cache()
+    rows = base.collect()
+    import numpy as np
+
+    ids = np.array([r["__id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["__v"] for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = df.sparkSession.sparkContext.broadcast((ids, mat, norms))
+    cut = threshold - margin
+
+    cand_schema = T.StructType(
+        [T.StructField("id_a", T.LongType()), T.StructField("id_b", T.LongType())]
+    )
+
+    def gen(it):
+        import numpy as _np
+        import pandas as _pd
+
+        c_ids, c_mat, c_norms = bc.value
+        for pdf in it:
+            block_ids = pdf["__id"].to_numpy(dtype=_np.int64)
+            block = _np.array(list(pdf["__v"]), dtype=_np.float64)
+            if block.size == 0:
+                continue
+            bn = _np.sqrt((block * block).sum(axis=1))
+            sims = (block @ c_mat.T) / _np.outer(bn, c_norms)
+            bi, cj = _np.nonzero(sims >= cut)
+            a, b = block_ids[bi], c_ids[cj]
+            keep = a < b
+            yield _pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+
+    cands = base.mapInPandas(gen, cand_schema)
+    a = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    b = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "cosine", F.round(cosine(F.col("__va"), F.col("__vb"), dim), 6)
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
 
 

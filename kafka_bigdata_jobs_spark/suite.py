@@ -1118,10 +1118,10 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distribution so both engines cut identically).",
 )
 def q_embedding_close_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import embedding_near_dup_pairs
+    from .operators.similarity import embedding_near_dup_pairs_blocked
 
     e = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(e, "vec_id", "embedding", threshold=0.45)
+    return embedding_near_dup_pairs_blocked(e, "vec_id", "embedding", threshold=0.45)
 
 
 # ---------------------------------------------------------------------------
