@@ -48,17 +48,21 @@ def exact_sum(col: Column | str, scale: int = 2) -> Column:
     return F.sum(cents(col, scale)) / float(10 ** scale)
 
 
-def exact_avg(col: Column | str, decimals: int = 2, scale: int = 2) -> Column:
-    """Order-independent rounded avg of d-decimal double data.
+def exact_avg(col: Column | str, decimals: int | None = None, scale: int = 2) -> Column:
+    """Order-independent avg of d-decimal double data, UNROUNDED.
 
     Oracle-SQL twin:
-    ``ROUND(SUM(CAST(ROUND(x*100) AS BIGINT)) / (COUNT(*) * 100.0), d)``.
-    Both engines divide identical exact integers, so the double fed to
-    ROUND is bit-identical and the rounded value matches exactly.
+    ``SUM(CAST(ROUND(x*100) AS BIGINT)) / (COUNT(*) * 100.0)``.
+    Both engines divide identical exact integers, so the quotient
+    double is bit-identical — and it must be emitted raw: Spark's
+    ``round()`` rounds the double's shortest DECIMAL STRING
+    (BigDecimal.decimal) while DuckDB rounds the BINARY value, so a
+    quotient landing exactly on the half grid (e.g. 3361052/800 =
+    4201.315) rounds to 4201.32 in Spark and 4201.31 in DuckDB.
+    ``decimals`` is accepted for API compatibility and ignored.
     """
-    return F.round(
-        F.sum(cents(col, scale)) / (F.count(F.lit(1)) * float(10 ** scale)), decimals
-    )
+    _ = decimals
+    return F.sum(cents(col, scale)) / (F.count(F.lit(1)) * float(10 ** scale))
 
 
 def count_if(cond: Column) -> Column:
@@ -70,10 +74,13 @@ def count_if(cond: Column) -> Column:
     return F.sum(F.when(cond, 1).otherwise(0))
 
 
-def pct(numer: Column, denom: Column, decimals: int = 2) -> Column:
-    """``round(100*numer/denom, d)`` post-agg metric
-    (reference ``batch/job1_locations.py:117-118``)."""
-    return F.round(numer * 100.0 / denom, decimals)
+def pct(numer: Column, denom: Column, decimals: int | None = None) -> Column:
+    """``100*numer/denom`` post-agg metric (reference
+    ``batch/job1_locations.py:117-118``) — unrounded for the same
+    cross-engine string-vs-binary rounding hazard as :func:`exact_avg`.
+    """
+    _ = decimals
+    return numer * 100.0 / denom
 
 
 def having(df_agg: DataFrame, cond: Column) -> DataFrame:

@@ -72,11 +72,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
            SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) / 10000.0
                                                                         AS sum_disc_price,
-           ROUND(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) / (COUNT(*) * 100.0), 2)
+           SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) / (COUNT(*) * 100.0)
                                                                         AS avg_qty,
-           ROUND(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) / (COUNT(*) * 100.0), 2)
+           SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) / (COUNT(*) * 100.0)
                                                                         AS avg_price,
-           ROUND(SUM(CAST(ROUND(l_discount*100) AS BIGINT)) / (COUNT(*) * 100.0), 4)
+           SUM(CAST(ROUND(l_discount*100) AS BIGINT)) / (COUNT(*) * 100.0)
                                                                         AS avg_disc,
            COUNT(*)                                                     AS count_order
     FROM lineitem
@@ -109,7 +109,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(ts AS DATE)                                   AS event_date,
            COUNT(*)                                           AS n_events,
            COUNT(DISTINCT user_id)                            AS uniq_users,
-           ROUND(SUM(CAST(ROUND(value*100) AS BIGINT)) / (COUNT(*) * 100.0), 2)
+           SUM(CAST(ROUND(value*100) AS BIGINT)) / (COUNT(*) * 100.0)
                                                               AS avg_value,
            COUNT(*) FILTER (WHERE event_type = 'purchase')    AS n_purchases
     FROM events
@@ -135,9 +135,9 @@ def q_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*)                                        AS n_customers,
            COUNT(DISTINCT c_nationkey)                     AS n_nations,
            COUNT(*) FILTER (WHERE c_acctbal > 0)           AS n_positive,
-           ROUND(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) / (COUNT(*) * 100.0), 2)
+           SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) / (COUNT(*) * 100.0)
                                                            AS avg_acctbal,
-           ROUND(COUNT(*) FILTER (WHERE c_acctbal > 0) * 100.0 / COUNT(*), 2)
+           COUNT(*) FILTER (WHERE c_acctbal > 0) * 100.0 / COUNT(*)
                                                            AS pct_positive
     FROM customer
     GROUP BY c_mktsegment
@@ -242,7 +242,7 @@ def q_value_band_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
            dayname(ts)                                       AS day_name,
            dayname(ts) IN ('Saturday', 'Sunday')             AS is_weekend,
            COUNT(*)                                          AS n_events,
-           ROUND(SUM(CAST(ROUND(value*100) AS BIGINT)) / (COUNT(*) * 100.0), 2)
+           SUM(CAST(ROUND(value*100) AS BIGINT)) / (COUNT(*) * 100.0)
                                                              AS avg_value
     FROM events
     GROUP BY 1, 2, 3
@@ -266,7 +266,7 @@ def q_temporal_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT entity_type,
            COUNT(*)                        AS n_entities,
            COUNT(DISTINCT nationkey)      AS n_nations,
-           ROUND(SUM(CAST(ROUND(acctbal*100) AS BIGINT)) / (COUNT(*) * 100.0), 2)
+           SUM(CAST(ROUND(acctbal*100) AS BIGINT)) / (COUNT(*) * 100.0)
                                           AS avg_acctbal
     FROM (
       SELECT c_nationkey AS nationkey, c_acctbal AS acctbal, 'customer' AS entity_type FROM customer
@@ -300,7 +300,7 @@ def q_union_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*)                                                       AS n_events,
-           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 2) AS avg_k,
+           AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS avg_k,
            MAX(CAST(json_extract_string(props, '$.k') AS INTEGER))        AS max_k
     FROM events
     GROUP BY event_type
@@ -313,7 +313,7 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = ev.withColumn("props_s", F.from_json("props", "k INT"))
     return parsed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.avg(F.col("props_s.k")), 2).alias("avg_k"),
+        F.avg(F.col("props_s.k")).alias("avg_k"),
         F.max(F.col("props_s.k")).alias("max_k"),
     )
 
@@ -434,7 +434,7 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_mktsegment,
            COUNT(*) AS n_inactive,
-           ROUND(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) / (COUNT(*) * 100.0), 2)
+           SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) / (COUNT(*) * 100.0)
                     AS avg_acctbal
     FROM customer c
     WHERE NOT EXISTS (
@@ -570,7 +570,7 @@ def q_top3_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT month,
            COUNT(*)                                        AS n_days,
            SUM(n_events)                                   AS n_events,
-           ROUND(SUM(n_events) / (COUNT(*) * 1.0), 2)      AS avg_daily_events
+           SUM(n_events) / (COUNT(*) * 1.0)      AS avg_daily_events
     FROM (
       SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
              CAST(ts AS DATE)                      AS day,
@@ -592,9 +592,7 @@ def q_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.groupBy("month").agg(
         F.count(F.lit(1)).alias("n_days"),
         F.sum("n_events").alias("n_events"),
-        F.round(F.sum("n_events") / (F.count(F.lit(1)) * 1.0), 2).alias(
-            "avg_daily_events"
-        ),
+        (F.sum("n_events") / (F.count(F.lit(1)) * 1.0)).alias("avg_daily_events"),
     )
 
 
@@ -644,7 +642,7 @@ def q_alerts_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT lang,
            COUNT(*)                                       AS n_docs,
-           ROUND(AVG(n_chars), 2)                         AS avg_chars
+           AVG(n_chars)                         AS avg_chars
     FROM documents
     WHERE text IS NOT NULL
       AND trim(text) <> ''
@@ -675,7 +673,7 @@ def q_docs_cleaning_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cleaned.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.avg("n_chars").alias("avg_chars"),
     )
 
 
@@ -684,7 +682,7 @@ def q_docs_cleaning_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT lang,
            COUNT(*) AS n_docs,
-           ROUND(AVG(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))), 2)
+           AVG(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')))
                     AS avg_tokens,
            MAX(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')))
                     AS max_tokens,
@@ -703,7 +701,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tc = TS.token_count(F.col("text"))
     return d.select("lang", tc.alias("tc")).groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("tc"), 2).alias("avg_tokens"),
+        F.avg("tc").alias("avg_tokens"),
         F.max("tc").alias("max_tokens"),
         F.sum("tc").cast("bigint").alias("total_tokens"),
     )
@@ -807,7 +805,7 @@ _SENTIMENT_ORACLE = """
                 WHEN sentiment_score <= -1 THEN 'negative'
                 ELSE 'neutral' END AS sentiment,
            COUNT(*) AS n_docs,
-           ROUND(AVG(sentiment_score), 2) AS avg_score
+           AVG(sentiment_score) AS avg_score
     FROM scored
     GROUP BY 1, 2
 """
@@ -828,7 +826,7 @@ def q_sentiment_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = with_sentiment(d, "text")
     return scored.groupBy("source", "sentiment").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("sentiment_score"), 2).alias("avg_score"),
+        F.avg("sentiment_score").alias("avg_score"),
     )
 
 
@@ -846,7 +844,7 @@ def q_sentiment_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = with_sentiment_pandas_udf(d, "text")
     return scored.groupBy("source", "sentiment").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("sentiment_score"), 2).alias("avg_score"),
+        F.avg("sentiment_score").alias("avg_score"),
     )
 
 
@@ -1431,3 +1429,192 @@ def q_similarity_topk_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFr
     return topk_neighbors_hyperplane_lsh(
         e, e.where(F.col("vec_id") < 5), "vec_id", "embedding", k=10, n_planes=6
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets, TPC-H shapes, ordered collections, percentiles, edit
+# distance (engine breadth beyond the reference's operator set)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "region_nation_rollup",
+    """
+    SELECT r.r_name, n.n_name,
+           COUNT(*)                                        AS n_customers,
+           SUM(CAST(ROUND(c.c_acctbal*100) AS BIGINT)) / (COUNT(*) * 100.0)
+                                                           AS avg_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+    doc="Hierarchical subtotals via rollup (region -> nation -> grand "
+    "total) over a broadcast dim chain; null key = subtotal row, "
+    "identical across engines.",
+)
+def q_region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        R.exact_avg("c_acctbal", 2).alias("avg_acctbal"),
+    )
+
+
+@register(
+    "status_priority_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*)                                           AS n_orders,
+           SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) / 100.0 AS total_price
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    doc="Full cube over two dimensions: every subtotal combination in "
+    "one pass (Catalyst expands grouping sets map-side).",
+)
+def q_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        R.exact_sum("o_totalprice").alias("total_price"),
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+               * CAST(ROUND(l_discount*100) AS BIGINT)) / 10000.0 AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure filter-and-sum, every predicate pushed to "
+    "the parquet scan, no shuffle until the single-row final agg.",
+)
+def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        (F.sum(R.cents("l_extendedprice") * R.cents("l_discount")) / 10000.0).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@register(
+    "big_orders_q18",
+    """
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           SUM(CAST(ROUND(l.l_quantity*100) AS BIGINT)) / 100.0 AS total_qty
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate
+    HAVING SUM(CAST(ROUND(l.l_quantity*100) AS BIGINT)) / 100.0 > 150
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q18 shape: large-order detection — aggregate lineitem per "
+    "order, HAVING threshold, enrich with broadcast customer, ordered "
+    "top-k with tie-break.",
+)
+def q_big_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    agg = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_name")), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "o_orderkey", "o_orderdate")
+        .agg(R.exact_sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    return R.top_k(agg, [F.desc("total_qty")], 20, tie_breakers=[F.col("o_orderkey")])
+
+
+@register(
+    "event_type_percentiles",
+    """
+    SELECT event_type,
+           quantile_cont(CAST(ROUND(value*100) AS BIGINT), 0.5) AS median_cents,
+           quantile_cont(CAST(ROUND(value*100) AS BIGINT), 0.9) AS p90_cents,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Exact percentiles (median, p90) over integer cents — Spark "
+    "percentile() and DuckDB quantile_cont share the linear "
+    "interpolation formula, so values match bit-exactly on identical "
+    "integer inputs.",
+)
+def q_event_type_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cents = R.cents("value")
+    return ev.groupBy("event_type").agg(
+        F.percentile(cents, 0.5).alias("median_cents"),
+        F.percentile(cents, 0.9).alias("p90_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "users_per_type_sorted",
+    """
+    SELECT event_type,
+           list(DISTINCT user_id ORDER BY user_id) AS user_ids,
+           COUNT(DISTINCT user_id)                 AS n_users
+    FROM events
+    WHERE user_id < 40
+    GROUP BY event_type
+    """,
+    doc="Deterministic collection aggregate: sort_array(collect_set()) — "
+    "collect_list order is partition-dependent, sorted sets are "
+    "reproducible at any parallelism (array-valued output, "
+    "value-hash-checked).",
+)
+def q_users_per_type_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    return ev.groupBy("event_type").agg(
+        F.sort_array(F.collect_set("user_id")).alias("user_ids"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "adjacent_doc_edit_distance",
+    """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS edit_distance
+    FROM documents a
+    JOIN documents b ON b.doc_id = a.doc_id + 1
+    ORDER BY edit_distance, id_a
+    LIMIT 10
+    """,
+    doc="Edit-distance similarity (levenshtein, identical semantics in "
+    "both engines) over an equi-joined pair stream — the exact-verify "
+    "primitive for fuzzy matching, bounded to 80 chars per side.",
+)
+def q_adjacent_doc_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("id_a"), F.substring("text", 1, 80).alias("ta"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.substring("text", 1, 80).alias("tb"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    out = pairs.select(
+        "id_a", "id_b", F.levenshtein(F.col("ta"), F.col("tb")).alias("edit_distance")
+    )
+    return R.top_k(out, [F.col("edit_distance")], 10, tie_breakers=[F.col("id_a")])
