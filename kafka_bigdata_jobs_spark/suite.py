@@ -1618,3 +1618,133 @@ def q_adjacent_doc_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b", F.levenshtein(F.col("ta"), F.col("tb")).alias("edit_distance")
     )
     return R.top_k(out, [F.col("edit_distance")], 10, tie_breakers=[F.col("id_a")])
+
+
+# ---------------------------------------------------------------------------
+# Set operations, ordered string aggregation, map decode, min-per-group
+# join-back (wave 7 breadth)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nations_intersect_except",
+    """
+    SELECT op, COUNT(*) AS n_nations FROM (
+      SELECT 'both' AS op, nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 3000
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 3000
+      )
+      UNION ALL
+      SELECT 'customer_only' AS op, nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 3000
+        EXCEPT
+        SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 3000
+      )
+    )
+    GROUP BY op
+    """,
+    doc="Set operations the reference never uses (SURVEY §2.8): "
+    "INTERSECT and EXCEPT over nation-key sets, tagged and counted.",
+)
+def q_nations_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 3000)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 3000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    both = c.intersect(s).withColumn("op", F.lit("both"))
+    # subtract == EXCEPT DISTINCT (exceptAll is bag semantics: keys with
+    # more customer rows than supplier rows would survive)
+    conly = c.subtract(s).withColumn("op", F.lit("customer_only"))
+    return both.unionByName(conly).groupBy("op").agg(
+        F.count(F.lit(1)).alias("n_nations")
+    )
+
+
+@register(
+    "status_rollcall",
+    """
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+             AS statuses,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Ordered string aggregation: concat_ws over a sorted collected "
+    "set — deterministic at any parallelism (collect order is not).",
+)
+def q_status_rollcall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias(
+            "statuses"
+        ),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+@register(
+    "props_key_inventory",
+    """
+    SELECT k AS prop_key, COUNT(*) AS n_events
+    FROM (SELECT unnest(json_keys(props)) AS k FROM events)
+    GROUP BY k
+    """,
+    doc="JSON decoded as MapType (schema-free key inventory) — "
+    "from_json to map<string,int>, explode the keys, count.",
+)
+def q_props_key_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    keys = F.map_keys(F.from_json("props", "map<string,int>"))
+    return (
+        ev.select(F.explode(keys).alias("prop_key"))
+        .groupBy("prop_key")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "poorest_supplier_per_nation",
+    """
+    SELECT s_nationkey, s_suppkey, s_name, s_acctbal
+    FROM (
+      SELECT s_nationkey, s_suppkey, s_name, s_acctbal,
+             MIN(s_acctbal) OVER (PARTITION BY s_nationkey) AS min_bal
+      FROM supplier
+    )
+    WHERE s_acctbal = min_bal
+    """,
+    doc="TPC-H Q2 shape (min-per-group join-back) via a window MIN "
+    "instead of a correlated subquery — one shuffle, no self-join.",
+)
+def q_poorest_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey")
+    return (
+        s.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .where(F.col("s_acctbal") == F.col("min_bal"))
+        .select("s_nationkey", "s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+@register(
+    "approx_value_percentiles",
+    None,  # t-digest/KLL sketches differ per engine — rows-only check
+    doc="approx_percentile per event type — the sketch-based scale path "
+    "for quantiles (exact twin: event_type_percentiles).",
+)
+def q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_percentile(R.cents("value"), 0.5, 10000).alias("approx_median_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
