@@ -42,6 +42,10 @@ def main() -> None:
             # skip projections) without writing anything.
             df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Operators cache reused intermediates (signatures, vectors);
+        # drop them so queries are timed independently and memory stays
+        # flat across the suite.
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

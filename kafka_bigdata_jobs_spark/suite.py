@@ -1748,3 +1748,67 @@ def q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile(R.cents("value"), 0.5, 10000).alias("approx_median_cents"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL entry surface + boolean aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary_sql",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) / 100.0 AS sum_qty,
+           COUNT(*)                                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="The flagship shape submitted through the spark.sql() entry "
+    "surface (temp views over the same parquet) — identical Catalyst "
+    "plan to the DataFrame route, proving the SQL front door.",
+)
+def q_pricing_summary_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sql import sql
+
+    apply_runtime_conf(spark)
+    return sql(
+        spark,
+        sf_dir,
+        """
+        SELECT l_returnflag, l_linestatus,
+               -- CAST to DOUBLE: Spark SQL parses the bare literal 100.0
+               -- as DECIMAL(3,1) (the Python API's float is DoubleType),
+               -- and BIGINT/DECIMAL yields Decimal output
+               SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) / CAST(100.0 AS DOUBLE)
+                                                                  AS sum_qty,
+               COUNT(*)                                           AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+    )
+
+
+@register(
+    "user_purchase_flags",
+    """
+    SELECT user_id,
+           bool_and(value > 1)                                AS all_nontrivial,
+           bool_or(event_type = 'purchase')                   AS ever_purchased,
+           COUNT(*)                                           AS n_events
+    FROM events
+    WHERE user_id < 30
+    GROUP BY user_id
+    """,
+    doc="Boolean aggregates (bool_and/bool_or) — every/any semantics per "
+    "key, identical in both engines.",
+)
+def q_user_purchase_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    return ev.groupBy("user_id").agg(
+        F.bool_and(F.col("value") > 1).alias("all_nontrivial"),
+        F.bool_or(F.col("event_type") == "purchase").alias("ever_purchased"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -24,10 +24,17 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm(v):
+    import decimal
+
     if v is None:
         return None
     if isinstance(v, bool):
         return bool(v)
+    if isinstance(v, decimal.Decimal):
+        # Deliberately NOT numerically merged with float: the driver
+        # compares stringified values, so a Spark Decimal output (e.g.
+        # SQL's bare 100.0 literal parsing as DECIMAL) must flag here.
+        return f"decimal:{v}"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
