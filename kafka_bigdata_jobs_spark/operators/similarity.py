@@ -13,10 +13,13 @@ Scale design:
   cell id) before scoring: the per-query scan drops to the cell's
   fraction of the corpus.  Same downstream scoring/top-k code.
 
-All cosine math is expression-only (``zip_with`` + ``aggregate`` folds
-in whole-stage codegen), computed in double; sums run left-to-right so
-the DuckDB oracle (``list_dot_product`` on DOUBLE[]) is bit-comparable
-after rounding.
+All cosine math is expression-only, computed in double; sums run
+left-to-right so the DuckDB oracle (``list_dot_product`` on DOUBLE[])
+is bit-comparable after rounding.  The unrolled sums are generated as
+SQL strings parsed once JVM-side via ``F.expr`` — composing ~100s of
+``Column`` objects in Python costs one py4j round-trip per arithmetic
+node (seconds of driver time per query), while the equivalent SQL
+string is a single call and yields the identical codegen'd plan.
 """
 
 from __future__ import annotations
@@ -27,22 +30,19 @@ from pyspark.sql import types as T
 
 
 def as_double_vec(col: Column) -> Column:
-    return F.transform(col, lambda x: x.cast("double"))
+    return col.cast("array<double>")
+
+
+def dot_sql(a: str, b: str, dim: int) -> str:
+    """SQL for a left-to-right sequential dot product of two array
+    columns (bit-stable across engines: SQL ``+`` parses
+    left-associative, matching DuckDB's ``list_dot_product`` order)."""
+    return "+".join(f"{a}[{i}]*{b}[{i}]" for i in range(dim))
 
 
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Left-to-right sequential dot product (bit-stable across engines).
-
-    With ``dim`` known, the sum unrolls into a flat codegen-compilable
-    expression — higher-order-function lambdas are interpreted
-    per-element in Spark and benched ~20× slower on the self-join
-    workloads.  The fold fallback handles unknown dims.
-    """
-    if dim is not None:
-        out = a.getItem(0) * b.getItem(0)
-        for i in range(1, dim):
-            out = out + a.getItem(i) * b.getItem(i)  # left-assoc, oracle-ordered
-        return out
+    """Fold-based dot product for unknown dims (interpreted lambdas —
+    use :func:`dot_sql` + ``F.expr`` on named columns in hot paths)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -50,15 +50,17 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     )
 
 
-def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
-    """dot/sqrt(|a|²·|b|²) — formula mirrored exactly by the oracle."""
-    return dot(a, b, dim) / F.sqrt(dot(a, a, dim) * dot(b, b, dim))
+def cosine_sql(a: str, b: str, dim: int) -> str:
+    """SQL for dot/sqrt(|a|²·|b|²) — formula mirrored by the oracle."""
+    return (
+        f"({dot_sql(a, b, dim)}) / sqrt(({dot_sql(a, a, dim)}) * ({dot_sql(b, b, dim)}))"
+    )
 
 
-def cosine_prenormed(a: Column, b: Column, na2: Column, nb2: Column, dim: int | None) -> Column:
+def cosine_prenormed_sql(a: str, b: str, na2: str, nb2: str, dim: int) -> str:
     """Cosine with precomputed squared norms (norms are O(n), pair dots
     are O(n²) — never recompute norms inside the pair join)."""
-    return dot(a, b, dim) / F.sqrt(na2 * nb2)
+    return f"({dot_sql(a, b, dim)}) / sqrt({na2} * {nb2})"
 
 
 def topk_neighbors(
@@ -86,14 +88,14 @@ def topk_neighbors(
         F.col(id_col).alias("query_id"),
         as_double_vec(F.col(vec_col)).alias("__qv"),
         *([F.col(cell_col).alias("__qcell")] if cell_col else []),
-    ).withColumn("__qn2", dot(F.col("__qv"), F.col("__qv"), dim))
+    ).withColumn("__qn2", F.expr(dot_sql("__qv", "__qv", dim)))
     from .relational import spread
 
     c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         as_double_vec(F.col(vec_col)).alias("__cv"),
         *([F.col(cell_col).alias("__ccell")] if cell_col else []),
-    ).withColumn("__cn2", dot(F.col("__cv"), F.col("__cv"), dim))
+    ).withColumn("__cn2", F.expr(dot_sql("__cv", "__cv", dim)))
     if cell_col:
         joined = c.join(F.broadcast(q), F.col("__qcell") == F.col("__ccell"))
     else:
@@ -103,9 +105,7 @@ def topk_neighbors(
         .withColumn(
             "cosine",
             F.round(
-                cosine_prenormed(
-                    F.col("__qv"), F.col("__cv"), F.col("__qn2"), F.col("__cn2"), dim
-                ),
+                F.expr(cosine_prenormed_sql("__qv", "__cv", "__qn2", "__cn2", dim)),
                 decimals,
             ),
         )
@@ -131,21 +131,28 @@ def _hyperplane(seed: int, dim: int) -> list[float]:
     return out
 
 
-def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 12) -> Column:
-    """Random-hyperplane LSH bucket id: bit b = sign(vec · plane_b).
+def hyperplane_bucket_sql(vec: str, dim: int, n_planes: int = 12) -> str:
+    """SQL for the random-hyperplane LSH bucket id: bit b =
+    sign(vec · plane_b).
 
     Cosine-similar vectors agree on most sign bits, so near neighbors
     land in the same bucket with high probability; 12 planes → 4096
-    buckets.  Unrolled dot products keep this in whole-stage codegen.
+    buckets.  Plane components embed as ``D``-suffixed double literals
+    (``repr`` round-trips exactly), so the whole bucket is one
+    codegen-compilable expression parsed in a single ``F.expr`` call.
     """
-    bucket = F.lit(0)
+    terms = []
     for p in range(n_planes):
         plane = _hyperplane(p, dim)
-        d = vec.getItem(0) * F.lit(plane[0])
-        for i in range(1, dim):
-            d = d + vec.getItem(i) * F.lit(plane[i])
-        bucket = bucket + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+        d = "+".join(f"{vec}[{i}]*{plane[i]!r}D" for i in range(dim))
+        terms.append(f"IF(({d}) > 0D, {1 << p}, 0)")
+    return " + ".join(terms)
+
+
+def hyperplane_bucket(vec_col: str, dim: int, n_planes: int = 12) -> Column:
+    """Column form of :func:`hyperplane_bucket_sql` over a named
+    ``array<double>`` column."""
+    return F.expr(hyperplane_bucket_sql(vec_col, dim, n_planes))
 
 
 def topk_neighbors_hyperplane_lsh(
@@ -162,14 +169,16 @@ def topk_neighbors_hyperplane_lsh(
     ``n_planes`` (more planes → smaller buckets → faster, lower recall);
     production variants multi-probe neighboring buckets.  Reuses the
     exact scoring/ranking path with the bucket as the IVF cell."""
-    c = corpus.withColumn(
-        "__bucket", hyperplane_bucket(as_double_vec(F.col(vec_col)), dim, n_planes)
-    )
-    q = queries.withColumn(
-        "__bucket", hyperplane_bucket(as_double_vec(F.col(vec_col)), dim, n_planes)
-    )
+    def with_bucket(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("__dv", as_double_vec(F.col(vec_col)))
+            .withColumn("__bucket", hyperplane_bucket("__dv", dim, n_planes))
+            .drop("__dv")
+        )
+
     return topk_neighbors(
-        c, q, id_col, vec_col, k=k, cell_col="__bucket", dim=dim
+        with_bucket(corpus), with_bucket(queries), id_col, vec_col,
+        k=k, cell_col="__bucket", dim=dim,
     )
 
 
@@ -241,7 +250,7 @@ def embedding_near_dup_pairs_blocked(
         cands.join(a, "id_a")
         .join(b, "id_b")
         .withColumn(
-            "cosine", F.round(cosine(F.col("__va"), F.col("__vb"), dim), 6)
+            "cosine", F.round(F.expr(cosine_sql("__va", "__vb", dim)), 6)
         )
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
@@ -268,7 +277,7 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("__id"),
         as_double_vec(F.col(vec_col)).alias("__v"),
         *([F.col(cell_col).alias("__cell")] if cell_col else []),
-    ).withColumn("__n2", dot(F.col("__v"), F.col("__v"), dim)).cache()
+    ).withColumn("__n2", F.expr(dot_sql("__v", "__v", dim))).cache()
     left = base.select(
         F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
         F.col("__n2").alias("__na2"),
@@ -287,9 +296,7 @@ def embedding_near_dup_pairs(
         .withColumn(
             "cosine",
             F.round(
-                cosine_prenormed(
-                    F.col("__va"), F.col("__vb"), F.col("__na2"), F.col("__nb2"), dim
-                ),
+                F.expr(cosine_prenormed_sql("__va", "__vb", "__na2", "__nb2", dim)),
                 6,
             ),
         )
