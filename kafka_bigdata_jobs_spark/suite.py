@@ -1812,3 +1812,363 @@ def q_user_purchase_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("event_type") == "purchase").alias("ever_purchased"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H join-shape breadth: Q4/Q7/Q10/Q13/Q14/Q15/Q17/Q19/Q22 analogues
+# (beyond-reference — the reference has no joins; these prove the join
+# planner surface the 100 TB target needs: semi/anti with extra
+# predicates, outer-join histograms, scalar-subquery broadcasts,
+# disjunctive pushdown, and self-agg joins, all Catalyst-native)
+# ---------------------------------------------------------------------------
+
+
+_REV_BP_SQL = (
+    "SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)"
+    " * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))"
+)
+
+
+def _rev_bp() -> F.Column:
+    """Exact-integer revenue basis points: cents(price)·(100-cents(disc))."""
+    return F.sum(R.cents("l_extendedprice") * (100 - R.cents("l_discount")))
+
+
+@register(
+    "late_ship_priority_q4",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: EXISTS with an extra non-equi predicate -> left "
+    "semi join (orders never duplicated by matching lineitems), then a "
+    "tiny grouped count.  The orderdate range pushes into the scan.",
+)
+def q_late_ship_priority_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "nation_trade_volume_q7",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS ship_year,
+           {_REV_BP_SQL} / 10000.0 AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey  = l.l_orderkey
+    JOIN customer c ON c.c_custkey   = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape: fact joins both the supplier and the customer "
+    "dimension chains (nation aliased twice); every dim broadcasts, so "
+    "the only shuffle is lineitem-orders plus the small final agg.",
+)
+def q_nation_trade_volume_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    joined = (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .where(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+    ).agg((_rev_bp() / 10000.0).alias("revenue"))
+
+
+@register(
+    "returned_items_q10",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {_REV_BP_SQL} / 10000.0 AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey  = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: returned-item revenue per customer, half-year "
+    "window, returnflag filter on the fact scan, top-20 via "
+    "TakeOrderedAndProject with a deterministic tie-breaker.",
+)
+def q_returned_items_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        (_rev_bp() / 10000.0).alias("revenue")
+    )
+    return R.top_k(agg, [F.desc("revenue")], 20, tie_breakers=[F.col("c_custkey")])
+
+
+@register(
+    "order_count_histogram_q13",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: outer join with a compound join condition "
+    "(non-urgent orders only) so customers with zero such orders keep a "
+    "0 count, then a histogram re-aggregation over the per-customer "
+    "counts.",
+)
+def q_order_count_histogram_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "promo_revenue_q14",
+    f"""
+    SELECT SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                         * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+                    ELSE 0 END) * 100.0 / {_REV_BP_SQL} AS promo_pct,
+           {_REV_BP_SQL} / 10000.0 AS total_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+    GROUP BY ALL
+    """,
+    doc="TPC-H Q14 shape: promo revenue share — conditional sum over a "
+    "broadcast part join; both terms are exact integer basis points, so "
+    "the double quotient is bit-identical across engines.",
+)
+def q_promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    bp = R.cents("l_extendedprice") * (100 - R.cents("l_discount"))
+    promo_bp = F.sum(F.when(F.col("p_type") == "PROMO", bp).otherwise(F.lit(0)))
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            (promo_bp * 100.0 / F.sum(bp)).alias("promo_pct"),
+            (F.sum(bp) / 10000.0).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "top_supplier_q15",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS total_bp
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, rev.total_bp / 10000.0 AS total_revenue
+    FROM supplier s
+    JOIN rev ON rev.l_suppkey = s.s_suppkey
+    WHERE rev.total_bp = (SELECT MAX(total_bp) FROM rev)
+    """,
+    doc="TPC-H Q15 shape: quarterly revenue per supplier, then keep the "
+    "max via a broadcast scalar subquery — the max is an exact integer, "
+    "so the equality is engine-safe; ties all surface (no arbitrary "
+    "pick).",
+)
+def q_top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = li.groupBy("l_suppkey").agg(_rev_bp().alias("total_bp"))
+    max_bp = rev.agg(F.max("total_bp").alias("__max_bp"))
+    return (
+        rev.crossJoin(F.broadcast(max_bp))
+        .where(F.col("total_bp") == F.col("__max_bp"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey", "s_name", (F.col("total_bp") / 10000.0).alias("total_revenue")
+        )
+    )
+
+
+@register(
+    "small_qty_revenue_q17",
+    """
+    WITH pq AS (
+      SELECT l_partkey,
+             SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS sum_qc,
+             COUNT(*) AS n
+      FROM lineitem
+      GROUP BY l_partkey
+    )
+    SELECT SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)) / 700.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey  = l.l_partkey
+    JOIN pq    ON pq.l_partkey  = l.l_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND CAST(ROUND(l.l_quantity*100) AS BIGINT) * 5 * pq.n < pq.sum_qc
+    """,
+    doc="TPC-H Q17 shape: lineitem joins its own per-part average "
+    "(self-agg join) to find below-20%%-of-average quantities; the "
+    "qty < avg/5 comparison is cross-multiplied into exact integers "
+    "(qty·5·n < sum) so no engine-dependent division is compared.",
+)
+def q_small_qty_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3").select("p_partkey")
+    pq = li.groupBy(F.col("l_partkey").alias("pq_partkey")).agg(
+        F.sum(R.cents("l_quantity")).alias("sum_qc"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(pq, F.col("pq_partkey") == F.col("l_partkey"))
+        .where(R.cents("l_quantity") * 5 * F.col("n") < F.col("sum_qc"))
+        .agg((F.sum(R.cents("l_extendedprice")) / 700.0).alias("avg_yearly"))
+    )
+
+
+@register(
+    "brand_band_revenue_q19",
+    f"""
+    SELECT {_REV_BP_SQL} / 10000.0 AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1  AND 15
+           AND l.l_quantity BETWEEN 1  AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 40)
+    GROUP BY ALL
+    """,
+    doc="TPC-H Q19 shape: disjunction of conjunctive band predicates "
+    "across both join sides — Catalyst extracts the common p_partkey "
+    "equi-key and pushes the per-side IN/range residuals into the scans.",
+)
+def q_brand_band_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    joined = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    band = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return joined.where(band).agg(
+        (_rev_bp() / 10000.0).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "rich_idle_customers_q22",
+    """
+    WITH pos AS (
+      SELECT SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS s, COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_custs,
+           SUM(CAST(ROUND(c.c_acctbal*100) AS BIGINT)) / 100.0 AS total_acctbal
+    FROM customer c, pos
+    WHERE CAST(ROUND(c.c_acctbal*100) AS BIGINT) * pos.n > pos.s
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_mktsegment
+    """,
+    doc="TPC-H Q22 shape: above-average balance (scalar-subquery "
+    "broadcast, cross-multiplied to exact integers) and no urgent "
+    "orders (left anti join on a filtered build side — every fixture "
+    "customer has SOME order, so the plain no-orders variant is "
+    "vacuously empty), grouped by segment.",
+)
+def q_rich_idle_customers_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    pos = c.where(F.col("c_acctbal") > 0).agg(
+        F.sum(R.cents("c_acctbal")).alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    rich = (
+        c.crossJoin(F.broadcast(pos))
+        .where(R.cents("c_acctbal") * F.col("__n") > F.col("__s"))
+    )
+    idle = rich.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+    return idle.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        (F.sum(R.cents("c_acctbal")) / 100.0).alias("total_acctbal"),
+    )
