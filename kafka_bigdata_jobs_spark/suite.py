@@ -2172,3 +2172,129 @@ def q_rich_idle_customers_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_custs"),
         (F.sum(R.cents("c_acctbal")) / 100.0).alias("total_acctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: chunking, deterministic splits, stratified
+# sampling, distinctive terms (operators/pipeline.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_chunks",
+    """
+    SELECT d.doc_id, u AS chunk_id,
+           substr(d.text, CAST(u*80 + 1 AS INTEGER), 100) AS chunk_text,
+           length(substr(d.text, CAST(u*80 + 1 AS INTEGER), 100)) AS chunk_len
+    FROM documents d, unnest(range((length(d.text)-1)//80 + 1)) AS t(u)
+    WHERE d.doc_id < 40
+    """,
+    doc="Overlapping character chunking (size 100 / overlap 20): "
+    "explode(sequence)+substr stays in codegen, one output row per "
+    "chunk, never a per-doc array of chunk strings.",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pipeline import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    chunks = chunk_documents(d, "doc_id", "text", chunk_size=100, overlap=20)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "chunk_text",
+        F.col("chunk_len").cast("long").alias("chunk_len"),
+    )
+
+
+@register(
+    "dataset_split_counts",
+    """
+    WITH assigned AS (
+      SELECT *,
+             CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                        AS INTEGER) % 100 < 80 THEN 'train'
+                  WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                        AS INTEGER) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           SUM(n_chars) AS total_chars
+    FROM assigned
+    GROUP BY split
+    """,
+    doc="Deterministic 80/10/10 train/val/test split keyed on the md5 of "
+    "the document id: stable across reruns and appends (a doc's split "
+    "is a pure function of its key — no rand(), no leakage when the "
+    "corpus grows).",
+)
+def q_dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pipeline import assign_split
+
+    d = _t(spark, sf_dir, "documents")
+    return assign_split(d, "doc_id").groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "stratified_sample_counts",
+    """
+    SELECT lang,
+           COUNT(*) AS n_sampled,
+           SUM(n_chars) AS sampled_chars
+    FROM documents
+    WHERE CAST('0x' || substr(md5(concat_ws('|', CAST(doc_id AS VARCHAR), lang)), 1, 4)
+               AS INTEGER) % 100 < 20
+    GROUP BY lang
+    """,
+    doc="Deterministic ~20%% hash sample, salted by stratum (lang): a "
+    "pure per-row predicate — single pass, no shuffle, no state, "
+    "append-stable — the scale path for corpus downsampling.",
+)
+def q_stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pipeline import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(d, "doc_id", 20, strata=["lang"]).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").alias("sampled_chars"),
+    )
+
+
+@register(
+    "distinctive_terms_topk",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    )
+    SELECT doc_id, term, tf, df, rank FROM (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rank
+      FROM tf JOIN dfreq USING (term)
+    )
+    WHERE rank <= 3 AND doc_id < 30
+    """,
+    doc="Per-document top-3 distinctive terms, tf-idf ordered without "
+    "the floating log: for fixed tf the tf-idf score is monotone "
+    "decreasing in df, so (tf DESC, df ASC, term ASC) is the same "
+    "ranking as tf·ln(N/df) with integer-only, cross-engine-exact "
+    "sorts.  Document frequency aggregates over the WHOLE corpus; the "
+    "doc_id filter applies to the output only.",
+)
+def q_distinctive_terms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pipeline import distinctive_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return distinctive_terms(d, "doc_id", "text", k=3).where(F.col("doc_id") < 30)
