@@ -19,10 +19,25 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     under-partitioned (e.g. one small parquet file → 1 scan partition,
     which would serialize every downstream per-row computation onto one
     core).  Heavy per-row operators (shingling, signatures, pair joins)
-    call this first; already-wide inputs pass through untouched."""
+    call this first; already-wide inputs pass through untouched.
+
+    Width is judged from ``inputFiles()`` (a driver-side file listing):
+    ``df.rdd.getNumPartitions()`` would be exact but triggers physical
+    planning + whole-stage codegen compilation of the entire plan — a
+    multi-second driver cost for the wide generated classes these
+    operators build, paid once per partition probe.  Many files ≥
+    target ⇒ at least that many scan partitions; few files may still
+    split by size (maxPartitionBytes), so the only error mode is a
+    redundant repartition of an input that was already wide — one
+    cheap extra shuffle on exactly the small inputs where it doesn't
+    matter."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        if df.rdd.getNumPartitions() >= target:
+            return df
     return df.repartition(target)
 
 

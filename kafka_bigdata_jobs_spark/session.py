@@ -46,6 +46,12 @@ def get_spark(
         # real memory for wide aggregate folds / cached signatures.  Only
         # effective when this call creates the JVM (ignored on attach).
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        # The suite compiles hundreds of large whole-stage-codegen classes
+        # (unrolled vector math, 64-aggregate signature folds); the JVM's
+        # default 240 MB reserved code cache fills mid-run, JIT flushes /
+        # stops compiling, and late queries run interpreted at 5-10x cost.
+        # Only effective when this call creates the JVM.
+        "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g",
         **RUNTIME_CONF,
         # 32 matches local test parallelism; AQE coalesces down when small
         # and a cluster deployment overrides upward.  Never the reference's
