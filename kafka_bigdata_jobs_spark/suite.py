@@ -2298,3 +2298,80 @@ def q_distinctive_terms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return distinctive_terms(d, "doc_id", "text", k=3).where(F.col("doc_id") < 30)
+
+
+# ---------------------------------------------------------------------------
+# Time-series joins: as-of (point-in-time) + bounded range join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "purchase_last_view_asof",
+    """
+    WITH p AS (SELECT event_id, ts, user_id, value FROM events
+               WHERE event_type = 'purchase'),
+         v AS (SELECT ts, user_id, value AS view_value FROM events
+               WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+           v.ts AS view_ts, v.view_value
+    FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    doc="Backward as-of join (operators/asof.py): each purchase picks "
+    "the user's most recent prior-or-simultaneous view.  Implemented "
+    "as tagged union + one running last(ignorenulls) window per key — "
+    "one shuffle, no per-pair blowup — vs DuckDB's native ASOF JOIN "
+    "oracle.",
+)
+def q_purchase_last_view_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        "ts", "user_id", F.col("value").alias("view_value")
+    )
+    joined = asof_join(
+        p, v, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["view_value"], matched_ts="view_ts",
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts"), "view_ts", "view_value"
+    )
+
+
+@register(
+    "views_before_purchase_1h",
+    """
+    WITH p AS (SELECT event_id, ts, user_id FROM events
+               WHERE event_type = 'purchase'),
+         v AS (SELECT ts, user_id FROM events WHERE event_type = 'view')
+    SELECT p.event_id, COUNT(v.ts) AS n_views_1h
+    FROM p LEFT JOIN v
+      ON v.user_id = p.user_id
+     AND v.ts <= p.ts
+     AND v.ts >  p.ts - INTERVAL 1 HOUR
+    GROUP BY p.event_id
+    """,
+    doc="Bounded range join: views in the hour before each purchase — "
+    "equi-join on the user key with a two-sided time residual, so "
+    "Catalyst picks a keyed join (never a cross product) and the time "
+    "bound caps per-key fan-out; LEFT keeps zero-view purchases.",
+)
+def q_views_before_purchase_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", F.col("ts").alias("p_ts"), F.col("user_id").alias("p_user")
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("ts").alias("v_ts"), F.col("user_id").alias("v_user")
+    )
+    joined = p.join(
+        v,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return joined.groupBy("event_id").agg(F.count("v_ts").alias("n_views_1h"))
