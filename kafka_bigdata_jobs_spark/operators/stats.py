@@ -1,0 +1,98 @@
+"""Statistical aggregates with cross-engine-exact arithmetic.
+
+Least-squares trend (slope) per group, computed from exact integer
+sums: ``slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²)`` where x = whole
+seconds since a fixed origin and y = value cents.  All five sums are
+integer aggregates — order-independent and bit-identical in any engine
+— and only the final division happens in floating point, so the result
+hashes identically against the DuckDB oracle (unlike ``regr_slope``/
+``corr``/``stddev``, whose double accumulation is partition-order
+dependent).
+
+Overflow envelope (Spark ANSI mode throws rather than wraps — loud,
+not silent): with x ≤ 2.6e6 s (a month) and y ≤ 1e5 cents, n·Σxx stays
+under 2^63 for ~7k rows per group; beyond that, coarsen x to minutes
+or shift the origin per group.
+
+Two implementations, same oracle:
+
+- :func:`trend_by_key` — pure expression aggregation (the scale path:
+  partial aggregation map-side, one shuffle).
+- :func:`trend_by_key_grouped_map` — ``groupBy().applyInPandas``
+  (grouped-map Arrow UDF), demonstrating the per-group-Python API
+  surface on semantics the expression path can verify exactly.  Group
+  sums use Python ints (arbitrary precision) so numpy's silent int64
+  wraparound can't corrupt large groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .relational import cents
+
+_ORIGIN = "2024-01-01 00:00:00"
+
+
+def _xy(df: DataFrame, key: str, ts_col: str, value_col: str) -> DataFrame:
+    x = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(
+        F.lit(_ORIGIN).cast("timestamp")
+    )
+    return df.select(F.col(key), x.alias("__x"), cents(value_col).alias("__y"))
+
+
+def trend_by_key(df: DataFrame, key: str, ts_col: str, value_col: str) -> DataFrame:
+    """Per-key least-squares slope (cents per second), expression path."""
+    s = _xy(df, key, ts_col, value_col).groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+    )
+    num = F.col("n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den = F.col("n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    return (
+        s.where((F.col("n") >= 2) & (den != 0))
+        .select(
+            F.col(key),
+            F.col("n"),
+            (num.cast("double") / den.cast("double")).alias("slope"),
+        )
+    )
+
+
+def trend_by_key_grouped_map(
+    df: DataFrame, key: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """Per-key least-squares slope via ``groupBy().applyInPandas``.
+
+    Identical output to :func:`trend_by_key` — the group function
+    computes the same integer sums (as Python ints) and the same final
+    double division, so the grouped-map API is verified against the
+    exact SQL oracle rather than a weaker rows-only check.
+    """
+    import pandas as pd
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        xs = [int(v) for v in pdf["__x"]]
+        ys = [int(v) for v in pdf["__y"]]
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        den = n * sxx - sx * sx
+        if n < 2 or den == 0:
+            return pd.DataFrame(columns=[key, "n", "slope"])
+        return pd.DataFrame(
+            {
+                key: [int(pdf[key].iloc[0])],
+                "n": [n],
+                "slope": [float(n * sxy - sx * sy) / float(den)],
+            }
+        )
+
+    return _xy(df, key, ts_col, value_col).groupBy(key).applyInPandas(
+        fit, f"{key} long, n long, slope double"
+    )

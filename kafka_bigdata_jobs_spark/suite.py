@@ -2375,3 +2375,97 @@ def q_views_before_purchase_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     )
     return joined.groupBy("event_id").agg(F.count("v_ts").alias("n_views_1h"))
+
+
+# ---------------------------------------------------------------------------
+# Statistical trends (exact-integer least squares) + ranking functions
+# ---------------------------------------------------------------------------
+
+
+_TREND_ORACLE = """
+    WITH b AS (
+      SELECT user_id,
+             date_diff('second', TIMESTAMP '2024-01-01', ts) AS x,
+             CAST(ROUND(value*100) AS BIGINT) AS y
+      FROM events
+    ), s AS (
+      SELECT user_id, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*y) AS sxy, SUM(x*x) AS sxx
+      FROM b GROUP BY user_id
+    )
+    SELECT user_id, n,
+           CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+             AS slope
+    FROM s
+    WHERE n >= 2 AND n*sxx - sx*sx <> 0
+"""
+
+
+@register(
+    "user_value_trend",
+    _TREND_ORACLE,
+    doc="Per-user least-squares slope of value over time from exact "
+    "integer sums (x = whole seconds since a fixed origin, y = cents): "
+    "all five sums are order-independent integers, only the final "
+    "division is floating point, so the double hashes identically "
+    "across engines — unlike regr_slope/corr/stddev whose double "
+    "accumulation is partition-order dependent.  Partial aggregation "
+    "map-side; one shuffle.",
+)
+def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.stats import trend_by_key
+
+    return trend_by_key(_t(spark, sf_dir, "events"), "user_id", "ts", "value")
+
+
+@register(
+    "user_value_trend_grouped_map",
+    _TREND_ORACLE,
+    doc="The SAME trend computed via groupBy().applyInPandas (grouped-"
+    "map Arrow UDF) with Python-int exact sums — the per-group-Python "
+    "API surface verified against the exact SQL oracle instead of a "
+    "rows-only check.  The expression path is the scale default; this "
+    "is the escape hatch for per-group logic SQL can't express.",
+)
+def q_user_value_trend_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.stats import trend_by_key_grouped_map
+
+    return trend_by_key_grouped_map(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "value"
+    )
+
+
+@register(
+    "purchase_value_ranks",
+    """
+    SELECT event_id, user_id,
+           ROW_NUMBER()   OVER w AS rn,
+           NTILE(10)      OVER w AS decile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST()    OVER w AS cume
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (ORDER BY CAST(ROUND(value*100) AS BIGINT) DESC, event_id)
+    """,
+    doc="Ranking-function breadth on one total order (value cents "
+    "DESC, id): row_number, ntile deciles, percent_rank and cume_dist "
+    "— the latter two are exact small-integer ratios, identical "
+    "doubles in both engines given the unique ordering.  An "
+    "unpartitioned window single-threads by construction (same as any "
+    "global rank); at scale partition it (see top3_events_per_type) "
+    "or pre-filter — here the purchase subset is the filter.",
+)
+def q_purchase_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = Window.orderBy(F.desc(R.cents("value")), F.col("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
