@@ -2469,3 +2469,464 @@ def q_purchase_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining TPC-H join shapes (Q3/Q5/Q8/Q9/Q11/Q12/Q16/Q20/Q21), adapted to
+# the driver tables (no partsupp; lineitem has no commit/receipt dates, so
+# "late" is l_shipdate vs o_orderdate).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "shipping_priority_q3",
+    f"""
+    SELECT l.l_orderkey,
+           {_REV_BP_SQL} / 10000.0 AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON o.o_custkey  = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: unshipped-order revenue for one market segment "
+    "— segment filter broadcast-semi-reduces orders, the date split "
+    "(ordered before / shipped after the cutoff) pushes into both "
+    "scans, top-10 runs as TakeOrderedAndProject with l_orderkey as "
+    "the deterministic tie-breaker.",
+)
+def q_shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    joined = li.join(
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"), "left_semi"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        (_rev_bp() / 10000.0).alias("revenue")
+    )
+    return R.top_k(agg, [F.desc("revenue")], 10, tie_breakers=[F.col("l_orderkey")])
+
+
+@register(
+    "local_supplier_volume_q5",
+    f"""
+    SELECT n.n_name, {_REV_BP_SQL} / 10000.0 AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey   = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5 shape: the distinctive twist vs a plain star is the "
+    "compound supplier join (s_suppkey = l_suppkey AND s_nationkey = "
+    "c_nationkey) — 'local' supplier volume.  Region filter prunes the "
+    "broadcast nation/region dims before they reach the fact.",
+)
+def q_local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    asia_nations = n.join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"), "left_semi"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(asia_nations), F.col("n_nationkey") == F.col("s_nationkey"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg((_rev_bp() / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("n_name"))
+    )
+
+
+@register(
+    "nation_market_share_q8",
+    """
+    WITH vol AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT)) AS bp,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey   = l.l_partkey
+      JOIN orders o   ON o.o_orderkey  = l.l_orderkey
+      JOIN customer c ON c.c_custkey   = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey  = n1.n_regionkey
+      JOIN supplier s ON s.s_suppkey    = l.l_suppkey
+      JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'STANDARD'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN bp ELSE 0 END)
+                AS DOUBLE) / SUM(bp) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: market share of one supplier nation within a "
+    "customer region and part type, per order year — double-dimension "
+    "chain (customer-side nation+region AND supplier-side nation), "
+    "conditional share of exact basis points so the quotient double is "
+    "engine-identical.",
+)
+def q_nation_market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    america = n.join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"), "left_semi"
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    n2 = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD").select("p_partkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    bp = R.cents("l_extendedprice") * (100 - R.cents("l_discount"))
+    joined = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(america), F.col("cn_key") == F.col("c_nationkey"), "left_semi")
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("sn_key") == F.col("s_nationkey"))
+    )
+    nation_bp = F.sum(F.when(F.col("supp_nation") == "NATION_5", bp).otherwise(F.lit(0)))
+    return joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        (nation_bp.cast("double") / F.sum(bp)).alias("mkt_share")
+    )
+
+
+@register(
+    "product_profit_q9",
+    f"""
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           {_REV_BP_SQL} / 10000.0 AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey    = l.l_partkey
+    JOIN supplier s ON s.s_suppkey    = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey   = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey  = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+    doc="TPC-H Q9 shape (no partsupp table in the fixtures, so profit "
+    "is discounted revenue without supply cost): product-line profit "
+    "by supplier nation and order year, part-name LIKE filter "
+    "semi-reducing the fact before the orders shuffle.",
+)
+def q_product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%")).select("p_partkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+    ).agg((_rev_bp() / 10000.0).alias("profit"))
+
+
+@register(
+    "valuable_parts_q11",
+    """
+    WITH pv AS (
+      SELECT l.l_partkey,
+             SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)) AS value_c
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, value_c / 100.0 AS part_value
+    FROM pv
+    WHERE value_c > (SELECT SUM(value_c) / COUNT(*) * 1.5 FROM pv)
+    """,
+    doc="TPC-H Q11 shape (lineitem stands in for partsupp): per-part "
+    "value held by a nation group, kept only when above 1.5× the mean "
+    "per-part value — the scalar subquery broadcasts one row back "
+    "against the grouped set.  (TPC-H's fixed global fraction is "
+    "scale-variant — returns nothing once part count grows — so the "
+    "mean-relative threshold keeps the query meaningful at every SF.) "
+    "Exact integer cents vs (exact total / exact count)·1.5 is the "
+    "same double in both engines.",
+)
+def q_valuable_parts_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    ).select("n_nationkey")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"), "left_semi"
+    ).select("s_suppkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    pv = (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(R.cents("l_extendedprice")).alias("value_c"))
+    )
+    total = pv.agg(
+        (F.sum("value_c") / F.count(F.lit(1)) * 1.5).alias("__threshold")
+    )
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .where(F.col("value_c") > F.col("__threshold"))
+        .select("l_partkey", (F.col("value_c") / 100.0).alias("part_value"))
+    )
+
+
+@register(
+    "ship_lateness_q12",
+    """
+    SELECT l.l_returnflag AS ship_class,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_returnflag
+    """,
+    doc="TPC-H Q12 shape (no l_shipmode/commitdate in the fixtures: "
+    "returnflag is the class and 'late' is shipped ≥90 days after "
+    "order): priority split of late lineitems — non-equi residual on "
+    "an equi join plus the count-if idiom the reference uses for "
+    "verified-user splits (batch/job2_historico.py:174).",
+)
+def q_ship_lateness_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = li.join(
+        o,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+    )
+    return joined.groupBy(F.col("l_returnflag").alias("ship_class")).agg(
+        R.count_if(high).alias("high_line_count"),
+        R.count_if(~high).alias("low_line_count"),
+    )
+
+
+@register(
+    "parts_supplier_count_q16",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type  <> 'PROMO'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape (lineitem stands in for partsupp): distinct "
+    "supplier count per (brand, type, size) with negated predicates "
+    "and a NOT IN subquery — the exclusion list compiles to a "
+    "broadcast left-anti join (no null-key hazard: s_suppkey is a "
+    "non-null primary key), countDistinct shuffles once on the group "
+    "keys.",
+)
+def q_parts_supplier_count_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = _t(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 1000
+    ).select("s_suppkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    kept = li.join(
+        F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+    ).join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    return (
+        kept.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.col("p_brand"), F.col("p_type"), F.col("p_size")
+        )
+    )
+
+
+@register(
+    "excess_stock_suppliers_q20",
+    """
+    WITH pq AS (
+      SELECT l.l_suppkey, l.l_partkey,
+             SUM(CAST(ROUND(l.l_quantity*100) AS BIGINT)) AS qty_c
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE '%bolt%'
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l.l_suppkey, l.l_partkey
+    ), avg_pq AS (
+      SELECT l_partkey, SUM(qty_c) / (COUNT(*) * 1.0) AS mean_qty_c
+      FROM pq GROUP BY l_partkey
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN pq       ON pq.l_suppkey  = s.s_suppkey
+    JOIN avg_pq   ON avg_pq.l_partkey = pq.l_partkey
+    WHERE n.n_name IN ('NATION_1', 'NATION_4', 'NATION_9')
+      AND pq.qty_c > avg_pq.mean_qty_c
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q20 shape (lineitem stands in for partsupp availability): "
+    "suppliers in a nation group who moved above-average volume of a "
+    "part-name family in a year — agg joined back against a re-agg of "
+    "itself (per-part mean), then a distinct projection.  The mean is "
+    "exact-int / count so the comparison double matches engines.",
+)
+def q_excess_stock_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%bolt%")).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    pq = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(R.cents("l_quantity")).alias("qty_c"))
+    )
+    avg_pq = pq.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (F.sum("qty_c") / (F.count(F.lit(1)) * 1.0)).alias("mean_qty_c")
+    )
+    excess = pq.join(F.broadcast(avg_pq), F.col("ap_key") == F.col("l_partkey")).where(
+        F.col("qty_c") > F.col("mean_qty_c")
+    )
+    n = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_4", "NATION_9")
+    ).select("n_nationkey")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"), "left_semi"
+    )
+    return (
+        s.join(
+            F.broadcast(excess.select("l_suppkey").distinct()),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "waiting_suppliers_q21",
+    """
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM late l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+    )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    """,
+    doc="TPC-H Q21 shape ('late' is shipped ≥60 days after a finalized "
+    "order — no receipt/commit dates in the fixtures): the sole late "
+    "supplier on multi-supplier orders, via an EXISTS self semi-join "
+    "and a NOT EXISTS self anti-join on the late set.  Both "
+    "correlated subqueries carry a non-equi residual "
+    "(l_suppkey <> …) on the equi orderkey join.",
+)
+def q_waiting_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = li.join(
+        o,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+    ).select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
+    )
+    l1 = (
+        late.join(
+            l2,
+            (F.col("l2_orderkey") == F.col("l_orderkey"))
+            & (F.col("l2_suppkey") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3_orderkey") == F.col("l_orderkey"))
+            & (F.col("l3_suppkey") != F.col("l_suppkey")),
+            "left_anti",
+        )
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        l1.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.col("s_name"))
+    )
