@@ -79,3 +79,34 @@ def test_whole_stage_codegen_on_flagship(spark):
     df.collect()
     final_plan = df._jdf.queryExecution().executedPlan().toString()
     assert "*(" in final_plan, "no whole-stage codegen stage in final plan"
+
+
+def test_shipping_priority_q3_plan(spark):
+    plan = _plan(spark, "shipping_priority_q3")
+    assert "TakeOrderedAndProject" in plan, "top-10 did not plan as top-k"
+    assert "LessThan(o_orderdate" in plan, "orders date filter not pushed"
+    assert "GreaterThan(l_shipdate" in plan, "lineitem date filter not pushed"
+    assert "LeftSemi" in plan, "segment filter should semi-reduce orders"
+
+
+def test_local_supplier_volume_q5_broadcasts(spark):
+    plan = _plan(spark, "local_supplier_volume_q5")
+    assert plan.count("BroadcastExchange") >= 3, "dims not broadcast"
+    li_scan = [
+        l for l in plan.splitlines() if "ReadSchema" in l and "l_extendedprice" in l
+    ]
+    assert li_scan and "l_quantity" not in li_scan[0], "lineitem scan not pruned"
+
+
+def test_waiting_suppliers_q21_self_joins(spark):
+    plan = _plan(spark, "waiting_suppliers_q21")
+    assert "LeftSemi" in plan, "EXISTS did not plan as semi join"
+    assert "LeftAnti" in plan, "NOT EXISTS did not plan as anti join"
+
+
+def test_parts_supplier_count_q16_plan(spark):
+    plan = _plan(spark, "parts_supplier_count_q16")
+    assert "LeftAnti" in plan, "NOT IN did not plan as anti join"
+    assert "partial_count(distinct" in plan or "partial_count" in plan, (
+        "distinct count should partial-aggregate"
+    )
