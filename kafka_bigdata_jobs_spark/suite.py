@@ -2930,3 +2930,40 @@ def q_waiting_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.col("s_name"))
     )
+
+
+@register(
+    "word_runs_udtf",
+    r"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word,
+             generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+      FROM documents
+    ), marked AS (
+      SELECT doc_id, word, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id, word ORDER BY pos)
+               AS grp
+      FROM w
+    ), runs AS (
+      SELECT doc_id, word, MIN(pos) AS start_pos, COUNT(*) AS run_len
+      FROM marked GROUP BY doc_id, word, grp
+    )
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_pos) - 1
+                AS INT) AS run_idx,
+           word,
+           CAST(run_len AS INT) AS run_len
+    FROM runs
+    """,
+    doc="Python UDTF surface (Spark 4): run-length encoding of "
+    "consecutive repeated words via a lateral-joined table function — "
+    "one row in, one row per run out, imperative scanner state inside "
+    "the UDTF.  The oracle proves the same semantics relationally "
+    "(gaps-and-islands: pos − row_number per word = run id).  The "
+    "UDTF is the API demonstration; expressible expansions should use "
+    "builtin explode (see doc_chunks).",
+)
+def q_word_runs_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.udtf import word_runs
+
+    return word_runs(spark, _t(spark, sf_dir, "documents"), "doc_id", "text")
