@@ -26,6 +26,31 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: Sequence[str],
+    num_buckets: int = 32,
+    sort_by: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (+optionally sorted) managed parquet table.
+
+    Bucketing pre-shuffles the data ONCE at write time: two tables
+    bucketed on the same keys with the same bucket count co-locate, so
+    every later equi-join/aggregation on those keys runs shuffle-free
+    (verified in ``tests/test_layout.py`` — no Exchange in the join
+    plan).  At 100 TB this converts the recurring fact-fact shuffle —
+    the single most expensive operation in the cluster — into a
+    write-time cost paid once; pick the bucket count so one bucket
+    ≈ 100–500 MB at target scale.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table)
+
+
 def write_csv_report(
     df: DataFrame,
     path: str,

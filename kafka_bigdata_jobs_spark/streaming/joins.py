@@ -40,6 +40,24 @@ def interval_join(
     return l.join(r, cond, how)
 
 
+def enrich_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (bounded) dimension table.
+
+    The static side is broadcast — no state, no watermark needed; Spark
+    re-plans the dim per micro-batch, so a refreshed underlying table is
+    picked up on the next trigger.  This is the streaming face of the
+    same broadcast-dim pattern as ``operators/joins.py::broadcast_join``
+    (batch twin = the duality oracle in tests).
+    """
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def dedup_within_watermark(
     df: DataFrame, keys: list[str], ts_col: str, watermark: str = "10 minutes"
 ) -> DataFrame:

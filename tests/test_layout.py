@@ -1,0 +1,90 @@
+"""Storage-layout scale contracts: partition pruning and bucketed
+(shuffle-free) joins — the two layout levers that matter most at
+100 TB (SURVEY.md §4; SCALE.md)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_bigdata_jobs_spark.schemas import load_table
+from kafka_bigdata_jobs_spark.sinks import write_bucketed_table, write_parquet
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    from tests.test_plan_quality import formatted_plan
+
+    return formatted_plan(df)
+
+
+def test_partitioned_write_prunes_on_read(spark):
+    d = tempfile.mkdtemp(prefix="layout_part_")
+    ev = load_table(spark, SF, "events")
+    write_parquet(ev, d, partition_by=["event_type"])
+
+    back = spark.read.parquet(d).where(F.col("event_type") == "purchase")
+    plan = _plan(back)
+    # The partition filter must hit the directory listing, not the rows.
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+    n_purchase = ev.where(F.col("event_type") == "purchase").count()
+    assert back.count() == n_purchase
+
+
+def _drop_table(spark, name: str) -> None:
+    """Drop a managed table AND its warehouse directory.
+
+    A previous session's directory survives in spark-warehouse/ while
+    the in-memory catalog starts empty, so saveAsTable would refuse the
+    'existing' location — remove both."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+
+
+def test_bucketed_join_needs_no_exchange(spark):
+    o = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem")
+    _drop_table(spark, "b_orders")
+    _drop_table(spark, "b_lineitem")
+    write_bucketed_table(o, "b_orders", ["o_orderkey"], num_buckets=4)
+    write_bucketed_table(
+        li, "b_lineitem", ["l_orderkey"], num_buckets=4, sort_by=["l_orderkey"]
+    )
+
+    bo = spark.table("b_orders")
+    bl = spark.table("b_lineitem")
+    joined = bl.join(bo, F.col("l_orderkey") == F.col("o_orderkey")).groupBy(
+        "o_orderpriority"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # Force the sort-merge path (broadcast would hide the bucketing win).
+    joined_smj = bl.hint("merge").join(bo, F.col("l_orderkey") == F.col("o_orderkey"))
+    plan = _plan(joined_smj)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, "bucketed join should be shuffle-free"
+
+    # Correctness: same result as the plain parquet join.
+    expect = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_bucketed_aggregation_needs_no_exchange(spark):
+    try:
+        spark.table("b_lineitem")
+    except Exception:
+        pytest.skip("bucketed table not available")
+    agg = spark.table("b_lineitem").groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("q")
+    )
+    plan = _plan(agg)
+    assert "Exchange" not in plan, "groupBy on the bucket key should be shuffle-free"

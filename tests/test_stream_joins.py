@@ -93,3 +93,37 @@ def test_dedup_within_watermark_stream(spark, events_dir):
     assert len(sink.rows) == expected
     keys = {(r["user_id"], r["event_type"]) for r in sink.rows}
     assert len(keys) == expected
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_dir):
+    from kafka_bigdata_jobs_spark.streaming.joins import enrich_with_dim
+
+    ev = load_table(spark, SF, "events")
+    # tiny dimension derived from the fixture: user_id -> purchase count
+    dim = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    batch = {
+        (r["event_id"], r["n_purchases"])
+        for r in enrich_with_dim(
+            ev, dim.withColumnRenamed("user_id", "d_user"),
+            F.col("user_id") == F.col("d_user"),
+        ).select("event_id", "n_purchases").collect()
+    }
+
+    stream = read_parquet_stream(spark, events_dir, _schema())
+    sink = MemorySink(limit_per_batch=1_000_000)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = run_multi_sink(
+            enrich_with_dim(
+                stream, dim.withColumnRenamed("user_id", "d_user"),
+                F.col("user_id") == F.col("d_user"),
+            ).select("event_id", "n_purchases"),
+            [sink],
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(180)
+    got = {(r["event_id"], r["n_purchases"]) for r in sink.rows}
+    assert got == batch
