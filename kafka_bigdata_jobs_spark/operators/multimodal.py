@@ -153,6 +153,65 @@ def extract_image_features(
     return df.select(id_col, payload_col).mapInPandas(batches, IMAGE_FEATURES)
 
 
+def resize_images(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    target_width: int = 224,
+    target_height: int = 224,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Resize plumbing: payload → re-encoded payload at target dims.
+
+    Output keeps the binary-payload shape (``media_id, payload, width,
+    height``) so resize stages compose with the other mapInPandas
+    stages (decode → resize → feature-extract).  The codec is the
+    stubbed boundary; the fake emits a deterministic digest-derived
+    payload whose size scales with the target area, preserving the
+    real operator's property that output bytes are a pure function of
+    (input bytes, target dims).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+    fake = deterministic_fake
+    tw, th = target_width, target_height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        def _resize(payload: bytes) -> bytes:
+            if not fake:
+                raise NotImplementedError(
+                    "image codecs are not available in this environment; "
+                    "pass deterministic_fake=True for the test pipeline"
+                )
+            seed = _hashlib.sha256(
+                payload + tw.to_bytes(4, "big") + th.to_bytes(4, "big")
+            ).digest()
+            n = max(1, (tw * th) // 4096)  # fake compressed size ∝ area
+            return (seed * (n // len(seed) + 1))[:n]
+
+        for pdf in it:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload": [_resize(bytes(p)) for p in pdf[payload_col]],
+                    "width": tw,
+                    "height": th,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
+
+
 def sample_frames(
     df: DataFrame,
     id_col: str = "media_id",

@@ -58,3 +58,22 @@ def test_frame_sampling(media):
         )
         assert 1 <= len(rows) <= 8
         assert len({r["frame_sha256"] for r in rows}) == len(rows)
+
+
+def test_resize_images_deterministic_and_composes(media):
+    resized = M.resize_images(media, target_width=128, target_height=96)
+    rows = {r["media_id"]: r for r in resized.collect()}
+    assert set(rows) == set(range(20))
+    for r in rows.values():
+        assert (r["width"], r["height"]) == (128, 96)
+        assert len(bytes(r["payload"])) == (128 * 96) // 4096
+    # pure function of (payload, dims): rerun identical, other dims differ
+    again = {r["media_id"]: r for r in M.resize_images(
+        media, target_width=128, target_height=96).collect()}
+    assert all(bytes(rows[i]["payload"]) == bytes(again[i]["payload"]) for i in rows)
+    other = {r["media_id"]: r for r in M.resize_images(
+        media, target_width=64, target_height=64).collect()}
+    assert bytes(other[0]["payload"]) != bytes(rows[0]["payload"])
+    # composes: resize → feature extract over the resized payloads
+    feats = M.extract_image_features(resized).collect()
+    assert len(feats) == 20
