@@ -2967,3 +2967,42 @@ def q_word_runs_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.udtf import word_runs
 
     return word_runs(spark, _t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "winnow_fingerprint_stats",
+    r"""
+    WITH g AS (
+      SELECT doc_id, text, unnest(range(1, length(text) - 8 + 2)) AS pos
+      FROM documents
+    ), h AS (
+      SELECT doc_id, pos, substr(md5(substr(text, pos, 8)), 1, 8) AS gh,
+             length(text) - 8 + 1 AS n_grams
+      FROM g
+    ), w AS (
+      SELECT doc_id, pos, n_grams,
+             MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+      FROM h
+    ), fps AS (
+      SELECT doc_id, fp FROM w WHERE pos <= n_grams - 15 GROUP BY doc_id, fp
+    )
+    SELECT doc_id, COUNT(*) AS n_fps, MIN(fp) AS min_fp, MAX(fp) AS max_fp
+    FROM fps GROUP BY doc_id
+    """,
+    doc="Winnowing fingerprints (rolling k-gram hash window minima, "
+    "k=8/w=16) summarized per document — md5-hex-prefix hashes make "
+    "the scheme engine-portable, so the DuckDB oracle checks the "
+    "EXACT fingerprint sets (via count/min/max per doc) rather than a "
+    "rows-only sketch.  One codegen'd k-gram explode + one window "
+    "pass; shuffle only on doc_id.",
+)
+def q_winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import winnow_fingerprints
+
+    fps = winnow_fingerprints(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
