@@ -2888,10 +2888,18 @@ def q_excess_stock_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q21 shape ('late' is shipped ≥60 days after a finalized "
     "order — no receipt/commit dates in the fixtures): the sole late "
-    "supplier on multi-supplier orders, via an EXISTS self semi-join "
-    "and a NOT EXISTS self anti-join on the late set.  Both "
-    "correlated subqueries carry a non-equi residual "
-    "(l_suppkey <> …) on the equi orderkey join.",
+    "supplier on multi-supplier orders.  The oracle keeps the "
+    "textbook EXISTS / NOT EXISTS self-join form; the Spark plan uses "
+    "the aggregate rewrite — per-order distinct-supplier counts — "
+    "which is provably equivalent (∃ other supplier ⟺ "
+    "n_suppliers ≥ 2; ∄ other LATE supplier ⟺ n_late_suppliers = 1, "
+    "since the probe row itself is late) and computes the late set "
+    "once (its exchange is physically reused by both consumers): 7 "
+    "parquet scans / 2 reused exchanges vs 11 scans for the naive "
+    "semi+anti self-join plan.  At 100 TB the eliminated lineitem "
+    "scans ARE the query cost.  The "
+    "semi/anti-join operator surface itself is exercised by "
+    "late_ship_priority_q4 / inactive_customers_anti / q16.",
 )
 def q_waiting_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
@@ -2903,26 +2911,24 @@ def q_waiting_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_orderkey") == F.col("o_orderkey"))
         & (F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
     ).select("l_orderkey", "l_suppkey")
-    l2 = li.select(
-        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    # One pass over each input: per-order supplier counts replace the
+    # EXISTS (n_supps >= 2) and NOT EXISTS (n_late_supps == 1) probes.
+    order_stats = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("__n_supps"))
+        .withColumnRenamed("l_orderkey", "__all_ok")
     )
-    l3 = late.select(
-        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
+    late_stats = (
+        late.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("__n_late_supps"))
+        .withColumnRenamed("l_orderkey", "__late_ok")
     )
-    l1 = (
-        late.join(
-            l2,
-            (F.col("l2_orderkey") == F.col("l_orderkey"))
-            & (F.col("l2_suppkey") != F.col("l_suppkey")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l3_orderkey") == F.col("l_orderkey"))
-            & (F.col("l3_suppkey") != F.col("l_suppkey")),
-            "left_anti",
-        )
+    qual = (
+        order_stats.join(late_stats, F.col("__all_ok") == F.col("__late_ok"))
+        .where((F.col("__n_supps") >= 2) & (F.col("__n_late_supps") == 1))
+        .select(F.col("__all_ok").alias("__qual_ok"))
     )
+    l1 = late.join(qual, F.col("__qual_ok") == F.col("l_orderkey"), "left_semi")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         l1.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
