@@ -98,10 +98,17 @@ def test_local_supplier_volume_q5_broadcasts(spark):
     assert li_scan and "l_quantity" not in li_scan[0], "lineitem scan not pruned"
 
 
-def test_waiting_suppliers_q21_self_joins(spark):
-    plan = _plan(spark, "waiting_suppliers_q21")
-    assert "LeftSemi" in plan, "EXISTS did not plan as semi join"
-    assert "LeftAnti" in plan, "NOT EXISTS did not plan as anti join"
+def test_waiting_suppliers_q21_aggregate_rewrite(spark):
+    # The aggregate rewrite must keep the late-set semi probe and must
+    # NOT fall back to the naive triple-self-join (11 scans); the late
+    # subplan is shared, so its exchange should be reused.
+    df = suite.registry()["waiting_suppliers_q21"].fn(spark, SF)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in executed, "qualifying-order probe should be a semi join"
+    # Reuse is an AQE-final-plan property — the pre-execution plan still
+    # shows every consumer with its own copy of the late subplan.
+    assert "ReusedExchange" in executed, "late-set exchange not reused"
 
 
 def test_parts_supplier_count_q16_plan(spark):
