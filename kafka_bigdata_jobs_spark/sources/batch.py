@@ -68,3 +68,42 @@ def read_tweets_csv(
     for c in ("user_followers", "user_friends", "user_favourites"):
         df = df.withColumn(c, F.col(c).cast("long"))
     return df
+
+
+def read_csv_with_rejects(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = False,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE CSV read splitting clean rows from quarantined ones.
+
+    At scale a multi-TB load must never die on one malformed line
+    (FAILFAST) nor silently null it out (plain PERMISSIVE).  The
+    declared schema is extended with ``columnNameOfCorruptRecord``;
+    rows that fail to parse keep their raw line there.  Returns
+    ``(good, rejects)``: good rows without the capture column, rejects
+    as ``(raw_line)`` for the quarantine sink.
+
+    Note Spark requires referencing the corrupt column via a
+    materialized plan (it is populated at parse time, and filtering on
+    it directly over a pure scan is disallowed) — hence the cache().
+    """
+    full_schema = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    raw = spark.read.csv(
+        path,
+        schema=full_schema,
+        header=header,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord=corrupt_col,
+        multiLine=True,
+        escape='"',
+    ).cache()
+    good = raw.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    rejects = raw.where(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return good, rejects

@@ -49,3 +49,31 @@ def test_buffered_external_sink_chunks(spark):
     sink(batch, batch_id=0)
     assert [len(c) for c in sent] == [3, 3, 2]
     assert sent[0][0] == {"doc_id": 0}
+
+
+def test_csv_rejects_quarantine(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from kafka_bigdata_jobs_spark.sources.batch import read_csv_with_rejects
+
+    p = tmp_path / "mixed.csv"
+    p.write_text(
+        "1,alice,10.5\n"
+        "2,bob,notanumber\n"      # malformed double
+        "3,carol,7.25\n"
+        "4,dave\n"                # missing column -> null-filled, not corrupt
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    good, rejects = read_csv_with_rejects(spark, str(p), schema)
+    good_rows = {r["id"]: r for r in good.collect()}
+    bad = [r["raw_line"] for r in rejects.collect()]
+    assert set(good_rows) >= {1, 3}
+    assert good_rows[1]["score"] == 10.5
+    assert any("notanumber" in line for line in bad)
+    assert not any(c == "_corrupt_record" for c in good.columns)
