@@ -147,3 +147,75 @@ def test_sentiment_partition_of_input(spark, tweet_stream_dir):
     assert classes <= {
         "very_positive", "positive", "neutral", "negative", "very_negative",
     }
+
+
+def test_high_frequency_bots_stream_vs_batch(spark, tweet_stream_dir):
+    import json as _json
+    import datetime as _dt
+
+    # dense burst fixture: one user fires 5 tweets in 40 s, twice, plus
+    # quiet users — only the burst windows must surface
+    d = tempfile.mkdtemp(prefix="tweets_burst_")
+    rows = []
+    for burst, start in enumerate([T0, T0 + _dt.timedelta(minutes=10)]):
+        for i in range(5):
+            t = _tweet(i)
+            t["user_name"] = "burster"
+            t["timestamp"] = t["date"] = (start + _dt.timedelta(seconds=8 * i)).isoformat()
+            t["crypto_type"] = "bitcoin"
+            rows.append(t)
+    for i in range(20):  # quiet background, one tweet per 5 min each
+        t = _tweet(100 + i)
+        t["timestamp"] = t["date"] = (T0 + _dt.timedelta(minutes=5 * i)).isoformat()
+        rows.append(t)
+    with open(f"{d}/part-0.json", "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in rows))
+
+    batch = {tuple(r) for r in jobs.high_frequency_bots(_decoded_batch(spark, d)).collect()}
+    assert batch, "burst fixture produced no high-frequency windows"
+    assert all(r[2] == "burster" for r in batch)
+
+    sink = MemorySink(limit_per_batch=1_000_000)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = run_multi_sink(
+            jobs.high_frequency_bots(_decoded_stream(spark, d)),
+            [sink],
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(180)
+    got = {tuple(r) for r in sink.rows}
+    # append mode: windows still open at end-of-stream are not emitted,
+    # so the stream output is a subset of batch; the first burst (well
+    # before the final watermark) must have surfaced.
+    assert got <= batch
+    assert any(r[0].hour == 9 and r[0].minute == 0 for r in got), (
+        "closed first-burst window missing"
+    )
+
+
+def test_location_metrics_stream_vs_batch(spark, tweet_stream_dir):
+    batch = {
+        tuple(r)
+        for r in jobs.location_metrics(
+            _decoded_batch(spark, tweet_stream_dir)
+        ).collect()
+    }
+    sink = MemorySink(limit_per_batch=1_000_000)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = run_multi_sink(
+            jobs.location_metrics(_decoded_stream(spark, tweet_stream_dir)),
+            [sink],
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(180)
+    got = {tuple(r) for r in sink.rows}
+    # stream ⊆ batch (append mode holds back still-open windows); every
+    # emitted row matches batch exactly — approx_count_distinct's HLL
+    # merge is order-independent, so the counts agree bit-for-bit.
+    assert got and got <= batch
+    assert any(r["location"] != "Unknown" for r in sink.rows)
+    # windows that closed ≥ watermark horizon before the last event all arrived
+    import datetime as _dt
+    last = max(r[1] for r in batch)
+    closed = {r for r in batch if r[1] <= last - _dt.timedelta(minutes=8)}
+    assert closed <= got
