@@ -3012,3 +3012,37 @@ def q_winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("fp").alias("min_fp"),
         F.max("fp").alias("max_fp"),
     )
+
+
+@register(
+    "events_multi_resolution_rollup",
+    """
+    WITH base AS (
+      SELECT event_type, ts, CAST(ROUND(value*100) AS BIGINT) AS v_c
+      FROM events
+    )
+    SELECT 'minute' AS resolution, date_trunc('minute', ts) AS bucket_ts,
+           event_type, COUNT(*) AS n_events, SUM(v_c) / 100.0 AS sum_value
+    FROM base GROUP BY 2, 3
+    UNION ALL
+    SELECT 'hour', date_trunc('hour', ts), event_type,
+           COUNT(*), SUM(v_c) / 100.0
+    FROM base GROUP BY 2, 3
+    UNION ALL
+    SELECT 'day', date_trunc('day', ts), event_type,
+           COUNT(*), SUM(v_c) / 100.0
+    FROM base GROUP BY 2, 3
+    """,
+    doc="Hypertable-style continuous aggregate (minute/hour/day): the "
+    "Spark plan re-aggregates each coarser level from the finer one "
+    "(hour reads minute, day reads hour — never the raw scan), which "
+    "is the maintenance-cost shape that matters at 100 TB; the oracle "
+    "states the equivalent semantics as three direct GROUP BYs.  "
+    "Counts and exact-cents sums re-aggregate losslessly.",
+)
+def q_events_multi_resolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import multi_resolution_rollup
+
+    return multi_resolution_rollup(
+        _t(spark, sf_dir, "events"), "ts", ["event_type"], "value"
+    )
