@@ -283,6 +283,14 @@ def near_dup_pairs(
     sig = minhash_signatures(make_rows(base), id_col, None, num_hashes).withColumnRenamed(
         "sig", "__sig"
     ).cache()
+    # Materialize both caches NOW: the final plan consumes sig from four
+    # branches (two banding sides, two estimate sides) and base from two;
+    # inside one action those branches race ahead of cache population and
+    # recompute the signature aggregation up to 4x (measured: the same
+    # query swings 4s -> 10s at sf0.1 depending on how the race lands).
+    # Two cheap count() jobs make every consumer a cache read.
+    base.count()
+    sig.count()
     cands = lsh_band_pairs(sig, id_col, "__sig", bands, rows_per_band)
 
     sa = sig.select(F.col(id_col).alias("id_a"), F.col("__sig").alias("sig_a"))

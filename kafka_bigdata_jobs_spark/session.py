@@ -52,6 +52,12 @@ def get_spark(
         # stops compiling, and late queries run interpreted at 5-10x cost.
         # Only effective when this call creates the JVM.
         "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g",
+        # The compiled-class cache defaults to 100 entries; the 89-query
+        # suite generates several hundred distinct codegen classes, so
+        # eviction forces random queries to repay Janino+JIT compile —
+        # the dominant run-to-run variance in bench timings.  Static
+        # conf: must be set before the first codegen (session create).
+        "spark.sql.codegen.cache.maxEntries": "2000",
         **RUNTIME_CONF,
         # 32 matches local test parallelism; AQE coalesces down when small
         # and a cluster deployment overrides upward.  Never the reference's
