@@ -3046,3 +3046,39 @@ def q_events_multi_resolution_rollup(spark: SparkSession, sf_dir: str) -> DataFr
     return multi_resolution_rollup(
         _t(spark, sf_dir, "events"), "ts", ["event_type"], "value"
     )
+
+
+@register(
+    "rolling_week_user_spend",
+    """
+    SELECT event_id, user_id,
+           SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+             PARTITION BY user_id
+             ORDER BY epoch(ts)
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+           ) / 100.0 AS week_spend
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+    doc="RANGE-frame window (value-based, not row-based): each "
+    "purchase's trailing-7-day spend per user — ordered by epoch "
+    "seconds with a 604800-second frame so both engines bound the "
+    "frame identically, peers (equal timestamps) included by RANGE "
+    "semantics in both.  Exact-cents sum; one shuffle on user_id.  "
+    "The rest of the window surface (ROWS frames, ranking, lag) is "
+    "covered by winnow/user_sessions/top3.",
+)
+def q_rolling_week_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-604800, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.sum(R.cents("value")).over(w) / 100.0).alias("week_spend"),
+    )
