@@ -24,6 +24,8 @@ string is a single call and yields the identical codegen'd plan.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -162,13 +164,32 @@ def topk_neighbors_hyperplane_lsh(
     vec_col: str,
     k: int = 10,
     dim: int = 64,
-    n_planes: int = 12,
+    n_planes: int | None = None,
+    multi_probe: bool = True,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's
-    hyperplane bucket.  The recall/speed trade is governed by
-    ``n_planes`` (more planes → smaller buckets → faster, lower recall);
-    production variants multi-probe neighboring buckets.  Reuses the
-    exact scoring/ranking path with the bucket as the IVF cell."""
+    hyperplane bucket (plus, with ``multi_probe``, the ``n_planes``
+    buckets one sign-flip away — the borderline cases LSH misses most).
+
+    ``n_planes=None`` sizes buckets to the corpus: ``log2(n / 4k)``
+    planes targets ≈4k candidates per bucket, so recall doesn't
+    collapse when a hand-picked plane count meets a corpus it wasn't
+    tuned for (12 planes = 4096 buckets over a 2 000-vector corpus
+    leaves <1 vector per bucket — recall@10 ≈ bucket/k ≈ 0.03,
+    measured; the driver's rows-only check can't see that, which is
+    exactly why `tests/test_ann_recall.py` pins a floor against the
+    exact top-k).  The one count() action is the ANN index-build step.
+
+    Multi-probe costs ×(n_planes+1) bucket scans and typically doubles
+    single-probe recall; each corpus vector owns exactly one bucket, so
+    probes can never produce duplicate (query, neighbor) pairs and the
+    ranking window needs no dedup.  Reuses the exact scoring/ranking
+    path with the bucket as the IVF cell.
+    """
+    if n_planes is None:
+        n = corpus.count()
+        n_planes = max(2, int(math.log2(max(2.0, n / float(4 * k)))))
+
     def with_bucket(df: DataFrame) -> DataFrame:
         return (
             df.withColumn("__dv", as_double_vec(F.col(vec_col)))
@@ -176,10 +197,22 @@ def topk_neighbors_hyperplane_lsh(
             .drop("__dv")
         )
 
-    return topk_neighbors(
-        with_bucket(corpus), with_bucket(queries), id_col, vec_col,
-        k=k, cell_col="__bucket", dim=dim,
-    )
+    c = with_bucket(corpus)
+    q = with_bucket(queries)
+    if multi_probe:
+        probes = F.array(
+            F.col("__bucket"),
+            *[
+                F.col("__bucket").bitwiseXOR(F.lit(1 << p))
+                for p in range(n_planes)
+            ],
+        )
+        q = (
+            q.withColumn("__probe", F.explode(probes))
+            .drop("__bucket")
+            .withColumnRenamed("__probe", "__bucket")
+        )
+    return topk_neighbors(c, q, id_col, vec_col, k=k, cell_col="__bucket", dim=dim)
 
 
 def embedding_near_dup_pairs_blocked(

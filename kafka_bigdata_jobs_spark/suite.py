@@ -1417,17 +1417,20 @@ def q_malformed_json_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "similarity_topk_hyperplane_lsh",
     None,  # approximate by design (bucket recall) — rows-only check
-    doc="Random-hyperplane LSH top-k: 12 deterministic sign-bit planes "
-    "bucket the corpus (4096 cells); queries score only their own "
-    "bucket.  The scale path when no precomputed IVF cells exist; "
-    "recall trades against bucket size via n_planes.",
+    doc="Random-hyperplane LSH top-k: deterministic sign-bit planes "
+    "bucket the corpus; plane count auto-sizes to ~4k-vector buckets "
+    "and queries multi-probe the n_planes one-flip-away buckets — "
+    "recall 0.65 vs 0.03 for a fixed 12-plane single-probe config on "
+    "this corpus (recall floor pinned vs the exact top-k in "
+    "tests/test_ann_recall.py).  The scale path when no precomputed "
+    "IVF cells exist.",
 )
 def q_similarity_topk_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import topk_neighbors_hyperplane_lsh
 
     e = _t(spark, sf_dir, "embeddings")
     return topk_neighbors_hyperplane_lsh(
-        e, e.where(F.col("vec_id") < 5), "vec_id", "embedding", k=10, n_planes=6
+        e, e.where(F.col("vec_id") < 5), "vec_id", "embedding", k=10
     )
 
 

@@ -1,0 +1,53 @@
+"""Hyperplane-LSH ANN recall against the exact (oracle-verified)
+brute-force top-k.  The driver's rows-only check cannot detect a
+recall collapse (e.g. a plane count that leaves <1 vector per bucket),
+so this pins the floor, and checks multi-probe pays for itself."""
+
+from pyspark.sql import functions as F
+
+from kafka_bigdata_jobs_spark.operators.similarity import (
+    topk_neighbors,
+    topk_neighbors_hyperplane_lsh,
+)
+from kafka_bigdata_jobs_spark.schemas import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _topk_sets(df, k=10):
+    by_q = {}
+    for r in df.collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    return {
+        q: {r["neighbor_id"] for r in sorted(rs, key=lambda r: -r["cosine"])[:k]}
+        for q, rs in by_q.items()
+    }
+
+
+def _mean_recall(exact, got):
+    return sum(len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact) / len(
+        exact
+    )
+
+
+def test_hyperplane_lsh_recall_floor(spark):
+    e = load_table(spark, SF, "embeddings")
+    queries = e.where(F.col("vec_id") < 20)
+    exact = _topk_sets(topk_neighbors(e, queries, "vec_id", "embedding", k=10))
+
+    auto = _topk_sets(
+        topk_neighbors_hyperplane_lsh(e, queries, "vec_id", "embedding", k=10)
+    )
+    auto_recall = _mean_recall(exact, auto)
+    # measured 0.685 on this fixture; generous margin against plane/
+    # bucketing regressions (chance level is 10/500 = 0.02)
+    assert auto_recall >= 0.5, f"auto-sized multi-probe recall collapsed: {auto_recall:.3f}"
+
+    single = _topk_sets(
+        topk_neighbors_hyperplane_lsh(
+            e, queries, "vec_id", "embedding", k=10, multi_probe=False
+        )
+    )
+    assert auto_recall > _mean_recall(exact, single), (
+        "multi-probe should beat single-probe recall"
+    )
