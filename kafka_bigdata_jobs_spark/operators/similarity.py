@@ -336,3 +336,97 @@ def embedding_near_dup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def l2_normalize(vec_col: str, dim: int) -> Column:
+    """Unit-normalize an array<double> column (expression HOF; O(n·dim)
+    once per row, outside any pair join)."""
+    return F.expr(
+        f"transform({vec_col}, x -> x / sqrt({dot_sql(vec_col, vec_col, dim)}))"
+    )
+
+
+def kmeans_ivf_cells(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 16,
+    max_iter: int = 5,
+    seed: int = 42,
+    dim: int = 64,
+):
+    """Build a real IVF coarse quantizer: k-means over l2-normalized
+    vectors (so euclidean cells follow cosine geometry).
+
+    Returns ``(assigned, centers)``: the corpus with a ``__cell``
+    column, and a small ``(cell_id, center: array<double>)`` frame.
+    Distributed fit via pyspark.ml KMeans (fixed seed, bounded
+    iterations); the fit is the index-build step — at 100 TB run it on
+    a sample and only ``transform`` (one map over the data) assigns
+    cells.  The fixture's ``label`` column is NOT a geometric
+    quantizer (cell-restricted recall 0.13 measured), which is why the
+    engine builds its own cells instead of trusting a precomputed one.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    normed = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        as_double_vec(F.col(vec_col)).alias("__dv"),
+    ).withColumn("__nv", l2_normalize("__dv", dim))
+    ml_df = normed.withColumn("__features", array_to_vector(F.col("__nv")))
+    model = KMeans(
+        k=n_cells,
+        seed=seed,
+        maxIter=max_iter,
+        featuresCol="__features",
+        predictionCol="__cell",
+    ).fit(ml_df)
+    assigned = model.transform(ml_df).select(id_col, vec_col, "__cell")
+    spark = corpus.sparkSession
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell_id int, center array<double>",
+    )
+    return assigned, centers
+
+
+def topk_neighbors_ivf_kmeans(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 3,
+    dim: int = 64,
+    max_iter: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN with a k-means quantizer and ``n_probe`` nearest cells.
+
+    Queries rank the (tiny, broadcast) centroid set by true cosine and
+    probe their top ``n_probe`` cells; scoring/top-k reuses the exact
+    expression path restricted to those cells.  As with LSH
+    multi-probe, a corpus vector lives in exactly one cell, so probes
+    never duplicate (query, neighbor) pairs.
+    """
+    from pyspark.sql.window import Window
+
+    assigned, centers = kmeans_ivf_cells(
+        corpus, id_col, vec_col, n_cells, max_iter, seed, dim
+    )
+    q = queries.select(
+        F.col(id_col), F.col(vec_col), as_double_vec(F.col(vec_col)).alias("__qdv")
+    )
+    scored_cells = q.crossJoin(F.broadcast(centers)).withColumn(
+        "__cdist", F.expr(cosine_sql("__qdv", "center", dim))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__cdist"), F.col("cell_id"))
+    probed = (
+        scored_cells.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= n_probe)
+        .select(id_col, vec_col, F.col("cell_id").alias("__cell"))
+    )
+    return topk_neighbors(assigned, probed, id_col, vec_col, k=k, cell_col="__cell", dim=dim)

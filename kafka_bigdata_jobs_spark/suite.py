@@ -3085,3 +3085,25 @@ def q_rolling_week_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.sum(R.cents("value")).over(w) / 100.0).alias("week_spend"),
     )
+
+
+@register(
+    "similarity_topk_ivf_kmeans",
+    None,  # k-means quantizer (iterative) — not SQL-expressible; rows-only
+    doc="IVF ANN with a REAL coarse quantizer: distributed k-means "
+    "(pyspark.ml, fixed seed, 5 iterations) over l2-normalized "
+    "vectors builds 16 cells; queries rank the broadcast centroids by "
+    "cosine and probe the nearest 3 cells through the exact "
+    "scoring/top-k path.  Fixture labels are not geometric (recall "
+    "0.13 if used as cells); built cells reach 0.50 probing 3/16 "
+    "cells (floor pinned vs exact top-k in tests/test_ann_recall.py). "
+    "The fit is the index-build step — at 100 TB, fit on a sample, "
+    "assign with one map.",
+)
+def q_similarity_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import topk_neighbors_ivf_kmeans
+
+    e = _t(spark, sf_dir, "embeddings")
+    return topk_neighbors_ivf_kmeans(
+        e, e.where(F.col("vec_id") < 5), "vec_id", "embedding", k=10
+    )

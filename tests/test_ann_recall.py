@@ -51,3 +51,20 @@ def test_hyperplane_lsh_recall_floor(spark):
     assert auto_recall > _mean_recall(exact, single), (
         "multi-probe should beat single-probe recall"
     )
+
+
+def test_kmeans_ivf_recall_floor(spark):
+    from kafka_bigdata_jobs_spark.operators.similarity import (
+        topk_neighbors_ivf_kmeans,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    queries = e.where(F.col("vec_id") < 20)
+    exact = _topk_sets(topk_neighbors(e, queries, "vec_id", "embedding", k=10))
+    got = _topk_sets(
+        topk_neighbors_ivf_kmeans(e, queries, "vec_id", "embedding", k=10, n_probe=3)
+    )
+    rec = _mean_recall(exact, got)
+    # measured 0.505 probing 3/16 cells; floor with margin (chance 0.02,
+    # label-as-cell baseline 0.135)
+    assert rec >= 0.35, f"k-means IVF recall collapsed: {rec:.3f}"
