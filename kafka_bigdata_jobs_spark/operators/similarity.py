@@ -243,9 +243,14 @@ def embedding_near_dup_pairs_blocked(
     """
     from .relational import spread
 
+    # Squared norms are hoisted into the cached base projection: the
+    # pair-verify stage then codegens ONE unrolled dot product instead
+    # of three, keeping the generated method under janino's 64 KB limit
+    # (three 64-term dots after two joins tripped the fallback to
+    # interpreted eval).  Same left-to-right sums, same oracle parity.
     base = spread(df).select(
         F.col(id_col).alias("__id"), as_double_vec(F.col(vec_col)).alias("__v")
-    ).cache()
+    ).withColumn("__n2", F.expr(dot_sql("__v", "__v", dim))).cache()
     rows = base.collect()
     import numpy as np
 
@@ -277,13 +282,25 @@ def embedding_near_dup_pairs_blocked(
             yield _pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
 
     cands = base.mapInPandas(gen, cand_schema)
-    a = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
-    b = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    a = base.select(
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n2").alias("__na2"),
+    )
+    b = base.select(
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n2").alias("__nb2"),
+    )
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
         .withColumn(
-            "cosine", F.round(F.expr(cosine_sql("__va", "__vb", dim)), 6)
+            "cosine",
+            F.round(
+                F.expr(cosine_prenormed_sql("__va", "__vb", "__na2", "__nb2", dim)),
+                6,
+            ),
         )
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
