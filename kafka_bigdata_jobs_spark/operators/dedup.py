@@ -43,6 +43,30 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def dedup_within_watermark(
+    df: DataFrame, keys: list[str], ts_col: str, delay: str = "2 minutes"
+) -> DataFrame:
+    """First-seen-per-key dedup, one implementation for both modes.
+
+    Streaming: ``withWatermark(ts) + dropDuplicatesWithinWatermark`` —
+    a key's dedup state is evicted once the watermark passes its event
+    time + ``delay``, so state stays bounded no matter how long the
+    stream runs (plain ``dropDuplicates`` on a stream retains every key
+    ever seen).  At 100 TB/day of events this is the only viable exact
+    streaming dedup: state ∝ keys per ``delay`` window, not keys ever.
+
+    Batch: global ``dropDuplicates(keys)`` on the same columns — the
+    golden output whenever duplicate pairs arrive within ``delay`` of
+    each other in event time (re-delivery/at-least-once duplicates, the
+    case this operator exists for).  Duplicates farther apart are
+    deliberately re-admitted by the streaming variant: that's the
+    bounded-state trade the watermark contract makes explicit.
+    """
+    if df.isStreaming:
+        return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
 def dedup_by_keys(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
     """Keep exactly one row per key combination — the row with the
     smallest ``order_col`` (deterministic; ``dropDuplicates`` keeps an

@@ -371,6 +371,7 @@ def kmeans_ivf_cells(
     max_iter: int = 5,
     seed: int = 42,
     dim: int = 64,
+    fit_sample_rows: int = 8192,
 ):
     """Build a real IVF coarse quantizer: k-means over l2-normalized
     vectors (so euclidean cells follow cosine geometry).
@@ -378,9 +379,11 @@ def kmeans_ivf_cells(
     Returns ``(assigned, centers)``: the corpus with a ``__cell``
     column, and a small ``(cell_id, center: array<double>)`` frame.
     Distributed fit via pyspark.ml KMeans (fixed seed, bounded
-    iterations); the fit is the index-build step — at 100 TB run it on
-    a sample and only ``transform`` (one map over the data) assigns
-    cells.  The fixture's ``label`` column is NOT a geometric
+    iterations); the fit is the index-build step and runs on a seeded
+    sample capped at ``fit_sample_rows`` — centroid quality needs
+    ~1000 points per cell, not the corpus, so the fit cost stays flat
+    as data grows and only ``transform`` (one map over the data)
+    touches every row.  The fixture's ``label`` column is NOT a geometric
     quantizer (cell-restricted recall 0.13 measured), which is why the
     engine builds its own cells instead of trusting a precomputed one.
     """
@@ -401,7 +404,13 @@ def kmeans_ivf_cells(
     # k-means||'s extra distributed passes; with bounded iterations on
     # a quantizer (not a final clustering) quality is equivalent.
     n = ml_df.count()
-    fit_input = ml_df.coalesce(max(1, min(8, n // 2000 + 1))).cache()
+    fit_df = ml_df
+    if n > fit_sample_rows:
+        # 1.05 headroom keeps the Bernoulli sample's expected size at the
+        # cap; exactness doesn't matter, determinism (fixed seed) does.
+        fit_df = ml_df.sample(fraction=min(1.0, 1.05 * fit_sample_rows / n), seed=seed)
+        n = fit_sample_rows
+    fit_input = fit_df.coalesce(max(1, min(8, n // 2000 + 1))).cache()
     model = KMeans(
         k=n_cells,
         seed=seed,

@@ -134,3 +134,48 @@ def test_watermark_applied_only_on_streams(spark):
     batch = load_table(spark, SF, "events")
     out = _windowed_counts(batch)
     assert not out.isStreaming
+
+
+def test_stream_dedup_within_watermark_equals_batch(spark):
+    """At-least-once re-delivery dedup: a stream whose files carry each
+    event twice must emit each event_id exactly once, matching the
+    batch twin (global dropDuplicates) on the same doubled data."""
+    import time
+
+    from kafka_bigdata_jobs_spark.operators.dedup import dedup_within_watermark
+
+    d = tempfile.mkdtemp(prefix="dedup_stream_")
+    ev = (
+        load_table(spark, SF, "events")
+        .where(F.col("user_id") < 10)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .cache()
+    )
+    mid = ev.selectExpr("percentile(cast(ts as double), array(0.5)) as q").first()["q"][0]
+    for pred in [F.col("ts").cast("double") < mid, F.col("ts").cast("double") >= mid]:
+        part = ev.where(pred)
+        # every row twice IN THE SAME FILE: duplicates land in one
+        # micro-batch, so state eviction can never race re-delivery and
+        # the expected output is exact, not watermark-timing-dependent.
+        part.union(part).coalesce(1).write.mode("append").parquet(d)
+        time.sleep(1.1)
+
+    doubled = ev.union(ev)
+    batch_ids = sorted(
+        r["event_id"] for r in dedup_within_watermark(
+            doubled, ["event_id"], "ts"
+        ).collect()
+    )
+    assert len(batch_ids) == ev.count()  # batch twin drops every dupe
+
+    schema = T.StructType([f for f in EVENTS_SCHEMA if f.name != "props"])
+    stream = read_parquet_stream(spark, d, schema)
+    deduped = dedup_within_watermark(stream, ["event_id"], "ts")
+    assert deduped.isStreaming
+    sink = MemorySink()
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = run_multi_sink(deduped, [sink], checkpoint=ckpt)
+        q.awaitTermination(120)
+    got_ids = sorted(r["event_id"] for r in sink.rows)
+    assert got_ids == batch_ids
+    ev.unpersist()
