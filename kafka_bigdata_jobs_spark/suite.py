@@ -1180,6 +1180,34 @@ def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_audio_features",
+    None,  # fake-codec decode isn't SQL-expressible — rows-only check
+    doc="Arrow-batched mapInPandas audio feature extraction over binary "
+    "payloads: fake PCM decode (stubbed codec boundary) feeding real "
+    "vectorized numpy RMS/zero-crossing math, aggregated per sample "
+    "rate.",
+)
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal as M
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.col("text").cast("binary").alias("payload"),
+        )
+    )
+    media = M.attach_media_meta(d, "payload", "audio", "audio/wav")
+    feats = M.extract_audio_features(media)
+    return feats.groupBy("sample_rate").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum("duration_ms").alias("total_ms"),
+        F.round(F.avg("rms"), 4).alias("avg_rms"),
+        F.round(F.avg("zero_crossing_rate"), 4).alias("avg_zcr"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar-function surface + batch windows (SURVEY §2.9, §2.10-T2-as-batch)
 # ---------------------------------------------------------------------------

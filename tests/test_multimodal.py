@@ -77,3 +77,22 @@ def test_resize_images_deterministic_and_composes(media):
     # composes: resize → feature extract over the resized payloads
     feats = M.extract_image_features(resized).collect()
     assert len(feats) == 20
+
+
+def test_audio_features_deterministic(media):
+    feats = M.extract_audio_features(media).orderBy("media_id").collect()
+    assert len(feats) == media.count()
+    for r in feats:
+        assert r["sample_rate"] in (8000, 16000, 22050, 44100)
+        assert r["duration_ms"] > 0
+        assert 0.0 <= r["rms"] <= 1.0
+        assert 0.0 <= r["zero_crossing_rate"] <= 1.0
+    again = M.extract_audio_features(media).orderBy("media_id").collect()
+    assert feats == again
+
+
+def test_audio_real_codec_path_is_stubbed(media):
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="audio codecs"):
+        M.extract_audio_features(media, deterministic_fake=False).collect()
