@@ -3135,3 +3135,151 @@ def q_similarity_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_neighbors_ivf_kmeans(
         e, e.where(F.col("vec_id") < 5), "vec_id", "embedding", k=10
     )
+
+
+# ---------------------------------------------------------------------------
+# Modern semi-structured / reshaping / telemetry surface (Spark 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "variant_props_deciles",
+    """
+    SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10.0)
+                AS BIGINT)                                     AS k_decile,
+           COUNT(*)                                            AS n_events,
+           MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+           COUNT(DISTINCT event_type)                          AS n_types
+    FROM events
+    WHERE props IS NOT NULL
+      AND json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="VARIANT decode of semi-structured props (Spark 4 parse_json + "
+    "try_variant_get) replacing schema-rigid from_json: shredded "
+    "extraction stays JVM-side and null-tolerant (missing paths -> "
+    "null, not error).  Upgrade over the reference's fixed-schema "
+    "from_json boundary (streaming/job1_bots.py:136-138).",
+)
+def q_variant_props_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").where(F.col("props").isNotNull())
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select(k.alias("k"), "event_type")
+        .where(F.col("k").isNotNull())
+        .groupBy(F.floor(F.col("k") / 10.0).alias("k_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )
+
+
+@register(
+    "event_metrics_unpivot",
+    """
+    WITH wide AS (
+      SELECT event_type,
+             COUNT(*)                               AS n_events,
+             COUNT(DISTINCT user_id)                AS uniq_users,
+             SUM(CAST(ROUND(value*100) AS BIGINT))  AS total_cents
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, 'n_events'    AS metric, n_events    AS value FROM wide
+    UNION ALL
+    SELECT event_type, 'uniq_users'  AS metric, uniq_users  AS value FROM wide
+    UNION ALL
+    SELECT event_type, 'total_cents' AS metric, total_cents AS value FROM wide
+    """,
+    doc="Wide->long reshaping with DataFrame.unpivot (melt): the inverse "
+    "of the reference's pivot crosstab (batch/job1_locations.py:111-124) "
+    "-- narrow metric rows for a generic metrics sink.  Exact-integer "
+    "values; oracle is the portable UNION ALL form.",
+)
+def q_event_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    wide = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("uniq_users"),
+        F.sum(R.cents("value")).alias("total_cents"),
+    )
+    return wide.unpivot(
+        ids=["event_type"],
+        values=["n_events", "uniq_users", "total_cents"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@register(
+    "source_stats_observed",
+    """
+    SELECT source,
+           COUNT(*)                                      AS n_docs,
+           SUM(n_chars)                                  AS total_chars,
+           MAX(n_chars)                                  AS max_chars
+    FROM documents
+    WHERE text IS NOT NULL AND trim(text) <> ''
+    GROUP BY source
+    """,
+    doc="observe()-instrumented pipeline telemetry: the same single-pass "
+    "scan carries named Observation metrics (input rows, null-text "
+    "count) at zero extra cost -- no second count() job, the "
+    "training-pipeline replacement for the reference's eager count() "
+    "checkpoints (batch/job1_locations.py:44,59).  Metric values are "
+    "asserted in tests/test_plans.py.",
+)
+def q_source_stats_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    d = d.observe(
+        "source_stats_input",
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(F.col("text").isNull().cast("long")).alias("null_texts"),
+    )
+    return (
+        d.where(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@register(
+    "embedding_quant_stats",
+    """
+    WITH q AS (
+      SELECT label,
+             list_transform(embedding,
+               x -> CAST(floor(x * 127.0 / m + 0.5) AS BIGINT)) AS qv
+      FROM (
+        SELECT label, embedding,
+               list_max(list_transform(embedding, x -> abs(x))) AS m
+        FROM embeddings
+      )
+    )
+    SELECT label,
+           COUNT(*)                 AS n_vecs,
+           SUM(list_sum(qv))        AS sum_q,
+           MIN(list_min(qv))        AS min_q,
+           MAX(list_max(qv))        AS max_q
+    FROM q
+    GROUP BY label
+    """,
+    doc="Arrow-native int8 quantization via mapInArrow (zero pandas "
+    "overhead: RecordBatch in, RecordBatch out) -- the storage-"
+    "compression step of an embedding index build.  Scale = max |x| "
+    "per vector, round-half-up so Spark(numpy) and DuckDB agree "
+    "bit-for-bit; aggregated per label so the oracle hashes scalars, "
+    "not arrays.",
+)
+def q_embedding_quant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import quantize_int8_stats
+
+    e = _t(spark, sf_dir, "embeddings")
+    return quantize_int8_stats(e, vec_col="embedding", group_col="label")

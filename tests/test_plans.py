@@ -44,3 +44,43 @@ def test_batch_spec_rejects_stream(spark):
         )
         with pytest.raises(ValueError, match="use run_stream"):
             spec.run_batch(spark)
+
+
+def test_observe_metrics_single_pass(spark):
+    """source_stats_observed's Observation yields input telemetry from
+    the same job that computes the aggregate — no second count()."""
+    from pyspark.sql import Observation
+
+    docs = load_table(spark, SF, "documents")
+    obs = Observation("input_stats")
+    instrumented = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(F.col("text").isNull().cast("long")).alias("null_texts"),
+    )
+    out = (
+        instrumented.where(F.col("text").isNotNull())
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    got = obs.get
+    assert got["rows_in"] == docs.count()
+    assert got["null_texts"] == docs.where(F.col("text").isNull()).count()
+    assert sum(r["count"] for r in out) == got["rows_in"] - got["null_texts"]
+
+
+def test_quantize_int8_zero_vector_guard(spark):
+    from kafka_bigdata_jobs_spark.operators.similarity import quantize_int8_stats
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (1, [1.0, -2.0, 0.5])],
+        "label int, embedding array<float>",
+    )
+    rows = {r["label"]: r for r in quantize_int8_stats(df).collect()}
+    r = rows[1]
+    # zero vector contributes all-zero quants; real vector max|x|=2 →
+    # q = round([63.5, -127, 31.75]+.5) = [64, -127, 32]
+    assert r["n_vecs"] == 2
+    assert r["min_q"] == -127 and r["max_q"] == 64
+    assert r["sum_q"] == 64 - 127 + 32
