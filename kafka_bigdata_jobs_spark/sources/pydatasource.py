@@ -1,0 +1,145 @@
+"""Spark 4 Python DataSource: deterministic tweet-replay generator.
+
+The reference's ingest side is two Kafka producer scripts replaying CSV
+tweet corpora at a fixed rate (`producers/kafka_producer_bitcoin.py:
+92-124`, seeded `sample(n, random_state=42)` at `:100`).  Re-expressed
+Spark-first, replay is a *data source*, not an external process: the
+Python DataSource API (Spark 4) lets the generator run inside the scan
+stage — each partition generates its own slice in parallel on the
+executors, so there is no driver bottleneck, no broker dependency in
+tests, and the same source serves `spark.read` (bounded corpus) and
+`spark.readStream` (micro-batched replay with real offset tracking).
+
+Scale: generation is embarrassingly parallel (`numPartitions` splits
+the id range); downstream transforms see an ordinary DataFrame with
+the canonical tweet schema, so every batch/streaming job runs on it
+unchanged.  Determinism: row i is a pure function of (seed, i) —
+re-running a batch or restarting a stream from an offset reproduces
+byte-identical rows (the replay analogue of the reference's fixed
+`random_state`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+
+from ..schemas import TWEET_SCHEMA
+
+_CRYPTOS = ("bitcoin", "ethereum")
+_SOURCES = ("Twitter Web App", "Twitter for iPhone", "Twitter for Android", "bot_client")
+_LOCATIONS = ("", "London", "NYC", "Unknown", "madrid", "Tokyo 🗼", "remote")
+_TAGS = ("btc", "eth", "crypto", "hodl", "defi", "nft", "moon")
+_WORDS = (
+    "buy", "sell", "moon", "dip", "pump", "great", "terrible", "love",
+    "crash", "bullish", "bearish", "hold", "market", "price", "news",
+)
+
+
+def _tweet(seed: int, i: int) -> tuple:
+    """Row i as a pure function of (seed, i) — stable across restarts."""
+    import random
+
+    rng = random.Random((seed << 32) ^ i)
+    crypto = _CRYPTOS[i % 2]
+    n_words = rng.randint(3, 12)
+    text = " ".join(rng.choice(_WORDS) for _ in range(n_words))
+    tags = sorted(rng.sample(_TAGS, rng.randint(0, 3)))
+    hashtags = "[" + ", ".join(f"'{t}'" for t in tags) + "]" if tags else "[]"
+    base = 1_600_000_000 + i  # one tweet/sec from a fixed epoch
+    ts = __import__("datetime").datetime.utcfromtimestamp(base)
+    created = __import__("datetime").datetime.utcfromtimestamp(
+        base - rng.randint(10_000, 100_000_000)
+    )
+    return (
+        crypto,
+        f"user_{rng.randint(0, 499)}",
+        rng.choice(_LOCATIONS),
+        f"desc {rng.choice(_WORDS)}",
+        created.strftime("%Y-%m-%d %H:%M:%S"),
+        rng.randint(0, 100_000),
+        rng.randint(0, 5_000),
+        rng.randint(0, 50_000),
+        rng.random() < 0.05,
+        ts.strftime("%Y-%m-%d %H:%M:%S"),
+        text,
+        hashtags,
+        rng.choice(_SOURCES),
+        rng.random() < 0.3,
+        ts.strftime("%Y-%m-%dT%H:%M:%S"),
+    )
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class _TweetBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", 1000))
+        self.n_parts = int(options.get("numPartitions", 4))
+        self.seed = int(options.get("seed", 42))
+
+    def partitions(self):
+        step = max(1, -(-self.n_rows // self.n_parts))
+        return [
+            _RangePartition(lo, min(lo + step, self.n_rows))
+            for lo in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition):
+        for i in range(partition.start, partition.end):
+            yield _tweet(self.seed, i)
+
+
+class _TweetStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batched replay: offset = next row id.  ``read`` serves
+    ``rowsPerBatch`` new rows per trigger; ``readBetweenOffsets``
+    regenerates any range deterministically for recovery."""
+
+    def __init__(self, options):
+        self.seed = int(options.get("seed", 42))
+        self.per_batch = int(options.get("rowsPerBatch", 100))
+        self.max_rows = int(options.get("maxRows", 10_000))
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = start["next"]
+        hi = min(lo + self.per_batch, self.max_rows)
+        return iter([_tweet(self.seed, i) for i in range(lo, hi)]), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_tweet(self.seed, i) for i in range(start["next"], end["next"])])
+
+
+class TweetReplayDataSource(DataSource):
+    """``spark.read.format("tweet_replay")`` after
+    ``spark.dataSource.register(TweetReplayDataSource)``.
+
+    Options: ``rows``, ``numPartitions``, ``seed`` (batch);
+    ``rowsPerBatch``, ``maxRows``, ``seed`` (stream).
+    """
+
+    @classmethod
+    def name(cls):
+        return "tweet_replay"
+
+    def schema(self):
+        return TWEET_SCHEMA
+
+    def reader(self, schema):
+        return _TweetBatchReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return _TweetStreamReader(self.options)
+
+
+def register_tweet_replay(spark) -> None:
+    spark.dataSource.register(TweetReplayDataSource)

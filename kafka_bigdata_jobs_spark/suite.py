@@ -3283,3 +3283,34 @@ def q_embedding_quant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return quantize_int8_stats(e, vec_col="embedding", group_col="label")
+
+
+@register(
+    "tweet_replay_trending",
+    None,  # generated corpus — not derivable from the fixture tables
+    doc="End-to-end producer replacement: Spark 4 Python DataSource "
+    "generates the seeded tweet corpus inside the scan stage "
+    "(partition-parallel, no Kafka broker), feeding the trending-"
+    "hashtags transform (reference producers/kafka_producer_bitcoin.py"
+    ":92-124 + streaming/job2.py:144-199).  Deterministic by "
+    "construction; stream/batch replay equivalence in "
+    "tests/test_pydatasource.py.",
+)
+def q_tweet_replay_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import extract_hashtags
+    from .sources.pydatasource import register_tweet_replay
+
+    apply_runtime_conf(spark)
+    register_tweet_replay(spark)
+    corpus = (
+        spark.read.format("tweet_replay")
+        .option("rows", 2000)
+        .option("numPartitions", 8)
+        .option("seed", 42)
+        .load()
+    )
+    return (
+        extract_hashtags(corpus, "hashtags")
+        .groupBy("crypto_type", "hashtag")
+        .agg(F.count(F.lit(1)).alias("n_tweets"))
+    )

@@ -1,0 +1,81 @@
+"""Python DataSource (Spark 4) tweet-replay source: batch determinism,
+partition parallelism, stream/batch replay equivalence, and feeding a
+real job transform (the reference's producers → Kafka → job path with
+no broker; producers/kafka_producer_bitcoin.py:92-124 replay semantics).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_bigdata_jobs_spark.schemas import TWEET_SCHEMA
+from kafka_bigdata_jobs_spark.sources.pydatasource import register_tweet_replay
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register_tweet_replay(spark)
+
+
+def _batch(spark, rows=400, parts=4, seed=42):
+    return (
+        spark.read.format("tweet_replay")
+        .option("rows", rows)
+        .option("numPartitions", parts)
+        .option("seed", seed)
+        .load()
+    )
+
+
+def test_batch_schema_and_determinism(spark):
+    df = _batch(spark)
+    assert df.schema == TWEET_SCHEMA
+    a = df.orderBy("timestamp").collect()
+    b = _batch(spark).orderBy("timestamp").collect()
+    assert a == b
+    assert len(a) == 400
+    # different seed → different corpus
+    c = _batch(spark, seed=7).orderBy("timestamp").collect()
+    assert a != c
+
+
+def test_batch_partition_parallelism(spark):
+    df = _batch(spark, rows=1000, parts=8)
+    assert df.rdd.getNumPartitions() == 8
+    # partitions tile the id range exactly: no dupes, no gaps
+    assert df.count() == 1000
+    assert df.select("timestamp").distinct().count() == 1000
+
+
+def test_stream_replay_equals_batch_prefix(spark):
+    stream = (
+        spark.readStream.format("tweet_replay")
+        .option("rowsPerBatch", 100)
+        .option("maxRows", 300)
+        .option("seed", 42)
+        .load()
+    )
+    # Python SimpleDataSourceStreamReader doesn't support availableNow;
+    # drain with default micro-batches until the offset stops advancing.
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("tweet_replay_mem")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.table("tweet_replay_mem").orderBy("timestamp").collect()
+    want = _batch(spark, rows=300).orderBy("timestamp").collect()
+    assert got == want
+
+
+def test_feeds_job_transform(spark):
+    """The generated corpus drives the trending-hashtags transform."""
+    from kafka_bigdata_jobs_spark.operators.text import extract_hashtags
+
+    df = _batch(spark, rows=500)
+    tags = extract_hashtags(df, "hashtags")
+    counts = tags.groupBy("hashtag").count().collect()
+    assert counts and all(r["hashtag"] and not r["hashtag"].startswith("[") for r in counts)
