@@ -147,3 +147,65 @@ def _duration_ms(s: str) -> int:
         "hour": 3_600_000, "hours": 3_600_000,
     }[unit]
     return int(n) * mult
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4): running per-key totals
+# ---------------------------------------------------------------------------
+
+RUNNING_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("cum_events", T.LongType()),
+        T.StructField("cum_cents", T.LongType()),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame, key_col: str = "user_id",
+                        value_col: str = "value") -> DataFrame:
+    """Streaming running totals per key via ``transformWithStateInPandas``
+    (Spark 4's typed-state successor to ``applyInPandasWithState``:
+    named ValueState/ListState/MapState handles + timers instead of one
+    opaque tuple).  Each micro-batch emits the key's updated cumulative
+    (event count, exact cents) — the incremental-metrics shape the
+    reference approximates with sliding-window re-aggregation
+    (streaming/job2.py:267-308) but with O(keys) state and
+    update-not-recompute semantics.
+
+    Batch twin for the duality test: ``groupBy(key).agg(count, sum)``
+    must equal each key's LAST emitted update.
+    """
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle):
+            self._state = handle.getValueState(
+                "totals", "n BIGINT, cents BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as _np
+            import pandas as _pd
+
+            n, cents = (self._state.get() or (0, 0)) if self._state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                v = pdf[value_col].astype(float).to_numpy()
+                # per-row half-away-from-zero cents, matching F.round(v*100)
+                c = _np.sign(v) * _np.floor(_np.abs(v) * 100.0 + 0.5)
+                cents += int(c.sum())
+            self._state.update((n, cents))
+            yield _pd.DataFrame(
+                {"user_id": [key[0]], "cum_events": [n], "cum_cents": [cents]}
+            )
+
+        def close(self):
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -84,3 +84,55 @@ def test_stream_sessions_match_batch(spark, small_events):
     for k, v in got.items():
         assert batch[k] == v, f"session {k}: stream={v} batch={batch[k]}"
     assert len(got) >= len(batch) - 3  # ≤ one open session per user withheld
+
+
+def test_transform_with_state_running_totals(spark, small_events):
+    """transformWithStateInPandas running totals: the last Update emitted
+    per key must equal the batch groupBy totals (exact cents)."""
+    import tempfile as _tf
+
+    # Spark's transformWithState Python protocol needs protobuf, which
+    # this container lacks; the operator is exercised wherever it exists.
+    pytest.importorskip("google.protobuf")
+
+    from kafka_bigdata_jobs_spark.streaming.stateful import running_user_totals
+
+    batch = {
+        r["user_id"]: (r["n"], r["cents"])
+        for r in small_events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+
+    src = _tf.mkdtemp(prefix="twstate_src_")
+    # two files → at least two micro-batches → updates actually update
+    even = small_events.where(F.col("event_id") % 2 == 0)
+    odd = small_events.where(F.col("event_id") % 2 == 1)
+    even.coalesce(1).write.mode("overwrite").parquet(src + "/a")
+    odd.coalesce(1).write.mode("append").parquet(src + "/a")
+
+    stream = read_parquet_stream(
+        spark, src + "/a", small_events.schema, max_files_per_trigger=1
+    )
+    out = running_user_totals(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_totals_mem")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    updates = spark.table("running_totals_mem").collect()
+    assert updates
+    # cum_events is monotone per key — the final state is the max row
+    last = {}
+    for r in updates:
+        cur = last.get(r["user_id"])
+        if cur is None or r["cum_events"] > cur[0]:
+            last[r["user_id"]] = (r["cum_events"], r["cum_cents"])
+    assert last == batch
