@@ -3314,3 +3314,104 @@ def q_tweet_replay_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("crypto_type", "hashtag")
         .agg(F.count(F.lit(1)).alias("n_tweets"))
     )
+
+
+@register(
+    "try_arithmetic_safety",
+    """
+    SELECT event_type,
+           COUNT(*)                                                AS n_events,
+           COUNT(CAST(ROUND(value * 100) AS BIGINT)
+                 / NULLIF(CAST(json_extract_string(props, '$.k') AS INTEGER)
+                          - 50, 0))                                AS n_safe_ratios,
+           SUM(CAST(floor(CAST(ROUND(value * 100) AS BIGINT)
+                 / NULLIF(CAST(json_extract_string(props, '$.k') AS INTEGER)
+                          - 50, 0)) AS BIGINT))                    AS sum_ratio
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="Error-tolerant arithmetic: try_divide/try_cast turn "
+    "divide-by-zero and bad casts into nulls instead of job-killing "
+    "exceptions — at 100 TB one poison row must not fail the stage.  "
+    "Oracle expresses the same null algebra with NULLIF/TRY_CAST.",
+)
+def q_try_arithmetic_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").where(F.col("props").isNotNull())
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    ratio = F.try_divide(R.cents("value"), k - F.lit(50))
+    return ev.select("event_type", ratio.alias("r")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("r").alias("n_safe_ratios"),
+        F.sum(F.floor("r")).alias("sum_ratio"),
+    )
+
+
+@register(
+    "embedding_component_stats",
+    """
+    SELECT label,
+           COUNT(*)                                                 AS n_vecs,
+           SUM(len(list_filter(embedding, x -> x > 0)))             AS n_pos_components,
+           SUM(CASE WHEN list_max(embedding) > 2.0 THEN 1 ELSE 0 END) AS n_spiky
+    FROM embeddings
+    GROUP BY label
+    """,
+    doc="Higher-order array functions (filter/exists/array_max) keep "
+    "per-element logic JVM-side — no explode shuffle, no UDF: the "
+    "lambda compiles into the scan stage.  Counts positive components "
+    "and spiky vectors per label.",
+)
+def q_embedding_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.size(F.filter("embedding", lambda x: x > 0))).alias(
+            "n_pos_components"
+        ),
+        F.sum(
+            F.when(F.array_max("embedding") > 2.0, 1).otherwise(0)
+        ).alias("n_spiky"),
+    )
+
+
+@register(
+    "token_position_stats",
+    """
+    SELECT pos,
+           COUNT(*)            AS n_tokens,
+           SUM(length(tok))    AS total_len,
+           COUNT(DISTINCT tok) AS uniq_tokens
+    FROM (
+      SELECT gs.pos AS pos, toks[gs.pos] AS tok
+      FROM (
+        SELECT string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+        WHERE text IS NOT NULL AND trim(text) <> ''
+      )
+      CROSS JOIN generate_series(1, 5) AS gs(pos)
+      WHERE gs.pos <= len(toks)
+    )
+    GROUP BY pos
+    """,
+    doc="posexplode: token position becomes a first-class column in one "
+    "generator step (the reference's split+explode loses ordinality, "
+    "streaming/job2.py:153-163).  Leading-token stats for the first 5 "
+    "positions.",
+)
+def q_token_position_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    toks = d.select(F.split(F.trim("text"), r"\s+").alias("toks"))
+    return (
+        toks.select(F.posexplode("toks").alias("pos0", "tok"))
+        .where(F.col("pos0") < 5)
+        .select((F.col("pos0") + 1).alias("pos"), "tok")
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.length("tok")).alias("total_len"),
+            F.countDistinct("tok").alias("uniq_tokens"),
+        )
+    )
