@@ -179,3 +179,78 @@ def test_stream_dedup_within_watermark_equals_batch(spark):
     got_ids = sorted(r["event_id"] for r in sink.rows)
     assert got_ids == batch_ids
     ev.unpersist()
+
+
+def test_checkpoint_restart_exactly_once(spark):
+    """Stop a checkpointed stream, add new source files, restart with the
+    SAME checkpoint: the sink must contain every source row exactly once
+    — offsets resume from the checkpoint, no reprocessing, no loss
+    (reference relies on this implicitly via checkpointLocation on all
+    14 writeStream sites, e.g. streaming/job1_bots.py:363-369)."""
+    import tempfile
+
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    quarters = [ev.where(F.col("event_id") % 4 == i) for i in range(4)]
+
+    src = tempfile.mkdtemp(prefix="ckpt_src_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_state_")
+    out = tempfile.mkdtemp(prefix="ckpt_out_")
+
+    def start_query():
+        stream = read_parquet_stream(spark, src, quarters[0].schema)
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    for i in range(2):
+        quarters[i].coalesce(1).write.mode("append").parquet(src)
+    q = start_query()
+    q.processAllAvailable()
+    q.stop()
+
+    for i in range(2, 4):
+        quarters[i].coalesce(1).write.mode("append").parquet(src)
+    q = start_query()
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.read.schema(quarters[0].schema).parquet(out)
+    assert got.count() == ev.count()  # no duplicates, no loss
+    assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_complete_mode_running_aggregate(spark):
+    """Complete output mode re-emits the full aggregate each batch (the
+    mode the reference never uses — its jobs are append-only): after
+    draining, the memory table equals the batch groupBy exactly."""
+    import tempfile
+
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = tempfile.mkdtemp(prefix="complete_src_")
+    ev.coalesce(2).write.mode("overwrite").parquet(src)
+
+    stream = read_parquet_stream(spark, src, ev.schema)
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("complete_counts")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r["event_type"]: r["n"] for r in spark.table("complete_counts").collect()}
+    want = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
