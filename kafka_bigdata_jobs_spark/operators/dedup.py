@@ -440,3 +440,61 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Exact connected components by min-label propagation — the step
+    that turns near-dup PAIRS into dedup CLUSTERS (keep one doc per
+    component, drop the rest).
+
+    Each iteration: every node takes the min label among itself and its
+    neighbors (join + groupBy-min = two shuffles); converged when the
+    global label sum stops changing — min-propagation labels are
+    monotonically non-increasing, so an unchanged sum means a fixpoint,
+    checked with one tiny agg action per round.  Iterations needed =
+    graph diameter, which for near-dup clusters (tight cliques of
+    copies) is 1-2.  ``localCheckpoint`` truncates lineage each round
+    so the plan doesn't grow with iterations.
+
+    Scale: this is the textbook iterative CC; at billions of edges the
+    same loop body would use the large-star/small-star edge rewriting
+    (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    to bound per-round shuffle volume — the fixture graphs are far
+    below that regime.  Labels are component-minimum ids:
+    deterministic, so the output is oracle-checkable against a
+    recursive-CTE reachability closure.
+    """
+    bidir = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        bidir.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        msgs = bidir.join(
+            labels, bidir["a"] == labels["node"]
+        ).select(F.col("b").alias("node"), "comp")
+        labels = (
+            labels.union(msgs)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    bidir.unpersist()
+    return labels

@@ -3415,3 +3415,50 @@ def q_token_position_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("tok").alias("uniq_tokens"),
         )
     )
+
+
+@register(
+    "near_dup_clusters",
+    """
+    WITH RECURSIVE s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(length(text)-4),
+                                          i -> substr(text, i+1, 5))) AS sh
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach(node, root) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+    ), comp AS (
+      SELECT node, MIN(root) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT cluster_id, COUNT(*) AS n_docs, MAX(node) AS max_doc_id
+    FROM comp
+    GROUP BY cluster_id
+    """,
+    doc="Dedup clustering: MinHash-LSH pairs -> exact connected "
+    "components by iterative min-label propagation "
+    "(operators/dedup.py::connected_components) -> one canonical doc "
+    "(the min id = cluster_id) per duplicate group.  Oracle computes "
+    "the same closure with a recursive CTE over brute-force Jaccard "
+    "pairs — the engine never materializes O(n^2).",
+)
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import connected_components, near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(d, "doc_id", "text", threshold=0.8)
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.groupBy(F.col("comp").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("node").alias("max_doc_id"),
+    )

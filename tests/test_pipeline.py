@@ -99,3 +99,16 @@ def test_distinctive_terms_rank_is_total_order(spark):
     assert sorted(by_doc[1]) == [(1, "apple", 2, 2), (2, "banana", 1, 2)]
     # doc2: tf=2 tie between banana/cherry -> banana first (df 2 < 3)
     assert sorted(by_doc[2])[0] == (1, "banana", 2, 2)
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Chain 1-2-3-4 (diameter 3), triangle 10-11-12, isolated pair
+    20-21: labels converge to the component minimum for every node."""
+    from kafka_bigdata_jobs_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
