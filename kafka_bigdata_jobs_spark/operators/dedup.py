@@ -469,6 +469,9 @@ def connected_components(
     deterministic, so the output is oracle-checkable against a
     recursive-CTE reachability closure.
     """
+    # bidir references edges twice (both directions); persist the input
+    # so an expensive upstream (the LSH funnel) computes once, not twice
+    edges = edges.persist()
     bidir = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -479,22 +482,25 @@ def connected_components(
         bidir.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sum = None
     for _ in range(max_iter):
         msgs = bidir.join(
             labels, bidir["a"] == labels["node"]
         ).select(F.col("b").alias("node"), "comp")
+        # lazy checkpoint: the convergence agg below is the action that
+        # materializes it — one job per round, not two
         labels = (
             labels.union(msgs)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("comp")).first()[0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
     bidir.unpersist()
+    edges.unpersist()
     return labels

@@ -3462,3 +3462,94 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.max("node").alias("max_doc_id"),
     )
+
+
+@register(
+    "hourly_gapfill_summary",
+    """
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ), hours AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM span
+    ), grid AS (
+      SELECT ty.event_type, hours.h, COALESCE(b.n, 0) AS n
+      FROM (SELECT DISTINCT event_type FROM events) ty
+      CROSS JOIN hours
+      LEFT JOIN b ON b.event_type = ty.event_type AND b.h = hours.h
+    ), zeros AS (
+      SELECT event_type,
+             CAST(floor(epoch(h) / 3600) AS BIGINT)
+               - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS grp
+      FROM grid WHERE n = 0
+    ), runs AS (
+      SELECT event_type, COUNT(*) AS run_len
+      FROM zeros GROUP BY event_type, grp
+    )
+    SELECT g.event_type,
+           COUNT(*)                                   AS n_hours,
+           SUM(CASE WHEN g.n > 0 THEN 1 ELSE 0 END)   AS n_active_hours,
+           SUM(g.n)                                   AS n_events,
+           COALESCE(MAX(r.longest), 0)                AS longest_gap_hours
+    FROM grid g
+    LEFT JOIN (SELECT event_type, MAX(run_len) AS longest
+               FROM runs GROUP BY event_type) r
+      ON r.event_type = g.event_type
+    GROUP BY g.event_type
+    """,
+    doc="Time-series resample + gap fill: sequence()+explode builds the "
+    "dense hourly grid (the timestamps-that-aren't-there), left join "
+    "zero-fills, and a gaps-and-islands window finds the longest "
+    "outage run per series — the hypertable/monitoring shape the "
+    "reference's windowed metrics can't see (absent data is invisible "
+    "to groupBy).  Grid size is bounded by span/granularity, "
+    "independent of event volume.",
+)
+def q_hourly_gapfill_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    span = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(hours))
+        .join(b, ["event_type", "h"], "left")
+        .select("event_type", "h", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    zeros = grid.where(F.col("n") == 0).select(
+        "event_type",
+        (
+            F.floor(F.unix_timestamp("h") / 3600) - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    runs = zeros.groupBy("event_type", "grp").agg(F.count(F.lit(1)).alias("run_len"))
+    longest = runs.groupBy("event_type").agg(F.max("run_len").alias("longest"))
+    return (
+        grid.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(F.when(F.col("n") > 0, 1).otherwise(0)).alias("n_active_hours"),
+            F.sum("n").alias("n_events"),
+        )
+        .join(longest, "event_type", "left")
+        .select(
+            "event_type",
+            "n_hours",
+            "n_active_hours",
+            "n_events",
+            F.coalesce("longest", F.lit(0)).alias("longest_gap_hours"),
+        )
+    )
