@@ -77,3 +77,30 @@ def test_csv_rejects_quarantine(spark, tmp_path):
     assert good_rows[1]["score"] == 10.5
     assert any("notanumber" in line for line in bad)
     assert not any(c == "_corrupt_record" for c in good.columns)
+
+
+def test_orc_and_jsonl_round_trip(spark):
+    """Format completeness: the same frame survives ORC and JSON-lines
+    round trips byte-exactly (timestamps pinned to UTC session TZ).
+    Parquet is the primary format everywhere else in the suite."""
+    import tempfile
+
+    from kafka_bigdata_jobs_spark.schemas import load_table
+
+    ev = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+    want = ev.collect()
+
+    d = tempfile.mkdtemp(prefix="fmt_rt_")
+    ev.write.mode("overwrite").orc(d + "/orc")
+    got_orc = spark.read.orc(d + "/orc").orderBy("event_id").collect()
+    assert got_orc == want
+
+    ev.write.mode("overwrite").json(d + "/jsonl")
+    got_json = (
+        spark.read.schema(ev.schema).json(d + "/jsonl").orderBy("event_id").collect()
+    )
+    assert got_json == want
