@@ -142,4 +142,14 @@ class TweetReplayDataSource(DataSource):
 
 
 def register_tweet_replay(spark) -> None:
+    # The data source class is recreated inside a dedicated Python
+    # worker process that does NOT inherit the driver's sys.path, so a
+    # by-reference pickle ("import kafka_bigdata_jobs_spark...") fails
+    # whenever the engine isn't installed on the workers.  Serialize
+    # this module by value instead — it is self-contained on purpose.
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(TweetReplayDataSource)

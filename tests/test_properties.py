@@ -1,0 +1,95 @@
+"""Property-based spot checks (SURVEY.md §5.4) with hypothesis.
+
+Each property is an algebraic invariant the engine relies on at scale:
+partition-invariance makes results reproducible regardless of cluster
+parallelism; pivot row-sums tie the crosstab to its marginal; hash
+splits must be append-stable or validation data leaks into training.
+Few examples per property (Spark jobs are seconds each), broad value
+ranges.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kafka_bigdata_jobs_spark.operators.relational import exact_sum, pivot_counts
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+values = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(vals=values, parts=st.integers(min_value=1, max_value=7))
+@settings(**SETTINGS)
+def test_exact_sum_partition_invariant(spark, vals, parts):
+    """Integer-cents sums are associative+commutative exactly, so the
+    answer cannot depend on how rows land across partitions (double
+    summation would differ in the last bits per partitioning)."""
+    df = spark.createDataFrame([(float(v),) for v in vals], "value double")
+    one = df.coalesce(1).agg(exact_sum("value").alias("s")).first()["s"]
+    many = (
+        df.repartition(parts).agg(exact_sum("value").alias("s")).first()["s"]
+    )
+    assert one == many
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 5), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**SETTINGS)
+def test_pivot_rowsums_equal_group_counts(spark, pairs):
+    """The pivot crosstab's row-sum must equal the plain groupBy count —
+    explicit pivot values may add zero columns but never lose rows."""
+    df = spark.createDataFrame(pairs, "k int, cat string")
+    piv = pivot_counts(df, ["k"], "cat", ["a", "b", "c"]).collect()
+    want = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r["k"]: sum(r[c] for c in ("a", "b", "c")) for r in piv}
+    assert got == want
+
+
+@given(ids=st.sets(st.integers(min_value=0, max_value=10_000), min_size=2, max_size=60))
+@settings(**SETTINGS)
+def test_split_assignment_append_stable(spark, ids):
+    """A key's train/val/test split is a pure function of the key:
+    computing splits on a subset and on the full set must agree on the
+    subset (no leakage when the corpus grows)."""
+    from kafka_bigdata_jobs_spark.operators.pipeline import assign_split
+
+    ids = sorted(ids)
+    half = ids[: len(ids) // 2]
+    full_df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    half_df = spark.createDataFrame([(i,) for i in half], "doc_id bigint")
+    on_full = {
+        r["doc_id"]: r["split"] for r in assign_split(full_df, "doc_id").collect()
+    }
+    on_half = {
+        r["doc_id"]: r["split"] for r in assign_split(half_df, "doc_id").collect()
+    }
+    assert all(on_full[i] == on_half[i] for i in half)
+
+
+@given(texts=st.lists(st.text(max_size=40), min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_sentiment_classifies_every_row(spark, texts):
+    """The 5-way sentiment ladder is total: every input row gets exactly
+    one class, nulls included (reference job3 must never drop tweets)."""
+    from kafka_bigdata_jobs_spark.operators.sentiment import with_sentiment
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = with_sentiment(df, "text").collect()
+    assert len(rows) == len(texts)
+    assert all(r["sentiment"] is not None for r in rows)
