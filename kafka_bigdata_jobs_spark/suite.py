@@ -3553,3 +3553,28 @@ def q_hourly_gapfill_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("longest", F.lit(0)).alias("longest_gap_hours"),
         )
     )
+
+
+@register(
+    "weekly_uniques_hll_mergeable",
+    None,  # Datasketches binaries are engine-specific — rows-only;
+    # tolerance vs exact countDistinct pinned in tests/test_plans.py
+    doc="Mergeable-sketch rollup: one HLL sketch per (event_type, day) "
+    "— the only pass over raw data — then hll_union_agg re-aggregates "
+    "day sketches into weekly uniques WITHOUT touching raw rows again. "
+    "This is the continuous-aggregate pattern for COUNT DISTINCT at "
+    "100 TB: exact distinct can't pre-aggregate (uniques don't sum), "
+    "sketches union losslessly.",
+)
+def q_weekly_uniques_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type", F.date_trunc("week", "day").alias("week"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_uniques"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )

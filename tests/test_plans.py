@@ -84,3 +84,24 @@ def test_quantize_int8_zero_vector_guard(spark):
     assert r["n_vecs"] == 2
     assert r["min_q"] == -127 and r["max_q"] == 64
     assert r["sum_q"] == 64 - 127 + 32
+
+
+def test_hll_mergeable_rollup_close_to_exact(spark):
+    """Weekly uniques from unioned daily sketches must land within HLL
+    error (lgK=12 → ~1.6% rel. std err; assert 5%) of the exact
+    countDistinct — and re-aggregation must never touch raw rows."""
+    ev = load_table(spark, SF, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    weekly = (
+        daily.groupBy("event_type", F.date_trunc("week", "day").alias("week"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx"))
+    )
+    exact = ev.groupBy(
+        "event_type", F.date_trunc("week", "ts").alias("week")
+    ).agg(F.countDistinct("user_id").alias("exact"))
+    joined = weekly.join(exact, ["event_type", "week"]).collect()
+    assert joined
+    for r in joined:
+        assert abs(r["approx"] - r["exact"]) <= max(3, 0.05 * r["exact"])
