@@ -3578,3 +3578,234 @@ def q_weekly_uniques_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_days"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical moments, inter-arrival gaps, journey endpoints, mode
+# (beyond reference: SURVEY §7 phase 4 analytics widening)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "value_dispersion_stats",
+    """
+    SELECT l_returnflag,
+           n,
+           ROUND(SQRT((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                       - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) / 100.0,
+                 4)                                            AS stddev_qty,
+           ROUND(SQRT((CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                       - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) / 100.0,
+                 4)                                            AS stddev_price,
+           ROUND((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+                  - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+                 / (SQRT(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                         - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                    * SQRT(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                           - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))),
+                 6)                                            AS corr_qty_price
+    FROM (
+        SELECT l_returnflag,
+               COUNT(*)                                        AS n,
+               SUM(CAST(ROUND(l_quantity*100) AS BIGINT))      AS sq,
+               SUM(CAST(ROUND(l_quantity*100) AS BIGINT)
+                   * CAST(ROUND(l_quantity*100) AS BIGINT))    AS sqq,
+               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sp,
+               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                   * CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS spp,
+               SUM(CAST(ROUND(l_quantity*100) AS BIGINT)
+                   * CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sqp
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    """,
+    doc="Sample stddev + Pearson correlation from exact integer moment "
+    "sums (one pass, map-side combinable), with the variance/corr "
+    "formula applied identically in double in both engines so the "
+    "value hash is bit-stable.  Built-in stddev_samp/corr are "
+    "order-dependent double accumulations — unusable for cross-engine "
+    "hashing.  At >1B rows the cents^2 sums move to DECIMAL(38,0); "
+    "kept BIGINT here to stay in whole-stage codegen.  (Reference has "
+    "avg/min/max only, e.g. batch/job2_historico.py:126-128.)",
+)
+def q_value_dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    q = R.cents("l_quantity")
+    p = R.cents("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(q * q).alias("sqq"),
+        F.sum(p).alias("sp"),
+        F.sum(p * p).alias("spp"),
+        F.sum(q * p).alias("sqp"),
+    )
+    n = F.col("n").cast("double")
+    sq = F.col("sq").cast("double")
+    sqq = F.col("sqq").cast("double")
+    sp = F.col("sp").cast("double")
+    spp = F.col("spp").cast("double")
+    sqp = F.col("sqp").cast("double")
+    nm1 = (F.col("n") - 1).cast("double")
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(F.sqrt((n * sqq - sq * sq) / (n * nm1)) / 100.0, 4).alias(
+            "stddev_qty"
+        ),
+        F.round(F.sqrt((n * spp - sp * sp) / (n * nm1)) / 100.0, 4).alias(
+            "stddev_price"
+        ),
+        F.round(
+            (n * sqp - sq * sp)
+            / (F.sqrt(n * sqq - sq * sq) * F.sqrt(n * spp - sp * sp)),
+            6,
+        ).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "event_gap_stats",
+    """
+    SELECT event_type,
+           COUNT(*)                                            AS n_gaps,
+           SUM(gap_ms)                                         AS total_gap_ms,
+           MIN(gap_ms)                                         AS min_gap_ms,
+           MAX(gap_ms)                                         AS max_gap_ms
+    FROM (
+        SELECT event_type,
+               epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+        FROM events
+    )
+    WHERE gap_ms IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="Per-user inter-arrival gaps via LAG over (ts, event_id) — "
+    "integer epoch-millis arithmetic, so sums are exact.  One shuffle "
+    "on user_id for the window, one partial-aggregated shuffle for the "
+    "rollup; at scale the window partition key (user_id) bounds state "
+    "per task.  (Reference computes per-window counts but never "
+    "consecutive-row deltas; §2.6 notes it has no window functions.)",
+)
+def q_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    gaps = ev.select(
+        "event_type", (ms - F.lag(ms).over(w)).alias("gap_ms")
+    ).where(F.col("gap_ms").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_ms").alias("total_gap_ms"),
+        F.min("gap_ms").alias("min_gap_ms"),
+        F.max("gap_ms").alias("max_gap_ms"),
+    )
+
+
+@register(
+    "user_journey_matrix",
+    """
+    SELECT first_type, last_type,
+           COUNT(*)                                            AS n_users,
+           SUM(span_ms)                                        AS total_span_ms
+    FROM (
+        SELECT user_id,
+               MAX(CASE WHEN rn_asc  = 1 THEN event_type END)  AS first_type,
+               MAX(CASE WHEN rn_desc = 1 THEN event_type END)  AS last_type,
+               MAX(ms) - MIN(ms)                               AS span_ms
+        FROM (
+            SELECT user_id, event_type, epoch_ms(ts) AS ms,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)       AS rn_asc,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn_desc
+            FROM events
+        )
+        GROUP BY user_id
+    )
+    GROUP BY first_type, last_type
+    """,
+    doc="First->last event-type transition matrix: deterministic "
+    "first/last per user via ROW_NUMBER with (ts, event_id) "
+    "tie-breaks (never F.first, which is pick-any).  Both windows "
+    "share one user_id shuffle; Catalyst evaluates them in a single "
+    "Window node pair over the same sort.",
+)
+def q_user_journey_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    asc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    desc = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_millis("ts").alias("ms"),
+        F.row_number().over(asc).alias("rn_asc"),
+        F.row_number().over(desc).alias("rn_desc"),
+    )
+    per_user = ranked.groupBy("user_id").agg(
+        F.max(F.when(F.col("rn_asc") == 1, F.col("event_type"))).alias(
+            "first_type"
+        ),
+        F.max(F.when(F.col("rn_desc") == 1, F.col("event_type"))).alias(
+            "last_type"
+        ),
+        (F.max("ms") - F.min("ms")).alias("span_ms"),
+    )
+    return per_user.groupBy("first_type", "last_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("span_ms").alias("total_span_ms"),
+    )
+
+
+@register(
+    "quantity_mode_per_flag",
+    """
+    SELECT l_returnflag,
+           qc / 100.0                                          AS mode_qty,
+           cnt                                                 AS mode_n
+    FROM (
+        SELECT l_returnflag, qc, cnt,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY cnt DESC, qc)       AS rn
+        FROM (
+            SELECT l_returnflag,
+                   CAST(ROUND(l_quantity*100) AS BIGINT)       AS qc,
+                   COUNT(*)                                    AS cnt
+            FROM lineitem
+            GROUP BY l_returnflag, qc
+        )
+    )
+    WHERE rn = 1
+    """,
+    doc="Deterministic per-group mode: count per (group, value) then "
+    "rank with an explicit smallest-value tie-break — built-in mode() "
+    "is pick-any on ties in both engines, so it can't be hash-checked. "
+    "Two shuffles, both partial-aggregated; the ranking input is "
+    "already tiny (distinct values per group).",
+)
+def q_quantity_mode_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", R.cents("l_quantity").alias("qc")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("cnt").desc(), F.col("qc"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            (F.col("qc") / 100.0).alias("mode_qty"),
+            F.col("cnt").alias("mode_n"),
+        )
+    )
