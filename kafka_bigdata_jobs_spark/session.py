@@ -22,6 +22,13 @@ RUNTIME_CONF = {
     # The driver's events.parquet carries TIMESTAMP(NANOS) which Spark's
     # reader rejects by default; read as long and convert in the loader.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Runtime (post-plan) bloom-filter join reduction: when a shuffle
+    # join's small side carries a selective filter, inject a bloom probe
+    # into the big side's scan so non-matching rows die before the
+    # shuffle.  Size thresholds keep it off for tiny local inputs; at
+    # the 100 TB target this is the difference between shuffling the
+    # full fact table and shuffling the ~matching slice.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
 }
 
 

@@ -24,8 +24,11 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 from ..schemas import TWEET_SCHEMA
@@ -141,6 +144,128 @@ class TweetReplayDataSource(DataSource):
         return _TweetStreamReader(self.options)
 
 
+class _FileCommit(WriterCommitMessage):
+    """Per-task commit message: the temp file the task wrote."""
+
+    def __init__(self, tmp_path: str, rows: int):
+        self.tmp_path = tmp_path
+        self.rows = rows
+
+
+class _JsonlWriter(DataSourceWriter):
+    """Task side of the sink's exactly-once protocol: write to a
+    uniquely-named ``.tmp`` file, report it in the commit message.
+    Nothing becomes visible until the driver's ``commit`` publishes a
+    manifest — a speculative/retried task just leaves an orphaned temp
+    file that ``abort`` (or the next commit's manifest scope) ignores.
+
+    This is the Spark-native re-expression of the reference's external
+    sink (streaming/elk_sender.py:107-128, per-row HTTP posts with no
+    atomicity): batch the rows, stage them, publish atomically.
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_archive requires .option('path', ...)")
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".part-{uuid.uuid4().hex}.jsonl.tmp")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _FileCommit(tmp, n)
+
+    def _publish(self, messages, manifest_name: str):
+        import json
+        import os
+
+        final_files = []
+        total = 0
+        for m in messages:
+            if m is None:
+                continue
+            final = m.tmp_path.replace(".tmp", "").replace("/.part-", "/part-")
+            os.replace(m.tmp_path, final)
+            final_files.append(os.path.basename(final))
+            total += m.rows
+        manifest = os.path.join(self.path, manifest_name)
+        with open(manifest + ".tmp", "w") as f:
+            json.dump({"files": sorted(final_files), "rows": total}, f)
+        # os.replace is atomic: a manifest is either absent or complete,
+        # and a replayed micro-batch (same batchId after restart)
+        # overwrites rather than duplicates its manifest.
+        os.replace(manifest + ".tmp", manifest)
+
+    def commit(self, messages):
+        self._publish(messages, "_manifest-batch.json")
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+class _JsonlStreamWriter(DataSourceStreamWriter, _JsonlWriter):
+    """Streaming face: one manifest per micro-batch, keyed by batchId,
+    so checkpoint-recovery replays of a batch republish (idempotent)
+    instead of appending duplicates."""
+
+    # DataSourceStreamWriter precedes _JsonlWriter in the MRO, so its
+    # abstract ``write`` would otherwise shadow the concrete one.
+    write = _JsonlWriter.write
+
+    def commit(self, messages, batchId):
+        self._publish(messages, f"_manifest-{batchId:020d}.json")
+
+    def abort(self, messages, batchId):
+        _JsonlWriter.abort(self, messages)
+
+
+class JsonlArchiveDataSource(DataSource):
+    """``df.write.format("jsonl_archive").option("path", d)`` — batch
+    and streaming JSONL sink with manifest-commit exactly-once
+    semantics.  Readers consume only manifest-listed files (see
+    ``read_archive_manifests``); temp files from failed or speculative
+    tasks are invisible."""
+
+    @classmethod
+    def name(cls):
+        return "jsonl_archive"
+
+    def writer(self, schema, overwrite):
+        return _JsonlWriter(self.options)
+
+    def streamWriter(self, schema, overwrite):
+        return _JsonlStreamWriter(self.options)
+
+
+def read_archive_manifests(path: str) -> tuple[list[str], int]:
+    """Driver-side helper: the committed view of an archive directory —
+    (sorted file names, total rows) across all manifests."""
+    import glob
+    import json
+    import os
+
+    files: list[str] = []
+    rows = 0
+    for man in sorted(glob.glob(os.path.join(path, "_manifest-*.json"))):
+        with open(man) as f:
+            d = json.load(f)
+        files.extend(d["files"])
+        rows += d["rows"]
+    return sorted(files), rows
+
+
 def register_tweet_replay(spark) -> None:
     # The data source class is recreated inside a dedicated Python
     # worker process that does NOT inherit the driver's sys.path, so a
@@ -153,3 +278,4 @@ def register_tweet_replay(spark) -> None:
 
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(TweetReplayDataSource)
+    spark.dataSource.register(JsonlArchiveDataSource)

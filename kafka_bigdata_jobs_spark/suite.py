@@ -1560,22 +1560,37 @@ def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY total_qty DESC, o_orderkey
     LIMIT 20
     """,
-    doc="TPC-H Q18 shape: large-order detection — aggregate lineitem per "
-    "order, HAVING threshold, enrich with broadcast customer, ordered "
-    "top-k with tie-break.",
+    doc="TPC-H Q18 shape: large-order detection.  Rewritten from the "
+    "textbook join-then-aggregate: lineitem is aggregated on its own "
+    "join key and the HAVING filter applied BEFORE the orders join "
+    "(legal because the sum and threshold only touch lineitem "
+    "columns), so the orderkey shuffle moves ~order-count rows instead "
+    "of ~lineitem-count, and the post-join GROUP BY disappears — "
+    "(c_name, o_orderkey, o_orderdate) is unique per joined row.  The "
+    "qualifying set is ~20%% of orders (measured), far too big to "
+    "broadcast at scale, so the orders join stays a shuffle join; "
+    "customer is the only broadcast side.",
 )
 def q_big_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     c = _t(spark, sf_dir, "customer")
-    agg = (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c.select("c_custkey", "c_name")), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_name", "o_orderkey", "o_orderdate")
+    qualifying = (
+        li.groupBy("l_orderkey")
         .agg(R.exact_sum("l_quantity").alias("total_qty"))
         .where(F.col("total_qty") > 150)
     )
-    return R.top_k(agg, [F.desc("total_qty")], 20, tie_breakers=[F.col("o_orderkey")])
+    enriched = (
+        qualifying.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(c.select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_name", "o_orderkey", "o_orderdate", "total_qty")
+    )
+    return R.top_k(
+        enriched, [F.desc("total_qty")], 20, tie_breakers=[F.col("o_orderkey")]
+    )
 
 
 @register(
@@ -3808,4 +3823,41 @@ def q_quantity_mode_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("qc") / 100.0).alias("mode_qty"),
             F.col("cnt").alias("mode_n"),
         )
+    )
+
+
+@register(
+    "priority_status_grouping_sets",
+    """
+    SELECT COALESCE(o_orderpriority, 'ALL')                    AS priority,
+           COALESCE(o_orderstatus, 'ALL')                      AS status,
+           COUNT(*)                                            AS n_orders,
+           SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) / 100.0 AS total_value
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority),
+                            ())
+    """,
+    doc="Explicit GROUPING SETS (beyond the rollup/cube pair already "
+    "covered): detail, per-priority subtotal, and grand total in ONE "
+    "aggregation pass — Catalyst expands the sets via a single Expand "
+    "node, so the fact table is scanned once, not three times.  NULL "
+    "slots relabeled 'ALL' via coalesce so both engines hash "
+    "identically (fixture keys are non-null).",
+)
+def q_priority_status_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    g = o.groupingSets(
+        [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        R.exact_sum("o_totalprice").alias("total_value"),
+    )
+    return g.select(
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+        "n_orders",
+        "total_value",
     )

@@ -117,3 +117,38 @@ def test_parts_supplier_count_q16_plan(spark):
     assert "partial_count(distinct" in plan or "partial_count" in plan, (
         "distinct count should partial-aggregate"
     )
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """With broadcast off (modeling a creation side too big to
+    broadcast but selective enough to bloom), the optimizer must inject
+    a runtime bloom probe into the fact-table side of the shuffle join.
+    Thresholds are lowered because local fixture scans are far below
+    the 10 GB application-side default that governs real deployments."""
+    from pyspark.sql import functions as F
+
+    from kafka_bigdata_jobs_spark.schemas import load_table
+
+    tweak = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in tweak}
+    try:
+        for k, v in tweak.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, SF, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF, "lineitem")
+        j = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom" in plan.lower(), "runtime bloom filter not injected"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -104,3 +104,32 @@ def test_orc_and_jsonl_round_trip(spark):
         spark.read.schema(ev.schema).json(d + "/jsonl").orderBy("event_id").collect()
     )
     assert got_json == want
+
+
+def test_xml_round_trip(spark):
+    """Spark 4 ships a native XML source (no external spark-xml jar):
+    the same frame survives an XML round trip with an explicit read
+    schema (XML infers everything as string otherwise)."""
+    import tempfile
+
+    from kafka_bigdata_jobs_spark.schemas import load_table
+
+    ev = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+        .limit(200)
+    )
+    want = ev.collect()
+
+    d = tempfile.mkdtemp(prefix="xml_rt_")
+    ev.write.mode("overwrite").option("rowTag", "event").format("xml").save(d + "/xml")
+    got = (
+        spark.read.schema(ev.schema)
+        .option("rowTag", "event")
+        .format("xml")
+        .load(d + "/xml")
+        .orderBy("event_id")
+        .collect()
+    )
+    assert got == want
