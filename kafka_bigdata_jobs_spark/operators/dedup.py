@@ -447,31 +447,65 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    driver_edge_limit: int = 1_000_000,
 ) -> DataFrame:
     """Exact connected components by min-label propagation — the step
     that turns near-dup PAIRS into dedup CLUSTERS (keep one doc per
     component, drop the rest).
 
-    Each iteration: every node takes the min label among itself and its
-    neighbors (join + groupBy-min = two shuffles); converged when the
-    global label sum stops changing — min-propagation labels are
-    monotonically non-increasing, so an unchanged sum means a fixpoint,
-    checked with one tiny agg action per round.  Iterations needed =
-    graph diameter, which for near-dup clusters (tight cliques of
-    copies) is 1-2.  ``localCheckpoint`` truncates lineage each round
-    so the plan doesn't grow with iterations.
+    Size dispatch: the edge list here is the OUTPUT of near-dup pruning
+    — typically orders of magnitude smaller than the corpus (dup pairs
+    only).  Below ``driver_edge_limit`` edges the whole graph fits
+    trivially in driver memory, where union-find solves it in
+    O(E α(E)) with zero Spark jobs — while the distributed loop pays
+    ~seconds of scheduling per iteration regardless of data size.  So:
+    collect-and-union-find when small (the common case), iterate
+    distributed when not.  Both produce identical min-label components.
 
-    Scale: this is the textbook iterative CC; at billions of edges the
-    same loop body would use the large-star/small-star edge rewriting
-    (Kiveris et al., "Connected Components in MapReduce and Beyond")
-    to bound per-round shuffle volume — the fixture graphs are far
-    below that regime.  Labels are component-minimum ids:
-    deterministic, so the output is oracle-checkable against a
-    recursive-CTE reachability closure.
+    Distributed path, each iteration: every node takes the min label
+    among itself and its neighbors (join + groupBy-min = two shuffles);
+    converged when the global label sum stops changing —
+    min-propagation labels are monotonically non-increasing, so an
+    unchanged sum means a fixpoint, checked with one tiny agg action
+    per round.  Iterations needed = graph diameter.  ``localCheckpoint``
+    truncates lineage each round so the plan doesn't grow.
+
+    Scale: at billions of edges the same loop body would use the
+    large-star/small-star edge rewriting (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") to bound per-round shuffle
+    volume.  Labels are component-minimum ids: deterministic, so the
+    output is oracle-checkable against a recursive-CTE closure.
     """
     # bidir references edges twice (both directions); persist the input
     # so an expensive upstream (the LSH funnel) computes once, not twice
     edges = edges.persist()
+
+    n_edges = edges.limit(driver_edge_limit + 1).count()
+    if n_edges <= driver_edge_limit:
+        pair_rows = edges.select(
+            F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+        ).collect()
+        edges.unpersist()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.setdefault(root, root) != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in pair_rows:
+            ra, rb = find(r["a"]), find(r["b"])
+            if ra != rb:
+                # union by min so the final label IS the component min
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+        out = [(node, find(node)) for node in list(parent)]
+        spark = edges.sparkSession
+        return spark.createDataFrame(out, "node long, comp long")
+
     bidir = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))

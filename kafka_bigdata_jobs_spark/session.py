@@ -29,6 +29,13 @@ RUNTIME_CONF = {
     # the 100 TB target this is the difference between shuffling the
     # full fact table and shuffling the ~matching slice.
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # Spark still defaults timestamp columns to legacy INT96, which
+    # parquet writes WITHOUT min/max statistics — no footer exists for
+    # the one column (event time) most predicates filter on, so
+    # row-group/file skipping silently never happens on the time axis.
+    # TIMESTAMP_MICROS is the modern annotated int64: full stats,
+    # readable by every current engine.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

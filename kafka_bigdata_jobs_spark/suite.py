@@ -1928,27 +1928,36 @@ def q_late_ship_priority_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2, 3
     """,
     doc="TPC-H Q7 shape: fact joins both the supplier and the customer "
-    "dimension chains (nation aliased twice); every dim broadcasts, so "
-    "the only shuffle is lineitem-orders plus the small final agg.",
+    "dimension chains (nation aliased twice).  The nation-pair "
+    "predicate is pushed INTO each dimension chain before it touches "
+    "a fact table: only suppliers/customers of the two named nations "
+    "survive, so the lineitem-orders shuffle — the only big exchange "
+    "in the query — moves ~2/25ths of each side instead of everything; "
+    "the cross-pair disjunction is re-checked after the join (it can't "
+    "be split per-side).",
 )
 def q_nation_trade_volume_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
-    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
-    joined = (
-        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
-        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
-        .where(
-            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
-            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
-        )
+    pair = {"NATION_3", "NATION_7"}
+    n = (
+        _t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .where(F.col("n_name").isin(*pair))
+    )
+    s2 = s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey")).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    c2 = c.join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey")).select(
+        "c_custkey", F.col("n_name").alias("cust_nation")
+    )
+    li2 = li.join(F.broadcast(s2), F.col("s_suppkey") == F.col("l_suppkey"))
+    o2 = o.join(F.broadcast(c2), F.col("c_custkey") == F.col("o_custkey"))
+    joined = li2.join(o2, F.col("o_orderkey") == F.col("l_orderkey")).where(
+        ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+        | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
     )
     return joined.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
