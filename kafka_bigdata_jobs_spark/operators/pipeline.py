@@ -178,3 +178,67 @@ def distinctive_terms(
         .where(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "rank")
     )
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """Deterministic k-per-group sample: rank rows inside each group by
+    the md5 of their id and keep the first k.
+
+    This is the distributed, rerun-stable replacement for per-group
+    reservoir sampling: the hash order is uniform-pseudorandom but a
+    pure function of the row id, so retries, backfills, and the DuckDB
+    oracle all select the identical rows (``rand()`` would not survive
+    any of those).  One shuffle (the window partition); at 100 TB the
+    rank-truncation happens inside each partition, never on the driver.
+    The id itself breaks md5-collision ties.
+    """
+    from pyspark.sql.window import Window
+
+    hash_key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(*group_cols).orderBy(hash_key, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def pack_greedy_bins(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    size_col: str,
+    budget: int,
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Sequence packing for pretraining batches: assign each document a
+    bin id so consecutive documents fill a token/char ``budget``.
+
+    bin = (running size BEFORE this row) DIV budget, over a
+    deterministic order within each partition — the streaming-friendly
+    "contiguous fill" approximation of bin packing (true bin packing is
+    NP-hard and needs global state; contiguous fill is one window
+    cumsum, scales linearly, and wastes at most one document's worth of
+    slack per boundary).  A document larger than the budget simply
+    spans bins — its successor starts a fresh bin automatically because
+    the cumsum jumps past the boundary.  All-integer, so bin ids are
+    engine-exact and oracle-checkable.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    # floor(double div) matches integer DIV exactly while the running
+    # sum stays far below 2^53 / budget — quotients can't land within
+    # one ulp of an integer boundary; repartition the corpus before
+    # any single partition's char count approaches that.
+    return df.withColumn(bin_col, F.floor(before / budget).cast("long"))

@@ -96,3 +96,49 @@ def trend_by_key_grouped_map(
     return _xy(df, key, ts_col, value_col).groupBy(key).applyInPandas(
         fit, f"{key} long, n long, slope double"
     )
+
+
+def sigma_outliers(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    k_sigma: int = 3,
+) -> DataFrame:
+    """Per-group count of k-sigma outliers with ZERO floating point:
+    |x − mean| > k·stddev rewritten as an exact integer comparison.
+
+    Multiplying the classic test through by n² gives
+    ``(n·x − Σ)² > k² · (n·Σx² − Σ²)`` — every term an integer once
+    values are quantized to cents, so the verdict is bit-identical in
+    any engine (double-based stddev is partition-order dependent and
+    can flip rows sitting exactly on the boundary).  Squares are
+    evaluated in decimal(38,0): with cents ≤ 1e5 and n ≤ 1e9 per group
+    the largest term (k²·n·Σx²) stays under 1e38.
+
+    Two-pass shape built for scale: pass 1 is a combinable groupBy
+    (n, Σ, Σx²) producing one tiny row per group; pass 2 broadcasts
+    those stats back onto the fact rows — no second shuffle of the big
+    side, unlike the window-function formulation which would re-sort
+    the whole table inside each group.
+    """
+    vc = cents(value_col)
+    stats = df.groupBy(key).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(vc).alias("__s"),
+        F.sum(vc * vc).alias("__q"),
+    )
+    dec = "decimal(38,0)"
+    x = vc.cast(dec)
+    n = F.col("__n").cast(dec)
+    s = F.col("__s").cast(dec)
+    q = F.col("__q").cast(dec)
+    dev = n * x - s
+    is_out = (dev * dev) > (F.lit(k_sigma * k_sigma).cast(dec) * (n * q - s * s))
+    return (
+        df.join(F.broadcast(stats), key)
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
+        )
+    )

@@ -99,3 +99,39 @@ def write_sorted_parquet(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_zorder_parquet(
+    df: DataFrame,
+    path: str,
+    xcol: str,
+    ycol: str,
+    bits: int = 8,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered on the Morton (z-order) key of TWO
+    columns, so range predicates on EITHER column prune files.
+
+    :func:`write_sorted_parquet` optimizes one filter axis and abandons
+    the other; this interleaves both (``operators/zorder.py``) so each
+    output file covers a compact block of the 2-D key space — a
+    predicate on either column touches ~O(sqrt(files)) of them.  The
+    key is computed by a pure codegen expression after one tiny min/max
+    agg, range-partitioned for balanced writers, and dropped before
+    the write (projection after sortWithinPartitions preserves the
+    per-partition order).  Both columns must be integral — quantize
+    doubles to cents first.  Footer-level pruning on both axes is
+    asserted in ``tests/test_layout.py``.
+    """
+    from .operators.zorder import with_morton_key
+
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    keyed = with_morton_key(df, xcol, ycol, bits=bits)
+    (
+        keyed.repartitionByRange(n, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -3870,3 +3870,167 @@ def q_priority_status_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFra
         "n_orders",
         "total_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Layout, sampling, packing, and exact-outlier widening
+# ---------------------------------------------------------------------------
+
+
+def _zorder_bucket_sql(table: str, dialect: str) -> str:
+    """One query text per engine, differing only in shift/div syntax:
+    quantize → min/max stats CTE (tiny, combinable, broadcast) →
+    Morton key per row (pure integer expression) → per-bucket rollup.
+    This is the oracle twin of the physical z-order layout in
+    ``sinks.write_zorder_parquet`` — it proves the KEY itself is
+    engine-exact; the file-pruning effect is proved from parquet
+    footers in ``tests/test_layout.py``."""
+    from .operators.zorder import morton_sql
+
+    key = morton_sql("u", "vc", "ulo", "uhi", "vlo", "vhi", bits=8, dialect=dialect)
+    div = "DIV" if dialect == "spark" else "//"
+    return f"""
+    WITH e AS (SELECT user_id AS u,
+                      CAST(ROUND(value*100) AS BIGINT) AS vc
+               FROM {table}),
+    s AS (SELECT MIN(u) AS ulo, MAX(u) AS uhi,
+                 MIN(vc) AS vlo, MAX(vc) AS vhi FROM e),
+    keyed AS (SELECT u, vc, {key} AS zkey FROM e CROSS JOIN s)
+    SELECT zkey {div} 1024                AS zbucket,
+           COUNT(*)                      AS n_rows,
+           COUNT(DISTINCT u)             AS n_users,
+           SUM(vc)                       AS sum_value_cents
+    FROM keyed
+    GROUP BY zkey {div} 1024
+    """
+
+
+@register(
+    "zorder_locality_buckets",
+    _zorder_bucket_sql("events", "duckdb"),
+    doc="Morton (z-order) key buckets over (user_id, value-cents): the "
+    "interleaved-bits clustering key behind multi-column file pruning "
+    "(Delta/Iceberg ZORDER BY), computed as a flat integer expression "
+    "— normalize by integer division, interleave by shift/mask — so "
+    "DuckDB derives bit-identical keys.  Two-pass scale shape: min/max "
+    "stats agg then a codegen-only row expression; no shuffle beyond "
+    "the final 64-bucket rollup.",
+)
+def q_zorder_locality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_zsrc")
+    return spark.sql(_zorder_bucket_sql("events_zsrc", "spark"))
+
+
+@register(
+    "event_sample_per_type",
+    """
+    WITH ranked AS (
+      SELECT event_type, event_id,
+             CAST(ROUND(value*100) AS BIGINT) AS vc,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+      FROM events)
+    SELECT event_type,
+           COUNT(*)      AS n_sampled,
+           SUM(vc)       AS sum_value_cents,
+           MIN(event_id) AS min_event_id,
+           MAX(event_id) AS max_event_id
+    FROM ranked WHERE rn <= 100
+    GROUP BY event_type
+    """,
+    doc="Deterministic 100-per-group sample (pipeline.sample_k_per_group): "
+    "rank by md5(id) inside each group and keep the first k — the "
+    "rerun-stable reservoir-sampling replacement; retries and the "
+    "oracle pick the identical rows, which rand() cannot guarantee.  "
+    "One shuffle; rank truncation is distributed, never driver-side.",
+)
+def q_event_sample_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pipeline import sample_k_per_group
+
+    ev = _t(spark, sf_dir, "events")
+    s = sample_k_per_group(ev, ["event_type"], 100, "event_id")
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(R.cents("value")).alias("sum_value_cents"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+@register(
+    "value_outlier_counts",
+    """
+    WITH v AS (SELECT event_type,
+                      CAST(ROUND(value*100) AS BIGINT) AS vc
+               FROM events),
+    s AS (SELECT event_type, COUNT(*) AS n, SUM(vc) AS sv,
+                 SUM(vc*vc) AS q
+          FROM v GROUP BY event_type)
+    SELECT v.event_type,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN CAST(s.n*v.vc - s.sv AS HUGEINT)
+                         * CAST(s.n*v.vc - s.sv AS HUGEINT)
+                       > 9 * (CAST(s.n AS HUGEINT)*s.q
+                              - CAST(s.sv AS HUGEINT)*s.sv)
+                    THEN 1 ELSE 0 END) AS n_outliers
+    FROM v JOIN s ON v.event_type = s.event_type
+    GROUP BY v.event_type
+    """,
+    doc="3-sigma outlier counts with zero floating point "
+    "(stats.sigma_outliers): |x-mean| > 3*stddev multiplied through by "
+    "n^2 into an exact integer comparison — boundary rows can't flip "
+    "with partition order the way double stddev accumulation can.  "
+    "Scale shape: combinable (n, sum, sumsq) agg, then the tiny stats "
+    "row broadcast back; the fact table is never shuffled twice.",
+)
+def q_value_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.stats import sigma_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    return sigma_outliers(ev, "event_type", "value", k_sigma=3)
+
+
+@register(
+    "doc_packing_stats",
+    """
+    WITH b AS (
+      SELECT lang, doc_id, n_chars,
+             COALESCE(SUM(n_chars) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             // 2000 AS bin_id
+      FROM documents),
+    pb AS (SELECT lang, bin_id, COUNT(*) AS docs_in_bin,
+                  SUM(n_chars) AS bin_chars
+           FROM b GROUP BY lang, bin_id)
+    SELECT lang,
+           COUNT(*)          AS n_bins,
+           SUM(docs_in_bin)  AS n_docs,
+           MIN(bin_chars)    AS min_bin_chars,
+           MAX(bin_chars)    AS max_bin_chars
+    FROM pb GROUP BY lang
+    """,
+    doc="Sequence packing for pretraining batches "
+    "(pipeline.pack_greedy_bins): contiguous-fill bin assignment via "
+    "one window cumsum — bin = running-chars-before DIV budget — the "
+    "linear-scaling approximation of NP-hard bin packing.  "
+    "Deterministic order (doc_id) makes bin ids engine-exact; per-bin "
+    "then per-lang rollup verifies both levels.",
+)
+def q_doc_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pipeline import pack_greedy_bins
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_greedy_bins(docs, "lang", "doc_id", "n_chars", 2000)
+    per_bin = packed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("docs_in_bin"),
+        F.sum("n_chars").alias("bin_chars"),
+    )
+    return per_bin.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("docs_in_bin").alias("n_docs"),
+        F.min("bin_chars").alias("min_bin_chars"),
+        F.max("bin_chars").alias("max_bin_chars"),
+    )

@@ -122,3 +122,58 @@ def test_sorted_parquet_rowgroup_stats_disjoint(spark):
     # and the sorted layout round-trips identically
     got = spark.read.parquet(d)
     assert got.count() == ev.count()
+
+
+def test_zorder_parquet_prunes_both_columns(spark):
+    """Z-order layout must let a narrow predicate on EITHER clustered
+    column skip files (footer stats), where a single-column sort prunes
+    only its own axis.  Asserted from the written parquet footers."""
+    import os
+
+    from kafka_bigdata_jobs_spark.operators.zorder import morton_filter_stats
+    from kafka_bigdata_jobs_spark.sinks import write_sorted_parquet, write_zorder_parquet
+
+    ev = (
+        load_table(spark, SF, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("vc"),
+        )
+    )
+    ulo, uhi, vlo, vhi = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("vc"), F.max("vc")
+    ).first()
+    u_band = (ulo + (uhi - ulo) * 2 // 5, ulo + (uhi - ulo) // 2)
+    v_band = (vlo + (vhi - vlo) * 2 // 5, vlo + (vhi - vlo) // 2)
+
+    base = tempfile.mkdtemp(prefix="zorder_pq_")
+    zd = os.path.join(base, "z")
+    sd = os.path.join(base, "s")
+    write_zorder_parquet(ev, zd, "user_id", "vc", bits=8, num_files=16)
+    write_sorted_parquet(ev, sd, ["user_id"], num_files=16)
+
+    zu_hit, zu_tot = morton_filter_stats(zd + "/*.parquet", "user_id", *u_band)
+    zv_hit, zv_tot = morton_filter_stats(zd + "/*.parquet", "vc", *v_band)
+    su_hit, su_tot = morton_filter_stats(sd + "/*.parquet", "user_id", *u_band)
+    sv_hit, sv_tot = morton_filter_stats(sd + "/*.parquet", "vc", *v_band)
+
+    # z-order prunes on BOTH axes ...
+    assert zu_hit < zu_tot, f"user axis unpruned: {zu_hit}/{zu_tot}"
+    assert zv_hit < zv_tot, f"value axis unpruned: {zv_hit}/{zv_tot}"
+    # ... single-column sort prunes its own axis but not the other
+    assert su_hit < su_tot
+    assert sv_hit == sv_tot, "control: user-sorted layout shouldn't prune value"
+
+    # and the clustered copy is lossless
+    got = spark.read.parquet(zd)
+    assert got.count() == ev.count()
+    n_band = ev.where(
+        (F.col("user_id") >= u_band[0]) & (F.col("user_id") <= u_band[1])
+    ).count()
+    assert (
+        got.where(
+            (F.col("user_id") >= u_band[0]) & (F.col("user_id") <= u_band[1])
+        ).count()
+        == n_band
+    )

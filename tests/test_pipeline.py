@@ -112,3 +112,37 @@ def test_connected_components_chain_and_clique(spark):
     )
     got = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_sample_k_per_group_deterministic_and_bounded(spark):
+    from kafka_bigdata_jobs_spark.operators.pipeline import sample_k_per_group
+
+    df = spark.range(500).select(
+        (F.col("id") % 5).alias("g"), F.col("id").alias("rid")
+    )
+    a = sample_k_per_group(df, ["g"], 7, "rid").collect()
+    b = sample_k_per_group(df, ["g"], 7, "rid").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_g = {}
+    for r in a:
+        per_g.setdefault(r["g"], set()).add(r["rid"])
+    assert all(len(v) == 7 for v in per_g.values())
+    # k larger than the group returns the whole group, no padding
+    tiny = sample_k_per_group(df.where(F.col("rid") < 3), ["g"], 7, "rid")
+    assert tiny.count() == 3
+
+
+def test_pack_greedy_bins_contiguous_fill(spark):
+    from kafka_bigdata_jobs_spark.operators.pipeline import pack_greedy_bins
+
+    rows = [("a", i, sz) for i, sz in enumerate([60, 60, 60, 250, 10, 90, 90])]
+    df = spark.createDataFrame(rows, "part string, seq int, sz int")
+    out = {
+        r["seq"]: r["bin_id"]
+        for r in pack_greedy_bins(df, "part", "seq", "sz", 100).collect()
+    }
+    # cumsum-before: 0,60,120,180,430,440,530 -> bins 0,0,1,1,4,4,5
+    assert out == {0: 0, 1: 0, 2: 1, 3: 1, 4: 4, 5: 4, 6: 5}
+    # bin ids never decrease along the order (contiguity)
+    seqs = sorted(out)
+    assert all(out[a] <= out[b] for a, b in zip(seqs, seqs[1:]))
