@@ -3719,7 +3719,9 @@ def q_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ms = F.unix_millis("ts")
+    # Parquet timestamp[us] without tz loads as TIMESTAMP_NTZ; unix_millis
+    # needs LTZ.  Session tz is pinned to UTC, so the cast is exact.
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
     gaps = ev.select(
         "event_type", (ms - F.lag(ms).over(w)).alias("gap_ms")
     ).where(F.col("gap_ms").isNotNull())
@@ -3771,7 +3773,7 @@ def q_user_journey_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = ev.select(
         "user_id",
         "event_type",
-        F.unix_millis("ts").alias("ms"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
         F.row_number().over(asc).alias("rn_asc"),
         F.row_number().over(desc).alias("rn_desc"),
     )

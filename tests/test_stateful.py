@@ -56,13 +56,13 @@ def test_stream_sessions_match_batch(spark, small_events):
     d = tempfile.mkdtemp(prefix="sessions_")
     ev = small_events.orderBy("ts")
     bounds = ev.selectExpr(
-        "percentile(cast(ts as double), array(0.5)) as q"
+        "percentile(cast(cast(ts as timestamp) as double), array(0.5)) as q"
     ).first()["q"]
-    ev.where(F.col("ts").cast("double") < bounds[0]).coalesce(1).write.mode(
+    ev.where(F.col("ts").cast("timestamp").cast("double") < bounds[0]).coalesce(1).write.mode(
         "append"
     ).parquet(d)
     time.sleep(1.1)
-    ev.where(F.col("ts").cast("double") >= bounds[0]).coalesce(1).write.mode(
+    ev.where(F.col("ts").cast("timestamp").cast("double") >= bounds[0]).coalesce(1).write.mode(
         "append"
     ).parquet(d)
 

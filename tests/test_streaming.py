@@ -44,15 +44,15 @@ def events_stream_dir(spark):
     d = tempfile.mkdtemp(prefix="events_stream_")
     ev = load_table(spark, SF, "events").cache()
     bounds = ev.selectExpr(
-        "percentile(cast(ts as double), array(0.25, 0.5, 0.75)) as q"
+        "percentile(cast(cast(ts as timestamp) as double), array(0.25, 0.5, 0.75)) as q"
     ).first()["q"]
     lo = None
     for i, hi in enumerate([*bounds, None]):
         part = ev
         if lo is not None:
-            part = part.where(F.col("ts").cast("double") >= lo)
+            part = part.where(F.col("ts").cast("timestamp").cast("double") >= lo)
         if hi is not None:
-            part = part.where(F.col("ts").cast("double") < hi)
+            part = part.where(F.col("ts").cast("timestamp").cast("double") < hi)
         part.coalesce(1).write.mode("append").parquet(d)
         time.sleep(1.1)  # distinct mod-times → deterministic file order
         lo = hi
@@ -151,8 +151,8 @@ def test_stream_dedup_within_watermark_equals_batch(spark):
         .select("event_id", "ts", "user_id", "event_type", "value")
         .cache()
     )
-    mid = ev.selectExpr("percentile(cast(ts as double), array(0.5)) as q").first()["q"][0]
-    for pred in [F.col("ts").cast("double") < mid, F.col("ts").cast("double") >= mid]:
+    mid = ev.selectExpr("percentile(cast(cast(ts as timestamp) as double), array(0.5)) as q").first()["q"][0]
+    for pred in [F.col("ts").cast("timestamp").cast("double") < mid, F.col("ts").cast("timestamp").cast("double") >= mid]:
         part = ev.where(pred)
         # every row twice IN THE SAME FILE: duplicates land in one
         # micro-batch, so state eviction can never race re-delivery and
