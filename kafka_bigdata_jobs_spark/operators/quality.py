@@ -1,0 +1,158 @@
+"""Corpus-quality operators for training-data curation: repetition
+filters (Gopher-style), benchmark decontamination, and BPE merge-pair
+statistics.
+
+All hot paths are expression-compiled (whole-stage codegen); the only
+shuffles are the per-document / per-token aggregations themselves, and
+every per-doc constant rides the groupBy keys so no join-back is needed.
+Each operator has an exact ANSI-SQL twin in the oracle suite.
+
+The reference corpus analytics stop at per-tweet token/hashtag counts
+(`/root/reference/batch/job4_spam.py:98-105`); these operators are the
+beyond-reference additions a 100 TB pretraining pipeline runs on every
+document shard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _words(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def _gram_indices(words: Column, n: int) -> Column:
+    """0-based start indices for n-grams; EMPTY when the doc is shorter
+    than ``n`` (a bare ``sequence(0, size-n)`` DESCENDS for short docs
+    and negative ``element_at`` indexes from the end — garbage grams)."""
+    return F.when(
+        F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+
+
+def word_bigrams_all(text: Column) -> Column:
+    """ALL word bigrams, duplicates preserved (repetition analysis needs
+    multiplicity, unlike dedup shingling's ``array_distinct``)."""
+    words = _words(text)
+    return F.transform(
+        _gram_indices(words, 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i + 1), F.element_at(words, i + 2)
+        ),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, carry: list[str] | None = None
+) -> DataFrame:
+    """Per-document repetition statistics: word counts, distinct-word
+    counts, bigram totals, and the count of the most frequent bigram.
+
+    Word-level stats are pure array expressions (zero shuffle); the
+    top-bigram count needs per-(doc, bigram) multiplicity, so bigrams
+    are exploded and aggregated twice on ``id_col`` — the per-doc
+    constants ride the grouping keys, so there is no join-back.  Both
+    shuffles hash on the document id; partial aggregation collapses
+    each doc's bigrams map-side, so reducer input is O(distinct bigrams
+    per doc), not O(words).
+
+    Documents with fewer than two words produce no bigram rows and drop
+    out (callers on corpora with possible one-word docs should pre-filter
+    or union them back; the oracle's ``unnest`` has identical semantics).
+    """
+    carry = carry or []
+    text = F.col(text_col)
+    base = df.select(
+        id_col,
+        *carry,
+        F.size(_words(text)).alias("n_words"),
+        F.size(F.array_distinct(_words(text))).alias("n_distinct_words"),
+        F.explode(word_bigrams_all(text)).alias("bigram"),
+    )
+    per_gram = base.groupBy(
+        id_col, *carry, "n_words", "n_distinct_words", "bigram"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return per_gram.groupBy(id_col, *carry, "n_words", "n_distinct_words").agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.max("cnt").alias("top_bigram_count"),
+    )
+
+
+def word_ngrams_distinct(text: Column, n: int) -> Column:
+    """Distinct word n-grams (space-joined) — decontamination unit."""
+    words = _words(text)
+    return F.array_distinct(
+        F.transform(
+            _gram_indices(words, n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+
+
+def contamination_overlap(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: for each training document, how many
+    of its distinct word ``n``-grams also occur anywhere in the
+    benchmark set.
+
+    Returns ``(id_col, shared_grams)`` for contaminated docs only.
+    The benchmark gram set is deduplicated then broadcast — benchmark
+    suites are tiny next to a 100 TB training corpus, so the join is
+    map-side with no shuffle on the big side.  If the benchmark side
+    ever outgrows broadcast range, drop the hint and Spark falls back
+    to a hash-partitioned equi-join on the gram.
+    """
+    t = train.select(
+        F.col(id_col), F.explode(word_ngrams_distinct(F.col(text_col), n)).alias("gram")
+    )
+    b = (
+        bench.select(F.explode(word_ngrams_distinct(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    return (
+        t.join(F.broadcast(b), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+
+
+def char_pair_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus-wide adjacent-character-pair frequencies within words —
+    the statistic behind a BPE tokenizer's first merge choice.
+
+    Double explode (words, then pairs) fans out to O(chars) rows, but
+    the pair key domain is tiny (alphabet²), so map-side partial
+    aggregation collapses each task's output to a few hundred rows
+    before the single shuffle.
+    """
+    return (
+        df.select(F.explode(_words(F.col(text_col))).alias("w"))
+        .where(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, char_length(w)-1), i -> substring(w, i, 2))")
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus-wide word frequencies: ``(word, cnt)`` — vocabulary
+    construction input.  One shuffle on the word; partial aggregation
+    bounds it by vocabulary size per task."""
+    return (
+        df.select(F.explode(_words(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -4036,3 +4036,216 @@ def q_doc_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("bin_chars").alias("min_bin_chars"),
         F.max("bin_chars").alias("max_bin_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-quality curation (beyond reference): repetition filters,
+# decontamination, BPE statistics, vocabulary coverage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "repetition_quality_flags",
+    r"""
+    WITH w AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(text), '\s+') AS words
+      FROM documents
+    ), e AS (
+      SELECT doc_id, source,
+             len(words)                 AS n_words,
+             len(list_distinct(words))  AS n_distinct_words,
+             unnest(list_transform(range(len(words)-1),
+                i -> list_extract(words, i+1) || ' ' || list_extract(words, i+2)))
+               AS bigram
+      FROM w
+    ), pg AS (
+      SELECT doc_id, source, n_words, n_distinct_words, bigram,
+             COUNT(*) AS cnt
+      FROM e GROUP BY ALL
+    ), d AS (
+      SELECT doc_id, source, n_words, n_distinct_words,
+             SUM(cnt) AS n_bigrams, MAX(cnt) AS top_bigram_count
+      FROM pg GROUP BY doc_id, source, n_words, n_distinct_words
+    )
+    SELECT source,
+           COUNT(*)                                            AS n_docs,
+           COUNT(*) FILTER (WHERE top_bigram_count * 10 > n_bigrams
+                               OR (n_words - n_distinct_words) * 5 > n_words * 3)
+                                                               AS n_flagged,
+           SUM(top_bigram_count)                               AS sum_top_bigram,
+           SUM(n_bigrams)                                      AS sum_bigrams,
+           SUM(n_words - n_distinct_words)                     AS sum_dup_words,
+           SUM(n_words)                                        AS sum_words
+    FROM d GROUP BY source
+    """,
+    doc="Gopher-style repetition quality filter: per-doc top-bigram "
+    "fraction (>10%) and duplicate-word fraction (>60%) flags, rolled "
+    "up per source.  Thresholds compare as cross-multiplied integers "
+    "(top*10 > total) — no float ratios, so the flag is engine-exact.  "
+    "quality.repetition_stats carries per-doc constants through the "
+    "grouping keys: two doc_id-hashed shuffles, zero join-backs.",
+)
+def q_repetition_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    d = repetition_stats(docs, "doc_id", "text", carry=["source"])
+    flag = (F.col("top_bigram_count") * 10 > F.col("n_bigrams")) | (
+        (F.col("n_words") - F.col("n_distinct_words")) * 5 > F.col("n_words") * 3
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(flag.cast("long")).alias("n_flagged"),
+        F.sum("top_bigram_count").alias("sum_top_bigram"),
+        F.sum("n_bigrams").alias("sum_bigrams"),
+        F.sum(F.col("n_words") - F.col("n_distinct_words")).alias("sum_dup_words"),
+        F.sum("n_words").alias("sum_words"),
+    )
+
+
+@register(
+    "train_contamination_5gram",
+    r"""
+    WITH w AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(text), '\s+') AS words
+      FROM documents
+    ), g AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(range(len(words)-4),
+                i -> list_extract(words,i+1) || ' ' || list_extract(words,i+2)
+                  || ' ' || list_extract(words,i+3) || ' ' || list_extract(words,i+4)
+                  || ' ' || list_extract(words,i+5)))) AS gram
+      FROM w WHERE len(words) >= 5
+    ), bench AS (
+      SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0
+    ), hits AS (
+      SELECT g.doc_id, COUNT(*) AS shared_grams
+      FROM g JOIN bench USING (gram)
+      WHERE g.doc_id % 17 <> 0
+      GROUP BY g.doc_id
+    )
+    SELECT d.source,
+           COUNT(*)                               AS n_train_docs,
+           COUNT(h.doc_id)                        AS n_contaminated,
+           COALESCE(SUM(h.shared_grams), 0)       AS total_shared_grams
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 17 <> 0
+    GROUP BY d.source
+    """,
+    doc="Benchmark decontamination: training docs (doc_id%17<>0) whose "
+    "distinct word 5-grams overlap the held-out benchmark slice "
+    "(doc_id%17=0), rolled up per source.  The benchmark gram set is "
+    "broadcast (quality.contamination_overlap) — the 100 TB train side "
+    "never shuffles for the probe join; the left join back to the doc "
+    "census counts clean docs as zero.",
+)
+def q_train_contamination_5gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import contamination_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 17 != 0)
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    hits = contamination_overlap(train, bench, "doc_id", "text", n=5)
+    return (
+        train.select("doc_id", "source")
+        .join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.count("shared_grams").alias("n_contaminated"),
+            F.coalesce(F.sum("shared_grams"), F.lit(0)).alias("total_shared_grams"),
+        )
+    )
+
+
+@register(
+    "bpe_merge_pairs",
+    r"""
+    WITH wd AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+      FROM documents
+    ), p AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                    i -> substr(w, i, 2))) AS pair
+      FROM wd WHERE length(w) >= 2
+    )
+    SELECT pair, COUNT(*) AS cnt
+    FROM p GROUP BY pair
+    ORDER BY cnt DESC, pair
+    LIMIT 20
+    """,
+    doc="BPE first-merge statistics: the 20 most frequent adjacent "
+    "character pairs within words (ties broken by pair text).  The "
+    "char-level fan-out is O(corpus chars), but the pair key domain is "
+    "alphabet-squared, so map-side partial aggregation collapses each "
+    "task to a few hundred rows before the one shuffle "
+    "(quality.char_pair_counts).",
+)
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import char_pair_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        char_pair_counts(docs, "text")
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(20)
+    )
+
+
+@register(
+    "vocab_coverage_stats",
+    r"""
+    WITH wd AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+      FROM documents
+    ), f AS (
+      SELECT word, COUNT(*) AS cnt FROM wd GROUP BY word
+    ), r AS (
+      SELECT word, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rk,
+             SUM(cnt) OVER (ORDER BY cnt DESC, word
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM f
+    )
+    SELECT (SELECT COUNT(*) FROM f)                 AS vocab_size,
+           (SELECT SUM(cnt) FROM f)                 AS total_tokens,
+           (SELECT SUM(cnt) FROM r WHERE rk <= 10)  AS top10_tokens,
+           (SELECT MIN(rk) FROM r
+             WHERE cum * 10 >= (SELECT SUM(cnt) FROM f) * 9)
+                                                    AS ranks_to_90pct
+    """,
+    doc="Vocabulary coverage profile: vocab size, total tokens, tokens "
+    "captured by the top-10 words, and how many ranked words reach 90% "
+    "corpus coverage (cumulative-sum window, cross-multiplied integer "
+    "threshold).  The global window runs over the aggregated vocabulary "
+    "(small), never the corpus; single-partition sort is bounded by "
+    "vocab size.",
+)
+def q_vocab_coverage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.quality import word_frequencies
+
+    docs = _t(spark, sf_dir, "documents")
+    f = word_frequencies(docs, "text").cache()
+    w = Window.orderBy(F.desc("cnt"), "word")
+    ranked = f.select(
+        "cnt",
+        F.row_number().over(w).alias("rk"),
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    totals = f.agg(
+        F.count(F.lit(1)).alias("vocab_size"), F.sum("cnt").alias("total_tokens")
+    )
+    top10 = ranked.where(F.col("rk") <= 10).agg(
+        F.sum("cnt").alias("top10_tokens")
+    )
+    r90 = (
+        ranked.join(totals.select("total_tokens"), how="cross")
+        .where(F.col("cum") * 10 >= F.col("total_tokens") * 9)
+        .agg(F.min("rk").alias("ranks_to_90pct"))
+    )
+    return totals.join(top10, how="cross").join(r90, how="cross")
