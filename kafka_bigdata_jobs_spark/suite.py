@@ -4249,3 +4249,115 @@ def q_vocab_coverage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("rk").alias("ranks_to_90pct"))
     )
     return totals.join(top10, how="cross").join(r90, how="cross")
+
+
+@register(
+    "weekly_retention_cohorts",
+    """
+    WITH first_seen AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(ts)) AS DATE)  AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE)       AS act_week
+      FROM events
+    ), sizes AS (
+      SELECT cohort_week, COUNT(*) AS cohort_size
+      FROM first_seen GROUP BY cohort_week
+    )
+    SELECT f.cohort_week,
+           (a.act_week - f.cohort_week) // 7             AS weeks_since,
+           COUNT(DISTINCT a.user_id)                     AS n_active,
+           MIN(s.cohort_size)                            AS cohort_size
+    FROM activity a
+    JOIN first_seen f USING (user_id)
+    JOIN sizes s ON s.cohort_week = f.cohort_week
+    GROUP BY f.cohort_week, weeks_since
+    """,
+    doc="Weekly retention cohorts: cohort = ISO week of first activity; "
+    "triangular (cohort_week x weeks_since) matrix of distinct active "
+    "users with cohort size alongside.  first_seen and the per-week "
+    "activity dedup share one user_id-hashed shuffle (colocated join); "
+    "the final agg keys are tiny.  Cohort sizes ride a broadcast-able "
+    "dim join — AQE picks broadcast when the cohort census is small, "
+    "shuffle-hash when user counts are cluster-scale.",
+)
+def q_weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(week).alias("cohort_week")
+    )
+    activity = ev.select("user_id", week.alias("act_week")).distinct()
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        activity.join(first_seen, "user_id")
+        .join(sizes, "cohort_week")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("act_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("weeks_since"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_active"),
+            F.min("cohort_size").alias("cohort_size"),
+        )
+    )
+
+
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH stage_ts AS (
+      SELECT user_id,
+             MIN(ts) FILTER (WHERE event_type = 'view')     AS t_view,
+             MIN(ts) FILTER (WHERE event_type = 'click')    AS t_click,
+             MIN(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*)                                          AS n_users,
+           COUNT(*) FILTER (WHERE t_view IS NOT NULL)        AS n_viewed,
+           COUNT(*) FILTER (WHERE t_click > t_view)          AS n_clicked_after_view,
+           COUNT(*) FILTER (WHERE t_purchase > t_click
+                              AND t_click > t_view)          AS n_full_funnel
+    FROM stage_ts
+    """,
+    doc="Ordered conversion funnel view -> click -> purchase: one "
+    "conditional-min aggregation per stage (count-if idiom over the "
+    "reference's A4 shape), then ordered-timestamp comparisons — no "
+    "joins, no windows, a single user_id-hashed shuffle with map-side "
+    "partial mins.  NULL comparisons are three-valued: a user missing "
+    "any stage fails the > test, so the funnel counts are monotone by "
+    "construction.",
+)
+def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def stage_min(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    stage = ev.groupBy("user_id").agg(
+        stage_min("view").alias("t_view"),
+        stage_min("click").alias("t_click"),
+        stage_min("purchase").alias("t_purchase"),
+    )
+    return stage.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.col("t_view")).alias("n_viewed"),
+        F.coalesce(
+            F.sum((F.col("t_click") > F.col("t_view")).cast("long")), F.lit(0)
+        ).alias("n_clicked_after_view"),
+        F.coalesce(
+            F.sum(
+                (
+                    (F.col("t_purchase") > F.col("t_click"))
+                    & (F.col("t_click") > F.col("t_view"))
+                ).cast("long")
+            ),
+            F.lit(0),
+        ).alias("n_full_funnel"),
+    )
