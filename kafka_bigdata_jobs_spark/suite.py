@@ -4361,3 +4361,81 @@ def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("n_full_funnel"),
     )
+
+
+@register(
+    "user_state_intervals_scd2",
+    """
+    WITH iv AS (
+      SELECT user_id, event_type,
+             epoch_ms(ts) AS start_ms,
+             epoch_ms(LEAD(ts) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id)) AS end_ms
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*)                                           AS n_intervals,
+           COUNT(*) FILTER (WHERE end_ms IS NULL)             AS n_open,
+           COALESCE(SUM(end_ms - start_ms), 0)                AS total_ms
+    FROM iv GROUP BY event_type
+    """,
+    doc="SCD2-style interval construction from a change log: each event "
+    "opens a validity interval closed by the user's next event (LEAD "
+    "over (ts, event_id) — deterministic ties), the final state per "
+    "user stays open (end NULL).  The dimension-versioning idiom "
+    "(effective_from/effective_to) built with one user_id-hashed "
+    "window shuffle; duration arithmetic in integer epoch-millis.",
+)
+def q_user_state_intervals_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    iv = ev.select(
+        "event_type",
+        ms.alias("start_ms"),
+        F.lead(ms).over(w).alias("end_ms"),
+    )
+    return iv.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("end_ms").isNull().cast("long")).alias("n_open"),
+        F.coalesce(
+            F.sum(F.col("end_ms") - F.col("start_ms")), F.lit(0)
+        ).alias("total_ms"),
+    )
+
+
+@register(
+    "rolling_7d_active_users",
+    """
+    WITH days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+    ), act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS act_day FROM events
+    )
+    SELECT d.day,
+           COUNT(DISTINCT a.user_id) AS wau
+    FROM days d
+    JOIN act a ON a.act_day <= d.day AND a.act_day > d.day - 7
+    GROUP BY d.day
+    """,
+    doc="Exact trailing-7-day active users per calendar day: the "
+    "distinct (user, day) activity pairs range-join a broadcast day "
+    "grid (days are tiny; the x7 fan-out lands on the deduped pair "
+    "set, not raw events), then countDistinct per day.  This is the "
+    "EXACT twin of weekly_uniques_hll_mergeable — at 100 TB you run "
+    "the mergeable-sketch rollup instead and keep this for backfill "
+    "audits on samples.",
+)
+def q_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    days = ev.select(day.alias("day")).distinct()
+    act = ev.select("user_id", day.alias("act_day")).distinct()
+    joined = act.join(
+        F.broadcast(days),
+        (F.col("act_day") <= F.col("day"))
+        & (F.col("act_day") > F.date_sub(F.col("day"), 7)),
+    )
+    return joined.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
