@@ -201,3 +201,89 @@ def tagged_union(
         for df, tag in dfs_with_tags
     ]
     return union_all(*parts)
+
+
+def two_phase_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[Column, Column]],
+    salt_buckets: int = 16,
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Salted two-phase aggregation for skewed grouping keys.
+
+    Phase 1 groups by ``(keys..., salt)`` — the salt is a deterministic
+    hash of ``salt_on`` (pass any high-cardinality column; without one,
+    falls back to ``monotonically_increasing_id``, which is stable
+    within a run but not across retries — prefer ``salt_on``) —
+    spreading one hot key over ``salt_buckets`` reducers; phase 2
+    re-aggregates the per-salt partials by ``keys`` alone.  Correct only for aggregates
+    with a partial/merge decomposition, which the caller supplies:
+    ``aggs[name] = (partial_expr, merge_expr)`` where ``merge_expr``
+    references the phase-1 output column ``name``.
+
+    Catalyst already does partial aggregation map-side, which handles
+    most skew; explicit salting matters when a single key's PARTIAL
+    results still overwhelm one reducer (billions of rows per key with
+    high-cardinality distinct-ish state).  Plain ``sum``/``count``/
+    ``min``/``max`` rarely need it — this operator exists for the
+    pattern, verified equivalent to the direct groupBy in tests.
+    """
+    salt_col = (
+        F.pmod(F.xxhash64(F.col(salt_on)), F.lit(salt_buckets))
+        if salt_on
+        else F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    )
+    phase1 = df.withColumn("__salt", salt_col).groupBy(*keys, "__salt").agg(
+        *[partial.alias(name) for name, (partial, _merge) in aggs.items()]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[merge.alias(name) for name, (_partial, merge) in aggs.items()]
+    )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, pk: Sequence[str], compare: Sequence[str]
+) -> DataFrame:
+    """Keyed table diff between two snapshots: one row per changed key
+    with ``change_type`` in {added, removed, changed}.
+
+    Full outer join on the primary key, null-safe (``<=>``) comparison
+    over the tracked columns — the reconciliation primitive behind CDC
+    audits and backfill verification.  Both sides hash-shuffle on the
+    pk once; at warehouse scale pre-bucketed snapshots make this
+    shuffle-free.
+    """
+    o = old.select(
+        *[F.col(c).alias(f"__o_{c}") for c in [*pk, *compare]]
+    )
+    n = new.select(
+        *[F.col(c).alias(f"__n_{c}") for c in [*pk, *compare]]
+    )
+    cond = None
+    for k in pk:
+        c = F.col(f"__o_{k}") == F.col(f"__n_{k}")
+        cond = c if cond is None else (cond & c)
+    joined = o.join(n, cond, "full_outer")
+    old_missing = F.col(f"__o_{pk[0]}").isNull()
+    new_missing = F.col(f"__n_{pk[0]}").isNull()
+    same = None
+    for c in compare:
+        eq = F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        same = eq if same is None else (same & eq)
+    change = (
+        F.when(old_missing, F.lit("added"))
+        .when(new_missing, F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .where(F.col("change_type").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"__n_{k}"), F.col(f"__o_{k}")).alias(k)
+                for k in pk
+            ],
+            "change_type",
+        )
+    )

@@ -4439,3 +4439,59 @@ def q_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("act_day") > F.date_sub(F.col("day"), 7)),
     )
     return joined.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+
+
+@register(
+    "order_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 11 <> 3
+    ), new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice*100) AS BIGINT)
+               + CASE WHEN o_orderkey % 7 = 0 THEN 100 ELSE 0 END AS price_cents
+      FROM orders WHERE o_orderkey % 11 <> 5
+    ), d AS (
+      SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                    OR o.price_cents  IS DISTINCT FROM n.price_cents
+                    THEN 'changed' END AS change_type
+      FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+    )
+    SELECT change_type, COUNT(*) AS n, MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM d WHERE change_type IS NOT NULL
+    GROUP BY change_type
+    """,
+    doc="Keyed snapshot reconciliation (CDC audit): two deterministic "
+    "synthetic snapshots of orders (one drops keys %11=3, the other "
+    "drops %11=5 and bumps %7=0 prices), diffed by full-outer join "
+    "with null-safe column comparison (operators/relational.py::"
+    "snapshot_diff).  One pk-hashed shuffle per side; pre-bucketed "
+    "snapshots run it shuffle-free at warehouse scale.",
+)
+def q_order_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import cents, snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", cents("o_totalprice").alias("price_cents")
+    )
+    old = base.where(F.col("o_orderkey") % 11 != 3)
+    new = base.where(F.col("o_orderkey") % 11 != 5).withColumn(
+        "price_cents",
+        F.col("price_cents")
+        + F.when(F.col("o_orderkey") % 7 == 0, 100).otherwise(0),
+    )
+    diff = snapshot_diff(
+        old, new, pk=["o_orderkey"], compare=["o_orderstatus", "price_cents"]
+    )
+    return diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )

@@ -1,0 +1,58 @@
+"""two_phase_agg equivalence + snapshot_diff unit coverage."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_bigdata_jobs_spark.operators.relational import snapshot_diff, two_phase_agg
+from kafka_bigdata_jobs_spark.schemas import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_two_phase_agg_equals_direct(spark):
+    ev = load_table(spark, SF, "events")
+    direct = {
+        (r["event_type"],): (r["n"], r["cents"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    salted = two_phase_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n": (F.count(F.lit(1)), F.sum("n")),
+            "cents": (
+                F.sum(F.round(F.col("value") * 100).cast("long")),
+                F.sum("cents"),
+            ),
+        },
+        salt_buckets=8,
+        salt_on="user_id",
+    )
+    got = {(r["event_type"],): (r["n"], r["cents"]) for r in salted.collect()}
+    assert got == direct
+
+
+def test_snapshot_diff_classifies(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["pk", "s", "v"]
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "c", 99), (4, "d", 40)], ["pk", "s", "v"]
+    )
+    got = {
+        r["pk"]: r["change_type"]
+        for r in snapshot_diff(old, new, ["pk"], ["s", "v"]).collect()
+    }
+    assert got == {1: "removed", 3: "changed", 4: "added"}
+
+
+def test_snapshot_diff_null_safe(spark):
+    old = spark.createDataFrame([(1, None, 10)], "pk int, s string, v int")
+    new = spark.createDataFrame([(1, None, 10)], "pk int, s string, v int")
+    assert snapshot_diff(old, new, ["pk"], ["s", "v"]).count() == 0
