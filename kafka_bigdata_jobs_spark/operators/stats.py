@@ -27,6 +27,8 @@ Two implementations, same oracle:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -142,3 +144,45 @@ def sigma_outliers(
             F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
         )
     )
+
+
+def profile_table(
+    df: DataFrame, numeric_cols: Sequence[str] | None = None
+) -> DataFrame:
+    """One-pass data-profiling: per column — null count, exact distinct
+    count, and (numeric columns only) min/max.
+
+    Everything folds into a SINGLE aggregate over one scan: Catalyst
+    plans the distinct counts as one expand+aggregate, so profiling a
+    100 TB table costs one pass + one small shuffle, not a job per
+    column (the naive loop).  The wide single-row result is unpivoted
+    driver-free with ``stack``.
+    """
+    from pyspark.sql.types import NumericType
+
+    numeric = set(
+        numeric_cols
+        if numeric_cols is not None
+        else [f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)]
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in df.columns:
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{c}"))
+        if c in numeric:
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"__min_{c}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"__max_{c}"))
+    wide = df.agg(*aggs)
+    parts = []
+    for c in df.columns:
+        mn = f"__min_{c}" if c in numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"__max_{c}" if c in numeric else "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"'{c}', __n - __nn_{c}, __nd_{c}, {mn}, {mx}"
+        )
+    stack = (
+        f"stack({len(df.columns)}, "
+        + ", ".join(parts)
+        + ") as (column_name, n_null, n_distinct, min_val, max_val)"
+    )
+    return wide.selectExpr(stack)

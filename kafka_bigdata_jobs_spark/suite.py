@@ -4495,3 +4495,48 @@ def q_order_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+@register(
+    "orders_profile",
+    """
+    SELECT 'o_orderkey' AS column_name,
+           COUNT(*) - COUNT(o_orderkey)        AS n_null,
+           COUNT(DISTINCT o_orderkey)          AS n_distinct,
+           CAST(MIN(o_orderkey) AS DOUBLE)     AS min_val,
+           CAST(MAX(o_orderkey) AS DOUBLE)     AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*) - COUNT(o_orderdate),
+           COUNT(DISTINCT o_orderdate), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority), NULL, NULL
+    FROM orders
+    """,
+    doc="One-pass table profiling (stats.profile_table): per column "
+    "null count, exact distinct count, numeric min/max — ONE scan and "
+    "one aggregate (Catalyst plans the multi-column distincts as a "
+    "single expand+aggregate), then a stack() unpivot of the wide row. "
+    "The oracle spells it as per-column UNION ALL scans; at 100 TB the "
+    "single-pass shape is 6x fewer reads here and N-x on wide tables.",
+)
+def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.stats import profile_table
+
+    return profile_table(_t(spark, sf_dir, "orders"))
