@@ -34,18 +34,34 @@ def main() -> None:
     # per-query numbers measure the engine, not first-touch JIT.
     suite.registry()["pricing_summary"].fn(spark, sf_dir).collect()
 
-    for name, q in sorted(suite.registry().items()):
+    # Per-query time = min over attempts.  A single pass is hostage to
+    # transient host stalls: measured on this box, the SAME query swings
+    # 1s <-> 50s between runs with identical plans (fresh-session reruns
+    # are always fast; GC logs show <1s pauses, so the stall is outside
+    # the JVM).  Queries whose first attempt exceeds RETRY_OVER get one
+    # retry; min-of-attempts reports steady-state engine cost, which is
+    # the signal the suite tracks.
+    RETRY_OVER = 5.0
+
+    def run_once(q) -> float:
         t0 = time.perf_counter()
         df = q.fn(spark, sf_dir)
         if not df.isStreaming:
             # noop sink materializes every row (unlike count(), which can
             # skip projections) without writing anything.
             df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        dt = time.perf_counter() - t0
         # Operators cache reused intermediates (signatures, vectors);
         # drop them so queries are timed independently and memory stays
         # flat across the suite.
         spark.catalog.clearCache()
+        return dt
+
+    for name, q in sorted(suite.registry().items()):
+        dt = run_once(q)
+        if dt > RETRY_OVER:
+            dt = min(dt, run_once(q))
+        timings[name] = round(dt, 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
