@@ -4540,3 +4540,117 @@ def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.stats import profile_table
 
     return profile_table(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "value_mad_outliers",
+    """
+    WITH c AS (
+      SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS cents
+      FROM events
+    ), med AS (
+      SELECT event_type, MEDIAN(cents) AS med_cents
+      FROM c GROUP BY event_type
+    ), dev AS (
+      SELECT c.event_type, c.cents,
+             ABS(c.cents - m.med_cents) AS adev
+      FROM c JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, MEDIAN(adev) AS mad_cents
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           COUNT(*)                                        AS n_rows,
+           COUNT(*) FILTER (WHERE d.adev > 3 * m.mad_cents) AS n_outliers,
+           m.mad_cents                                      AS mad_cents
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type, m.mad_cents
+    """,
+    doc="Robust outlier detection via median absolute deviation: all "
+    "arithmetic on integer cents, medians of integer sets interpolate "
+    "to at most .5 in both engines (exact), and the 3-MAD threshold "
+    "compares integers scaled by 2 implicitly through the exact "
+    "median value.  Two passes over the grouped values (median, then "
+    "deviation median) + a broadcastable per-group stats join — the "
+    "same shape as the k-sigma query but immune to the outliers it "
+    "hunts.",
+)
+def q_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    med = c.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("med_cents")
+    )
+    dev = c.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("cents") - F.col("med_cents")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad_cents")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "mad_cents")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (F.col("adev") > 3 * F.col("mad_cents")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .select("event_type", "n_rows", "n_outliers", "mad_cents")
+    )
+
+
+@register(
+    "top_event_paths",
+    """
+    WITH r AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), p AS (
+      SELECT user_id,
+             STRING_AGG(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 5
+      GROUP BY user_id
+    )
+    SELECT path, COUNT(*) AS n_users
+    FROM p GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 20
+    """,
+    doc="User journey paths: each user's first five events (ROW_NUMBER "
+    "with (ts, event_id) tie-breaks) joined into a '>' path string, "
+    "then the 20 most common paths.  Spark's collect_list is "
+    "order-nondeterministic, so the path is built from "
+    "sort_array(collect_list(struct(rn, event_type))) — sorting the "
+    "structs, not trusting arrival order; one user_id window shuffle "
+    "feeds one path aggregation.",
+)
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= 5)
+    paths = ranked.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("rn"), F.col("event_type")))
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(20)
+    )
