@@ -4654,3 +4654,59 @@ def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), "path")
         .limit(20)
     )
+
+
+@register(
+    "order_rank_spectrum",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents,
+             RANK() OVER w        AS rnk,
+             DENSE_RANK() OVER w  AS drnk,
+             FIRST_VALUE(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND UNBOUNDED FOLLOWING) AS best_key,
+             LAST_VALUE(o_orderkey)  OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND UNBOUNDED FOLLOWING) AS worst_key,
+             NTH_VALUE(o_orderkey, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND UNBOUNDED FOLLOWING) AS second_key
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY cents DESC, o_orderkey)
+    )
+    SELECT o_custkey, rnk, drnk, o_orderkey, best_key, worst_key, second_key
+    FROM r WHERE rnk <= 3 AND o_custkey % 50 = 0
+    """,
+    doc="Window-function spectrum on one shared sort: RANK (gaps), "
+    "DENSE_RANK, FIRST/LAST/NTH_VALUE over an explicit "
+    "unbounded-unbounded ROWS frame (LAST_VALUE under the DEFAULT "
+    "frame is the current row — the classic silent-wrong-answer; the "
+    "explicit frame is the point).  All five functions share one "
+    "o_custkey window shuffle and one sort; deterministic via the "
+    "(cents DESC, o_orderkey) tie-break.",
+)
+def q_order_rank_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = orders.select("o_custkey", "o_orderkey", cents.alias("cents"))
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("cents").desc(), F.col("o_orderkey")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = base.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.first("o_orderkey").over(wf).alias("best_key"),
+        F.last("o_orderkey").over(wf).alias("worst_key"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
+    )
+    return ranked.where(
+        (F.col("rnk") <= 3) & (F.col("o_custkey") % 50 == 0)
+    ).select(
+        "o_custkey", "rnk", "drnk", "o_orderkey", "best_key", "worst_key",
+        "second_key",
+    )
