@@ -4710,3 +4710,51 @@ def q_order_rank_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "rnk", "drnk", "o_orderkey", "best_key", "worst_key",
         "second_key",
     )
+
+
+@register(
+    "nation_share_of_region",
+    """
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(CAST(ROUND(c.c_acctbal*100) AS BIGINT)) AS nation_cents
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation, nation_cents,
+           ROUND(nation_cents * 1.0 /
+                 SUM(nation_cents) OVER (PARTITION BY region), 6) AS share
+    FROM rev
+    """,
+    doc="Percent-of-parent (ratio_to_report): per-nation account "
+    "balance as an exact-cents share of its region via a window SUM "
+    "over the aggregated rows — the window runs on nation-level rows "
+    "(tiny), never the fact table; dims broadcast into the fact scan.",
+)
+def q_nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    rev = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias(
+                "nation_cents"
+            )
+        )
+    )
+    w = Window.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        "nation_cents",
+        F.round(F.col("nation_cents") / F.sum("nation_cents").over(w), 6).alias(
+            "share"
+        ),
+    )

@@ -93,3 +93,41 @@ def test_sentiment_classifies_every_row(spark, texts):
     rows = with_sentiment(df, "text").collect()
     assert len(rows) == len(texts)
     assert all(r["sentiment"] is not None for r in rows)
+
+
+words_strategy = st.lists(
+    st.text(alphabet="abcde", min_size=1, max_size=3), min_size=0, max_size=12
+)
+
+
+@given(words=words_strategy, n=st.integers(min_value=1, max_value=4))
+@settings(**SETTINGS)
+def test_ngrams_zip_matches_python_reference(spark, words, n):
+    """zip_with n-gram chain == the obvious Python sliding window, for
+    any word list and n (including docs shorter than n -> empty)."""
+    from kafka_bigdata_jobs_spark.operators.quality import ngrams_zip
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(
+        ngrams_zip(F.split(F.trim(F.col("text")), r"\s+"), n).alias("g")
+    ).first()["g"]
+    toks = text.strip().split() if text.strip() else [""]
+    expected = [
+        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+    ]
+    assert got == expected
+
+
+@given(words=st.lists(st.text(alphabet="abc", min_size=1, max_size=2), min_size=2, max_size=15))
+@settings(**SETTINGS)
+def test_repetition_stats_invariants(spark, words):
+    """n_bigrams = n_words - 1; top bigram count bounded by total; the
+    distinct count never exceeds the word count."""
+    from kafka_bigdata_jobs_spark.operators.quality import repetition_stats
+
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id int, text string")
+    r = repetition_stats(df, "doc_id", "text").first()
+    assert r["n_bigrams"] == r["n_words"] - 1
+    assert 1 <= r["top_bigram_count"] <= r["n_bigrams"]
+    assert r["n_distinct_words"] <= r["n_words"]
