@@ -186,3 +186,65 @@ def profile_table(
         + ") as (column_name, n_null, n_distinct, min_val, max_val)"
     )
     return wide.selectExpr(stack)
+
+
+def series_corr_pairs(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    cents_col: str,
+    min_buckets: int = 5,
+    top_k: int = 10,
+) -> DataFrame:
+    """Most-correlated key pairs over aligned series buckets (time-series
+    similarity search à la streaming-similarity literature, on the
+    Pearson measure).
+
+    Input: one row per (key, bucket) with an integer metric.  The
+    pairwise stage equi-joins on the bucket (never a cross join), so
+    cost is Σ_bucket n_b² — the aligned-bucket analogue of a blocked
+    similarity join; all five correlation sums are exact integers, only
+    the final normalization touches floating point (ROUND 6 for
+    cross-engine hash stability).  Keys with fewer than ``min_buckets``
+    shared buckets are dropped (degenerate correlations).
+
+    Scale path (100 TB): replace exact pairing with a PAA/SAX sketch —
+    piecewise-aggregate each series to a fixed-width symbol string,
+    equi-join on the symbol prefix as an LSH-style block, then run THIS
+    exact computation on the candidates only; same
+    cheap-filter/exact-verify funnel as the MinHash pipeline.
+    """
+    a = df.select(
+        F.col(key_col).alias("key_a"),
+        F.col(bucket_col).alias("__b"),
+        F.col(cents_col).alias("x"),
+    )
+    b = df.select(
+        F.col(key_col).alias("key_b"),
+        F.col(bucket_col).alias("__b"),
+        F.col(cents_col).alias("y"),
+    )
+    paired = a.join(b, "__b").where(F.col("key_a") < F.col("key_b"))
+    sums = paired.groupBy("key_a", "key_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    ).where(F.col("n") >= min_buckets)
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # Each variance term fits a long (< 2^53, so double-exact), but the
+    # PRODUCT does not — multiply in double (ANSI mode throws on long
+    # overflow), mirroring the oracle's `* 1.0` placement exactly.
+    corr = F.round(
+        num / F.sqrt(var_x.cast("double") * var_y.cast("double")), 6
+    )
+    return (
+        sums.where((var_x > 0) & (var_y > 0))
+        .select("key_a", "key_b", "n", corr.alias("corr"))
+        .orderBy(F.desc("corr"), "key_a", "key_b")
+        .limit(top_k)
+    )

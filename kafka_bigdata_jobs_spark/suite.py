@@ -4758,3 +4758,48 @@ def q_nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     )
+
+
+@register(
+    "correlated_user_spend_pairs",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value*100) AS BIGINT)) AS cents
+      FROM events GROUP BY user_id, day
+    ), paired AS (
+      SELECT a.user_id AS key_a, b.user_id AS key_b,
+             COUNT(*) AS n,
+             SUM(a.cents)           AS sx,  SUM(b.cents)           AS sy,
+             SUM(a.cents*a.cents)   AS sxx, SUM(b.cents*b.cents)   AS syy,
+             SUM(a.cents*b.cents)   AS sxy
+      FROM daily a JOIN daily b
+        ON a.day = b.day AND a.user_id < b.user_id
+      GROUP BY key_a, key_b
+      HAVING COUNT(*) >= 5
+    )
+    SELECT key_a, key_b, n,
+           ROUND((n*sxy - sx*sy) * 1.0 /
+                 SQRT((n*sxx - sx*sx) * 1.0 * (n*syy - sy*sy)), 6) AS corr
+    FROM paired
+    WHERE (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+    ORDER BY corr DESC, key_a, key_b
+    LIMIT 10
+    """,
+    doc="Time-series similarity search (EDBT'19 streaming-similarity "
+    "family, Pearson measure): top-10 most-correlated user pairs on "
+    "aligned daily-spend series.  Day-bucket equi-join (never cross "
+    "join), five exact-integer sums per pair, one sqrt at the end "
+    "(stats.series_corr_pairs; PAA/SAX sketch prefilter documented "
+    "for the cluster-scale corpus).",
+)
+def q_correlated_user_spend_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.stats import series_corr_pairs
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    return series_corr_pairs(
+        daily, "user_id", "day", "cents", min_buckets=5, top_k=10
+    )
