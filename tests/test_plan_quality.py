@@ -152,3 +152,36 @@ def test_runtime_bloom_filter_injection(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_rolling_wau_broadcasts_day_grid(spark):
+    plan = _plan(spark, "rolling_7d_active_users")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        "day-grid range join must broadcast the tiny day list, "
+        "never shuffle the activity pairs"
+    )
+
+
+def test_mad_outliers_broadcasts_group_stats(spark):
+    plan = _plan(spark, "value_mad_outliers")
+    assert plan.count("BroadcastHashJoin") >= 2, (
+        "both per-group stats joins (median, MAD) must broadcast"
+    )
+
+
+def test_series_corr_is_equi_join(spark):
+    plan = _plan(spark, "correlated_user_spend_pairs")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
+        "pairing must equi-join on the day bucket, never cross-join keys"
+    )
+
+
+def test_profile_is_single_scan(spark):
+    plan = _plan(spark, "orders_profile")
+    # Count scan NODES in the plan tree (the node-detail section repeats
+    # each label, so a raw substring count over-counts).
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("Scan parquet") == 1, (
+        "profiling must read the table once, not per column"
+    )
+    assert "Expand" in tree, "multi-column distincts should plan as one expand"
