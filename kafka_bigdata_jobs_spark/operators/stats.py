@@ -210,9 +210,15 @@ def series_corr_pairs(
 
     Scale path (100 TB): replace exact pairing with a PAA/SAX sketch —
     piecewise-aggregate each series to a fixed-width symbol string,
-    equi-join on the symbol prefix as an LSH-style block, then run THIS
-    exact computation on the candidates only; same
-    cheap-filter/exact-verify funnel as the MinHash pipeline.
+    equi-join on the symbol (or its bands) as an LSH-style block, then
+    run THIS exact computation on the candidates only; same
+    cheap-filter/exact-verify funnel as the MinHash pipeline.  Measured
+    caveat: sketch blocking presumes genuinely co-moving series; on the
+    synthetic fixture the top Pearson pairs are weak chance
+    correlations (no shared shape), and a 4-segment SAX block catches 0
+    of the exact top-10 — so the sketch path is only wired in when the
+    corpus actually contains shape-similar series, never as a silent
+    default.
     """
     a = df.select(
         F.col(key_col).alias("key_a"),
