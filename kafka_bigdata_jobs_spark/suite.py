@@ -4803,3 +4803,47 @@ def q_correlated_user_spend_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     return series_corr_pairs(
         daily, "user_id", "day", "cents", min_buckets=5, top_k=10
     )
+
+
+@register(
+    "order_calendar_features",
+    """
+    SELECT quarter(o_orderdate)                               AS qtr,
+           CAST(isodow(o_orderdate) AS INT)                   AS iso_dow,
+           CAST(last_day(CAST(o_orderdate AS DATE))
+                = CAST(o_orderdate AS DATE) AS INT)           AS is_month_end,
+           COUNT(*)                                           AS n_orders,
+           COUNT(DISTINCT CAST(date_trunc('month',
+                 o_orderdate + INTERVAL 3 MONTH) AS DATE))    AS shifted_months
+    FROM orders
+    GROUP BY qtr, iso_dow, is_month_end
+    """,
+    doc="Calendar feature extraction: quarter, ISO day-of-week, "
+    "month-end flag, and a 3-month shift (billing-cycle idiom via "
+    "add_months) — the date-dimension derivations the reference only "
+    "scratches with hour/day-name (batch/job3_patron_temporal.py:63-66)."
+    "  Spark dayofweek is 1=Sunday; ISO (1=Monday) is derived "
+    "arithmetically to match DuckDB's isodow.  Pure scan + one "
+    "partial-aggregated shuffle.",
+)
+def q_order_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    iso_dow = ((F.dayofweek(od) + 5) % 7) + 1  # 1=Monday ... 7=Sunday
+    return (
+        orders.select(
+            F.quarter(od).alias("qtr"),
+            iso_dow.cast("int").alias("iso_dow"),
+            (F.last_day(od.cast("date")) == od.cast("date"))
+            .cast("int")
+            .alias("is_month_end"),
+            F.date_trunc("month", F.add_months(od, 3))
+            .cast("date")
+            .alias("shifted_month"),
+        )
+        .groupBy("qtr", "iso_dow", "is_month_end")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("shifted_month").alias("shifted_months"),
+        )
+    )
