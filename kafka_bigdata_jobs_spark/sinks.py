@@ -135,3 +135,80 @@ def write_zorder_parquet(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet_dir(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Compact a small-files parquet directory in place: read, coalesce
+    to ``ceil(total_bytes / target)`` files, atomically swap.
+
+    Small files are the silent scan killer at scale (per-file open +
+    footer read + scheduling overhead dwarfs row decode below ~16 MB);
+    streaming sinks produce one file per micro-batch per partition, so
+    periodic compaction is part of operating any landing zone.  File
+    count derives from actual byte size, not row counts, so the same
+    call works at any SF.  ``sort_within_by`` re-sorts rows inside each
+    output file so min/max footer stats stay selective after the merge.
+    Returns the output file count.
+
+    The swap is write-new → move-old-away → move-new-in: readers racing
+    the swap see a complete directory at every point (rename is atomic
+    per entry on posix; on object stores use a manifest commit — see
+    ``sources/pydatasource.py::JsonlArchiveDataSource`` — instead).
+    """
+    import math
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(path)
+    total = sum(
+        f.stat().st_size
+        for f in __import__("pathlib").Path(path).rglob("*.parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    out = df.coalesce(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").parquet(tmp)
+    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
+    return n_files
+
+
+def delete_keys_rewrite(
+    spark,
+    path: str,
+    keys_df,
+    key_col: str,
+) -> int:
+    """Targeted row deletion (GDPR erasure) on an immutable parquet
+    directory: anti-join the key set, rewrite, swap.
+
+    The key set is broadcast (erasure requests are tiny next to the
+    table); every surviving row is written back once.  At warehouse
+    scale, restrict the rewrite to affected partitions by joining the
+    request keys against partition values first — this helper is the
+    whole-directory form.  Returns surviving row count.
+    """
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    kept = df.join(F.broadcast(keys_df), on=key_col, how="left_anti")
+    tmp = f"{path.rstrip('/')}__erase_{uuid.uuid4().hex[:8]}"
+    kept.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
+    return n
