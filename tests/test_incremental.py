@@ -56,3 +56,37 @@ def test_replayed_delta_double_counts(spark):
     once = serve_daily_volume(p)
     d1, d2 = _by_day(once), _by_day(doubled)
     assert all(d2[k][0] == 2 * d1[k][0] for k in d1)
+
+
+def test_streaming_incremental_view_equals_batch(spark, tmp_path):
+    """File-stream micro-batches folded through IncrementalViewSink ==
+    one-shot batch recompute (continuous-aggregate duality)."""
+    from kafka_bigdata_jobs_spark.streaming.runner import (
+        IncrementalViewSink,
+        run_multi_sink,
+    )
+
+    ev = load_table(spark, SF, "events")
+    src_dir = str(tmp_path / "stream_src")
+    # Four files -> four in-order micro-batches (maxFilesPerTrigger=1).
+    for i in range(4):
+        ev.where(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    state_dir = str(tmp_path / "mv_state")
+    sink = IncrementalViewSink(
+        state_dir=state_dir,
+        partials_fn=daily_user_partials,
+        merge_fn=merge_partials,
+    )
+    q = run_multi_sink(stream, [sink], checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    served = serve_daily_volume(spark.read.parquet(state_dir))
+    full = serve_daily_volume(daily_user_partials(ev))
+    assert _by_day(served) == _by_day(full)
