@@ -90,3 +90,58 @@ def test_streaming_incremental_view_equals_batch(spark, tmp_path):
     served = serve_daily_volume(spark.read.parquet(state_dir))
     full = serve_daily_volume(daily_user_partials(ev))
     assert _by_day(served) == _by_day(full)
+
+
+def test_streaming_incremental_view_crash_replay(spark, tmp_path):
+    """Kill the query mid-batch (sink raises AFTER computing the delta,
+    BEFORE the swap completes on its first attempt), restart from the
+    same checkpoint: the replayed micro-batch folds exactly once —
+    atomic state swap + checkpoint replay = effectively-once."""
+    from kafka_bigdata_jobs_spark.streaming.runner import (
+        IncrementalViewSink,
+        run_multi_sink,
+    )
+
+    ev = load_table(spark, SF, "events")
+    src_dir = str(tmp_path / "src")
+    for i in range(3):
+        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    state_dir = str(tmp_path / "state")
+    inner = IncrementalViewSink(
+        state_dir=state_dir,
+        partials_fn=daily_user_partials,
+        merge_fn=merge_partials,
+    )
+    crashed = {"done": False}
+
+    def crashing_sink(batch, batch_id):
+        if batch_id == 1 and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash before state swap")
+        inner(batch, batch_id)
+
+    def make_stream():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+    ckpt = str(tmp_path / "ckpt")
+    q = run_multi_sink(make_stream(), [crashing_sink], checkpoint=ckpt)
+    try:
+        q.awaitTermination(120)
+    except Exception:
+        pass  # the injected crash surfaces as StreamingQueryException
+    assert crashed["done"]
+
+    # Restart from the SAME checkpoint; batch 1 replays, then batch 2.
+    q2 = run_multi_sink(make_stream(), [inner], checkpoint=ckpt)
+    q2.awaitTermination(120)
+
+    served = serve_daily_volume(spark.read.parquet(state_dir))
+    full = serve_daily_volume(daily_user_partials(ev))
+    assert _by_day(served) == _by_day(full)
