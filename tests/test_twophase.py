@@ -56,3 +56,42 @@ def test_snapshot_diff_null_safe(spark):
     old = spark.createDataFrame([(1, None, 10)], "pk int, s string, v int")
     new = spark.createDataFrame([(1, None, 10)], "pk int, s string, v int")
     assert snapshot_diff(old, new, ["pk"], ["s", "v"]).count() == 0
+
+
+def test_snapshot_diff_composite_pk(spark):
+    old = spark.createDataFrame(
+        [(1, "x", 5), (1, "y", 6), (2, "x", 7)], ["k1", "k2", "v"]
+    )
+    new = spark.createDataFrame(
+        [(1, "x", 5), (1, "y", 60), (3, "z", 8)], ["k1", "k2", "v"]
+    )
+    got = {
+        (r["k1"], r["k2"]): r["change_type"]
+        for r in snapshot_diff(old, new, ["k1", "k2"], ["v"]).collect()
+    }
+    assert got == {(1, "y"): "changed", (2, "x"): "removed", (3, "z"): "added"}
+
+
+def test_two_phase_agg_without_salt_column(spark):
+    """salt_on=None falls back to monotonically_increasing_id — still
+    exactly equal to the direct aggregate within a run."""
+    df = spark.createDataFrame(
+        [("a", i) for i in range(100)] + [("b", i) for i in range(7)], ["k", "v"]
+    )
+    direct = {
+        r["k"]: (r["n"], r["s"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    salted = two_phase_agg(
+        df,
+        keys=["k"],
+        aggs={
+            "n": (F.count(F.lit(1)), F.sum("n")),
+            "s": (F.sum("v"), F.sum("s")),
+        },
+        salt_buckets=4,
+    )
+    got = {r["k"]: (r["n"], r["s"]) for r in salted.collect()}
+    assert got == direct
