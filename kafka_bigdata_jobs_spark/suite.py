@@ -4847,3 +4847,21 @@ def q_order_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("shifted_month").alias("shifted_months"),
         )
     )
+
+
+@register(
+    "frequent_event_types_sketch",
+    None,  # single-pass heavy-hitter sketch: superset guarantee, not an
+    # exact set -- pinned by a property test instead of the oracle
+    doc="Heavy-hitters sketch (Karp-Papadimitriou-Shenker single-pass "
+    "counting via DataFrame.stat.freqItems): candidate event types and "
+    "users above 10% frequency in ONE pass with O(1/support) memory — "
+    "the third sketch family beside HLL distinct and approx "
+    "percentiles.  Guarantee is a SUPERSET of the true heavy hitters "
+    "(may include false positives, never misses — pinned in "
+    "tests/test_properties.py); exact verification is one count-if "
+    "pass over the candidates when needed.",
+)
+def q_frequent_event_types_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.stat.freqItems(["event_type", "user_id"], support=0.1)

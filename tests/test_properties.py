@@ -131,3 +131,26 @@ def test_repetition_stats_invariants(spark, words):
     assert r["n_bigrams"] == r["n_words"] - 1
     assert 1 <= r["top_bigram_count"] <= r["n_bigrams"]
     assert r["n_distinct_words"] <= r["n_words"]
+
+
+@given(
+    heavy=st.integers(min_value=30, max_value=60),
+    noise=st.integers(min_value=5, max_value=30),
+)
+@settings(**SETTINGS)
+def test_freq_items_superset_of_true_heavy_hitters(spark, heavy, noise):
+    """freqItems must return a SUPERSET of items with frequency >
+    support — the sketch may over-report, never under-report."""
+    rows = (
+        [("hot",)] * heavy
+        + [(f"n{i}",) for i in range(noise)]
+        + [("warm",)] * heavy
+    )
+    df = spark.createDataFrame(rows, "k string")
+    total = len(rows)
+    support = 0.2
+    got = set(df.stat.freqItems(["k"], support=support).first()[0])
+    truth = {
+        k for k, c in {"hot": heavy, "warm": heavy}.items() if c / total > support
+    }
+    assert truth <= got
