@@ -185,3 +185,20 @@ def test_profile_is_single_scan(spark):
         "profiling must read the table once, not per column"
     )
     assert "Expand" in tree, "multi-column distincts should plan as one expand"
+
+
+def test_no_accidental_cartesian_products(spark):
+    """Global net: NO oracle query may plan a CartesianProduct.  The
+    single-row-aggregate cross joins (vocab coverage) and the broadcast
+    nested-loop range joins (day grid, top-k thresholds) are fine —
+    they broadcast a tiny side; an unhinted CartesianProduct of two big
+    sides is always a bug."""
+    offenders = []
+    for name, q in sorted(suite.registry().items()):
+        df = q.fn(spark, SF)
+        if df.isStreaming:
+            continue
+        plan = formatted_plan(df)
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == [], f"cartesian products in: {offenders}"
