@@ -4865,3 +4865,85 @@ def q_order_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_frequent_event_types_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.stat.freqItems(["event_type", "user_id"], support=0.1)
+
+
+@register(
+    "near_dup_retention",
+    """
+    WITH RECURSIVE s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(length(text)-4),
+                                          i -> substr(text, i+1, 5))) AS sh
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach(node, root) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+    ), comp AS (
+      SELECT node, MIN(root) AS cluster_id FROM reach GROUP BY node
+    ), ranked AS (
+      SELECT d.doc_id, d.source, d.n_chars, c.cluster_id,
+             CASE WHEN c.cluster_id IS NULL THEN 1
+                  ELSE ROW_NUMBER() OVER (
+                      PARTITION BY c.cluster_id
+                      ORDER BY d.n_chars DESC, d.doc_id) END AS keep_rank
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT source,
+           COUNT(*)                                          AS n_docs,
+           COUNT(*) FILTER (WHERE keep_rank = 1)             AS n_survivors,
+           COUNT(*) FILTER (WHERE keep_rank > 1)             AS n_dropped,
+           COALESCE(SUM(n_chars) FILTER (WHERE keep_rank > 1), 0)
+                                                             AS dropped_chars
+    FROM ranked GROUP BY source
+    """,
+    doc="End-to-end dedup retention policy — the actual production "
+    "question: which docs SURVIVE?  MinHash-LSH pairs -> connected "
+    "components -> per-cluster canonical (longest text, tie lowest id, "
+    "a deterministic ROW_NUMBER) -> per-source survival census with "
+    "bytes reclaimed.  Singletons (no cluster) always survive via the "
+    "left join.  Composes three operator families (dedup funnel, "
+    "iterative components, ranking window) in one lineage.",
+)
+def q_near_dup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.dedup import connected_components, near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(d, "doc_id", "text", threshold=0.8)
+    comp = connected_components(pairs, "id_a", "id_b")
+    member = d.select("doc_id", "source", "n_chars").join(
+        comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    )
+    # Rank ONLY clustered docs: a when(comp IS NULL, 1) shortcut would
+    # still hash every singleton into one NULL window partition — a
+    # single giant task at corpus scale.  Split, rank the (tiny)
+    # clustered slice, re-union.
+    w = Window.partitionBy("comp").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    clustered = member.where(F.col("comp").isNotNull()).withColumn(
+        "keep_rank", F.row_number().over(w)
+    )
+    singles = member.where(F.col("comp").isNull()).withColumn(
+        "keep_rank", F.lit(1)
+    )
+    ranked = clustered.unionByName(singles)
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("keep_rank") == 1).cast("long")).alias("n_survivors"),
+        F.sum((F.col("keep_rank") > 1).cast("long")).alias("n_dropped"),
+        F.coalesce(
+            F.sum(F.when(F.col("keep_rank") > 1, F.col("n_chars"))), F.lit(0)
+        ).alias("dropped_chars"),
+    )
