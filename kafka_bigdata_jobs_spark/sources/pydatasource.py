@@ -266,6 +266,39 @@ def read_archive_manifests(path: str) -> tuple[list[str], int]:
     return sorted(files), rows
 
 
+def gc_archive(path: str, min_age_s: float = 3600.0) -> tuple[int, int]:
+    """Garbage-collect an archive directory against its manifests.
+
+    Two kinds of garbage accumulate under the staged-commit protocol:
+    ``.part-*.jsonl.tmp`` orphans from failed/speculative tasks whose
+    ``abort`` never ran, and renamed ``part-*.jsonl`` files whose
+    publishing crashed BETWEEN the renames and the manifest write (the
+    one non-atomic window — readers never see them because reads go
+    through manifests, but the bytes stay).  Both are deleted once
+    older than ``min_age_s``; the age guard keeps GC from racing an
+    in-flight commit.  Returns (orphan_tmp_removed, unreferenced_removed).
+    """
+    import glob
+    import os
+    import time
+
+    referenced, _ = read_archive_manifests(path)
+    referenced_set = set(referenced)
+    now = time.time()
+    n_tmp = n_unref = 0
+    for p in glob.glob(os.path.join(path, ".part-*.jsonl.tmp")):
+        if now - os.path.getmtime(p) >= min_age_s:
+            os.remove(p)
+            n_tmp += 1
+    for p in glob.glob(os.path.join(path, "part-*.jsonl")):
+        if os.path.basename(p) not in referenced_set and (
+            now - os.path.getmtime(p) >= min_age_s
+        ):
+            os.remove(p)
+            n_unref += 1
+    return n_tmp, n_unref
+
+
 def register_tweet_replay(spark) -> None:
     # The data source class is recreated inside a dedicated Python
     # worker process that does NOT inherit the driver's sys.path, so a

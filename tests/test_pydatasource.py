@@ -143,3 +143,43 @@ def test_archive_writer_stream_exactly_once(spark, tmp_path):
     files2, rows2 = read_archive_manifests(d)
     assert rows2 == 200
     assert files2 == files1
+
+
+def test_archive_gc_removes_orphans_keeps_committed(spark, tmp_path):
+    """GC deletes aged orphan temps and unreferenced parts, never
+    committed files or fresh in-flight temps."""
+    import os
+    import time
+
+    from kafka_bigdata_jobs_spark.sources.pydatasource import (
+        JsonlArchiveDataSource,
+        gc_archive,
+        read_archive_manifests,
+    )
+
+    spark.dataSource.register(JsonlArchiveDataSource)
+    d = str(tmp_path / "arch")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string").write.format(
+        "jsonl_archive"
+    ).option("path", d).mode("append").save()
+    committed, rows = read_archive_manifests(d)
+    assert rows == 2 and committed
+
+    old = time.time() - 7200
+    orphan_tmp = os.path.join(d, ".part-deadbeef.jsonl.tmp")
+    unref_part = os.path.join(d, "part-cafebabe.jsonl")
+    fresh_tmp = os.path.join(d, ".part-freshfresh.jsonl.tmp")
+    for p in (orphan_tmp, unref_part, fresh_tmp):
+        with open(p, "w") as f:
+            f.write("{}\n")
+    os.utime(orphan_tmp, (old, old))
+    os.utime(unref_part, (old, old))
+
+    n_tmp, n_unref = gc_archive(d, min_age_s=3600)
+    assert (n_tmp, n_unref) == (1, 1)
+    assert not os.path.exists(orphan_tmp)
+    assert not os.path.exists(unref_part)
+    assert os.path.exists(fresh_tmp)  # too young — in-flight, kept
+    for name in committed:
+        assert os.path.exists(os.path.join(d, name))
+    assert read_archive_manifests(d) == (committed, rows)
