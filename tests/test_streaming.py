@@ -254,3 +254,43 @@ def test_complete_mode_running_aggregate(spark):
         for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want
+
+
+def test_progress_listener_records_batches(spark, tmp_path):
+    """ProgressRecorder sees every micro-batch with its input-row count;
+    totals reconcile with the source row count exactly."""
+    import time
+
+    from kafka_bigdata_jobs_spark.schemas import load_table
+    from kafka_bigdata_jobs_spark.streaming.monitor import ProgressRecorder
+
+    ev = load_table(spark, SF, "events")
+    src = str(tmp_path / "src")
+    for i in range(3):
+        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    try:
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # The listener bus is async; progress events can trail termination.
+        deadline = time.time() + 30
+        while rec.total_rows() < ev.count() and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(rec)
+
+    assert rec.total_rows() == ev.count()
+    assert len([r for r in rec.records if r.num_input_rows > 0]) == 3
+    assert all(r.duration_ms is not None for r in rec.records)
