@@ -239,12 +239,16 @@ def series_corr_pairs(
         F.sum(F.col("y") * F.col("y")).alias("syy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     ).where(F.col("n") >= min_buckets)
+    return _corr_topk_from_sums(sums, top_k)
+
+
+def _corr_topk_from_sums(sums: DataFrame, top_k: int) -> DataFrame:
+    """Shared final stage: exact integer sums -> Pearson -> top-k.
+    Identical expression in both pairing strategies, so their outputs
+    are bit-equal."""
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    # Each variance term fits a long (< 2^53, so double-exact), but the
-    # PRODUCT does not — multiply in double (ANSI mode throws on long
-    # overflow), mirroring the oracle's `* 1.0` placement exactly.
     corr = F.round(
         num / F.sqrt(var_x.cast("double") * var_y.cast("double")), 6
     )
@@ -254,3 +258,105 @@ def series_corr_pairs(
         .orderBy(F.desc("corr"), "key_a", "key_b")
         .limit(top_k)
     )
+
+
+def series_corr_pairs_gram(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    cents_col: str,
+    min_buckets: int = 5,
+    top_k: int = 10,
+) -> DataFrame:
+    """All-pairs series correlation via blocked integer Gram matrices —
+    the scale formulation of :func:`series_corr_pairs`.
+
+    The bucket equi-join formulation shuffles Σ_bucket n_b² pair rows
+    through a join whose key domain is tiny (days) — at cluster scale
+    that is a handful of hot partitions.  Here the (key × bucket) value
+    matrix X and presence mask M are built once and broadcast; each
+    task computes a row block of six Gram products (Mb·Mᵀ, Xb·Mᵀ,
+    Mb·Xᵀ, Xb·Xᵀ, X²b·Mᵀ, Mb·X²ᵀ) in int64 — EXACT integers, zero-fill
+    is correct because absent buckets contribute 0 to every masked sum
+    — and emits qualifying pair sums.  The final Pearson step is the
+    same Spark expression as the join path, so outputs are bit-equal
+    (pinned by an equivalence test AND the same DuckDB oracle).
+
+    Memory bound: broadcast is O(keys × buckets × 16 B); beyond ~10⁷
+    key-buckets per executor, shard keys into bucketed blocks and run
+    block × block (same code, restricted matrices) — the analogue of
+    the embedding module's cell-restricted scoring.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    rows = df.select(
+        F.col(key_col).alias("k"),
+        F.col(bucket_col).alias("b"),
+        F.col(cents_col).alias("v"),
+    ).collect()
+    if not rows:
+        schema = "key_a long, key_b long, n long, corr double"
+        return df.sparkSession.createDataFrame([], schema)
+    buckets = sorted({r["b"] for r in rows})
+    b_idx = {b: i for i, b in enumerate(buckets)}
+    ids = np.array(sorted({r["k"] for r in rows}), dtype=np.int64)
+    k_idx = {int(k): i for i, k in enumerate(ids)}
+    X = np.zeros((len(ids), len(buckets)), dtype=np.int64)
+    M = np.zeros_like(X)
+    for r in rows:
+        i, j = k_idx[int(r["k"])], b_idx[r["b"]]
+        X[i, j] = int(r["v"])
+        M[i, j] = 1
+    bc = df.sparkSession.sparkContext.broadcast((ids, X, M))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key_a", T.LongType()),
+            T.StructField("key_b", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("sx", T.LongType()),
+            T.StructField("sy", T.LongType()),
+            T.StructField("sxx", T.LongType()),
+            T.StructField("syy", T.LongType()),
+            T.StructField("sxy", T.LongType()),
+        ]
+    )
+
+    def gen(it):
+        import numpy as _np
+        import pandas as _pd
+
+        g_ids, g_X, g_M = bc.value
+        g_X2 = g_X * g_X
+        idx_of = {int(k): i for i, k in enumerate(g_ids)}
+        for pdf in it:
+            blk = _np.array(
+                sorted(idx_of[int(k)] for k in pdf["k"]), dtype=_np.int64
+            )
+            if blk.size == 0:
+                continue
+            Xb, Mb, X2b = g_X[blk], g_M[blk], g_X2[blk]
+            n = Mb @ g_M.T
+            keep = (n >= min_buckets) & (g_ids[blk][:, None] < g_ids[None, :])
+            bi, cj = _np.nonzero(keep)
+            if bi.size == 0:
+                continue
+            yield _pd.DataFrame(
+                {
+                    "key_a": g_ids[blk][bi],
+                    "key_b": g_ids[cj],
+                    "n": n[bi, cj],
+                    "sx": (Xb @ g_M.T)[bi, cj],
+                    "sy": (Mb @ g_X.T)[bi, cj],
+                    "sxx": (X2b @ g_M.T)[bi, cj],
+                    "syy": (Mb @ g_X2.T)[bi, cj],
+                    "sxy": (Xb @ g_X.T)[bi, cj],
+                }
+            )
+
+    from .relational import spread
+
+    keys_df = spread(df.select(F.col(key_col).alias("k")).distinct())
+    sums = keys_df.mapInPandas(gen, out_schema)
+    return _corr_topk_from_sums(sums, top_k)

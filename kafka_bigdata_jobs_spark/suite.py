@@ -4794,13 +4794,19 @@ def q_nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     "for the cluster-scale corpus).",
 )
 def q_correlated_user_spend_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.stats import series_corr_pairs
+    # Gram-matrix formulation: the day-bucket equi-join shuffles
+    # Σ_day n_d² pair rows over a tiny key domain (30 days = 30 hot
+    # partitions at scale); blocked int64 Gram products emit the SAME
+    # exact integer sums with no pair shuffle (equivalence pinned in
+    # tests/test_twophase.py, same DuckDB oracle).  Measured at sf0.1:
+    # 13.1s (join path, bench) -> 1.7s steady / ~4s first-run.
+    from .operators.stats import series_corr_pairs_gram
 
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(
         "user_id", F.col("ts").cast("date").alias("day")
     ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
-    return series_corr_pairs(
+    return series_corr_pairs_gram(
         daily, "user_id", "day", "cents", min_buckets=5, top_k=10
     )
 

@@ -95,3 +95,21 @@ def test_two_phase_agg_without_salt_column(spark):
     )
     got = {r["k"]: (r["n"], r["s"]) for r in salted.collect()}
     assert got == direct
+
+
+def test_series_corr_gram_equals_join(spark):
+    """Blocked-Gram pairing emits the same exact integer sums as the
+    bucket equi-join, so the final top-k is bit-equal."""
+    from kafka_bigdata_jobs_spark.operators.stats import (
+        series_corr_pairs,
+        series_corr_pairs_gram,
+    )
+    from kafka_bigdata_jobs_spark.schemas import load_table
+
+    ev = load_table(spark, SF, "events")
+    daily = ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    a = series_corr_pairs(daily, "user_id", "day", "cents", 5, 10).collect()
+    b = series_corr_pairs_gram(daily, "user_id", "day", "cents", 5, 10).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
