@@ -169,11 +169,14 @@ def test_mad_outliers_broadcasts_group_stats(spark):
     )
 
 
-def test_series_corr_is_equi_join(spark):
+def test_series_corr_has_no_pair_join(spark):
+    """The Gram formulation generates pair sums inside mapInPandas —
+    the plan must contain NO join at all (the old bucket equi-join
+    shuffled Σ n_d² pair rows over a 30-key day domain)."""
     plan = _plan(spark, "correlated_user_spend_pairs")
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
-        "pairing must equi-join on the day bucket, never cross-join keys"
-    )
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
+        assert bad not in plan, f"unexpected {bad} in pair generation"
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
 
 
 def test_profile_is_single_scan(spark):
