@@ -242,3 +242,26 @@ def pack_greedy_bins(
     # one ulp of an integer boundary; repartition the corpus before
     # any single partition's char count approaches that.
     return df.withColumn(bin_col, F.floor(before / budget).cast("long"))
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_pct: Column,
+    strata: Sequence[str] = (),
+) -> DataFrame:
+    """Importance-weighted deterministic sampling: each row's inclusion
+    probability is its own ``weight_pct`` (0–100) — the dataset-mixing /
+    domain-reweighting primitive (upsample scarce domains, downsample
+    over-represented ones) behind training-corpus composition.
+
+    Same hash-threshold machinery as :func:`stratified_sample` but the
+    threshold is per-row data instead of a constant: include iff
+    ``hash_bucket(key) < weight_pct``.  Still a pure per-row predicate:
+    single pass, no shuffle, append-stable, and exactly reproducible in
+    any engine that computes the same md5 bucket.
+    """
+    salted = F.concat_ws(
+        "|", F.col(key_col).cast("string"), *[F.col(s) for s in strata]
+    )
+    return df.where(hash_bucket(salted) < weight_pct)

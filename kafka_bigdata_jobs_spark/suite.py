@@ -4953,3 +4953,55 @@ def q_near_dup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("keep_rank") > 1, F.col("n_chars"))), F.lit(0)
         ).alias("dropped_chars"),
     )
+
+
+@register(
+    "domain_reweighted_sample",
+    """
+    WITH w AS (
+      SELECT *,
+             LEAST(95, 5 * (1 + CAST(substr(source, 4) AS INTEGER)))
+               AS weight_pct
+      FROM documents
+    )
+    SELECT source,
+           MIN(weight_pct)  AS weight_pct,
+           COUNT(*) FILTER (
+             WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                        AS INTEGER) % 100 < weight_pct)  AS n_sampled,
+           COUNT(*)         AS n_total
+    FROM w GROUP BY source
+    """,
+    doc="Dataset mixing / domain reweighting: per-source inclusion "
+    "probability derived from the source index (5%..95%), applied as a "
+    "deterministic per-row hash threshold (pipeline.weighted_sample) — "
+    "upsampling scarce domains and downsampling dominant ones is how "
+    "training corpora are composed.  Pure predicate: one pass, no "
+    "shuffle, append-stable, engine-exact.",
+)
+def q_domain_reweighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pipeline import weighted_sample
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "weight_pct",
+        F.least(
+            F.lit(95), 5 * (1 + F.substring("source", 4, 10).cast("int"))
+        ),
+    )
+    sampled = weighted_sample(d, "doc_id", F.col("weight_pct"))
+    totals = d.groupBy("source").agg(
+        F.min("weight_pct").alias("weight_pct"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    counts = sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    )
+    return (
+        totals.join(counts, "source", "left")
+        .select(
+            "source",
+            "weight_pct",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            "n_total",
+        )
+    )
