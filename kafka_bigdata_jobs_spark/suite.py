@@ -5005,3 +5005,106 @@ def q_domain_reweighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_total",
         )
     )
+
+
+@register(
+    "pretraining_batch_plan",
+    r"""
+    WITH w AS (
+      SELECT doc_id, lang, text,
+             string_split_regex(trim(text), '\s+') AS words
+      FROM documents
+    ), e AS (
+      SELECT doc_id, lang, text,
+             len(words)                AS n_words,
+             len(list_distinct(words)) AS n_distinct_words,
+             unnest(list_transform(range(len(words)-1),
+                i -> list_extract(words, i+1) || ' ' || list_extract(words, i+2)))
+               AS bigram
+      FROM w
+    ), pg AS (
+      SELECT doc_id, lang, text, n_words, n_distinct_words, bigram,
+             COUNT(*) AS cnt
+      FROM e GROUP BY ALL
+    ), rep AS (
+      SELECT doc_id, lang, text, n_words, n_distinct_words,
+             SUM(cnt) AS n_bigrams, MAX(cnt) AS top_bigram_count
+      FROM pg GROUP BY doc_id, lang, text, n_words, n_distinct_words
+    ), kept AS (
+      SELECT doc_id, lang, text FROM rep
+      WHERE top_bigram_count * 10 <= n_bigrams
+        AND (n_words - n_distinct_words) * 5 <= n_words * 3
+    ), sampled AS (
+      SELECT doc_id, lang, text FROM kept
+      WHERE CAST('0x' || substr(md5(concat_ws('|',
+                 CAST(doc_id AS VARCHAR), lang)), 1, 4) AS INTEGER)
+            % 100 < 50
+    ), chunks AS (
+      SELECT s.doc_id, s.lang, u AS chunk_id,
+             length(substr(s.text, CAST(u*80 + 1 AS INTEGER), 100))
+               AS chunk_len
+      FROM sampled s, unnest(range((length(s.text)-1)//80 + 1)) AS t(u)
+    ), ordd AS (
+      SELECT lang, doc_id * 1000 + chunk_id AS ord, chunk_len
+      FROM chunks
+    ), binned AS (
+      SELECT lang, chunk_len,
+             COALESCE(SUM(chunk_len) OVER (
+                 PARTITION BY lang ORDER BY ord
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             // 500 AS bin_id
+      FROM ordd
+    ), per_bin AS (
+      SELECT lang, bin_id, COUNT(*) AS n_chunks, SUM(chunk_len) AS bin_chars
+      FROM binned GROUP BY lang, bin_id
+    )
+    SELECT lang,
+           COUNT(*)        AS n_bins,
+           SUM(n_chunks)   AS n_chunks,
+           SUM(bin_chars)  AS total_chars,
+           MAX(bin_chars)  AS max_bin_chars
+    FROM per_bin GROUP BY lang
+    """,
+    doc="The pretraining data pipeline END-TO-END in one lineage: "
+    "repetition-quality filter (integer-exact Gopher flags) -> "
+    "deterministic 50% stratified hash sample -> overlapping char "
+    "chunking (codegen explode+substr) -> greedy sequence packing "
+    "(window cumsum DIV budget) -> per-lang bin census.  Composes "
+    "four operator families; every stage is the already-verified "
+    "idiom, and the composition stays one shuffle per stage "
+    "(doc_id joins colocate, the pack window partitions by lang).",
+)
+def q_pretraining_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pipeline import (
+        chunk_documents,
+        pack_greedy_bins,
+        stratified_sample,
+    )
+    from .operators.quality import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    rep = repetition_stats(d, "doc_id", "text", carry=["lang"])
+    kept_ids = rep.where(
+        (F.col("top_bigram_count") * 10 <= F.col("n_bigrams"))
+        & ((F.col("n_words") - F.col("n_distinct_words")) * 5
+           <= F.col("n_words") * 3)
+    ).select("doc_id")
+    kept = d.select("doc_id", "lang", "text").join(kept_ids, "doc_id")
+    sampled = stratified_sample(kept, "doc_id", 50, strata=["lang"])
+    chunks = chunk_documents(sampled, "doc_id", "text", chunk_size=100, overlap=20)
+    with_lang = chunks.join(sampled.select("doc_id", "lang"), "doc_id").select(
+        "lang",
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("ord"),
+        F.col("chunk_len").cast("long").alias("chunk_len"),
+    )
+    packed = pack_greedy_bins(with_lang, "lang", "ord", "chunk_len", 500)
+    per_bin = packed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_len").alias("bin_chars"),
+    )
+    return per_bin.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("n_chunks").alias("n_chunks"),
+        F.sum("bin_chars").alias("total_chars"),
+        F.max("bin_chars").alias("max_bin_chars"),
+    )
