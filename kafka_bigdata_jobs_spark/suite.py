@@ -5108,3 +5108,47 @@ def q_pretraining_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bin_chars").alias("total_chars"),
         F.max("bin_chars").alias("max_bin_chars"),
     )
+
+
+@register(
+    "epoch_mixing_plan",
+    """
+    WITH r AS (
+      SELECT source, n_chars,
+             CASE WHEN CAST(substr(source, 4) AS INTEGER) >= 15 THEN 3
+                  WHEN CAST(substr(source, 4) AS INTEGER) >= 8  THEN 2
+                  ELSE 1 END AS repeats
+      FROM documents
+    ), expanded AS (
+      SELECT source, n_chars, repeats, u AS epoch_copy
+      FROM r, unnest(range(repeats)) AS t(u)
+    )
+    SELECT source,
+           MIN(repeats)    AS repeats,
+           COUNT(*)        AS n_epoch_rows,
+           SUM(n_chars)    AS epoch_chars
+    FROM expanded GROUP BY source
+    """,
+    doc="Dataset mixing by repetition factor: scarce domains replicated "
+    "2-3x per training epoch (explode(sequence(1, repeats)) — the "
+    "multiply side of mixing; weighted_sample is the subsample side). "
+    "Pure map-side fan-out, no shuffle until the census; each copy "
+    "keeps an epoch_copy ordinal so downstream shuffles can salt on it.",
+)
+def q_epoch_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    idx = F.substring("source", 4, 10).cast("int")
+    repeats = (
+        F.when(idx >= 15, 3).when(idx >= 8, 2).otherwise(1)
+    )
+    expanded = d.select(
+        "source",
+        "n_chars",
+        repeats.alias("repeats"),
+        F.explode(F.sequence(F.lit(1), repeats)).alias("epoch_copy"),
+    )
+    return expanded.groupBy("source").agg(
+        F.min("repeats").alias("repeats"),
+        F.count(F.lit(1)).alias("n_epoch_rows"),
+        F.sum("n_chars").alias("epoch_chars"),
+    )
