@@ -5152,3 +5152,88 @@ def q_epoch_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_epoch_rows"),
         F.sum("n_chars").alias("epoch_chars"),
     )
+
+
+@register(
+    "session_funnel",
+    """
+    WITH g AS (
+      SELECT user_id, event_type, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ), s AS (
+      SELECT user_id, event_type, ts,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    ), f AS (
+      SELECT user_id, session_id,
+             MIN(ts) FILTER (WHERE event_type = 'view')     AS t_view,
+             MIN(ts) FILTER (WHERE event_type = 'click')    AS t_click,
+             MIN(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT COUNT(*)                                    AS n_sessions,
+           COUNT(*) FILTER (WHERE t_view IS NOT NULL)  AS n_view_sessions,
+           COUNT(*) FILTER (WHERE t_click > t_view)    AS n_click_after_view,
+           COUNT(*) FILTER (WHERE t_purchase > t_click
+                              AND t_click > t_view)    AS n_full_funnel
+    FROM f
+    """,
+    doc="Session-scoped conversion funnel: 30-minute-gap sessionization "
+    "(gaps-and-islands: LAG boundary flag + running SUM) feeding the "
+    "ordered view->click->purchase stage test PER SESSION — the "
+    "realistic funnel (the lifetime variant is funnel_view_click_"
+    "purchase).  Both windows and the session aggregate share ONE "
+    "user_id shuffle; three-valued NULL ordering makes missing stages "
+    "fail closed.",
+)
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ -> epoch needs the cast-through-timestamp (session tz UTC).
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    prev_epoch = F.lag(epoch).over(w)
+    is_start = (
+        prev_epoch.isNull() | (epoch - prev_epoch > 1800)
+    ).cast("int")
+    g = ev.select("user_id", "event_type", "ts", is_start.alias("is_start"))
+    ws = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    s = g.select(
+        "user_id", "event_type", "ts",
+        F.sum("is_start").over(ws).alias("session_id"),
+    )
+
+    def stage_min(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    f = s.groupBy("user_id", "session_id").agg(
+        stage_min("view").alias("t_view"),
+        stage_min("click").alias("t_click"),
+        stage_min("purchase").alias("t_purchase"),
+    )
+    return f.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count("t_view").alias("n_view_sessions"),
+        F.coalesce(
+            F.sum((F.col("t_click") > F.col("t_view")).cast("long")), F.lit(0)
+        ).alias("n_click_after_view"),
+        F.coalesce(
+            F.sum(
+                (
+                    (F.col("t_purchase") > F.col("t_click"))
+                    & (F.col("t_click") > F.col("t_view"))
+                ).cast("long")
+            ),
+            F.lit(0),
+        ).alias("n_full_funnel"),
+    )
