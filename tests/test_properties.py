@@ -154,3 +154,25 @@ def test_freq_items_superset_of_true_heavy_hitters(spark, heavy, noise):
         k for k, c in {"hot": heavy, "warm": heavy}.items() if c / total > support
     }
     assert truth <= got
+
+
+@given(
+    w_lo=st.integers(min_value=0, max_value=50),
+    w_hi=st.integers(min_value=50, max_value=100),
+)
+@settings(**SETTINGS)
+def test_weighted_sample_monotone_inclusion(spark, w_lo, w_hi):
+    """Raising a row's weight can only ADD it to the sample, never drop
+    it (hash-threshold semantics): sample(w_lo) ⊆ sample(w_hi)."""
+    from kafka_bigdata_jobs_spark.operators.pipeline import weighted_sample
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id int")
+    lo = {
+        r["doc_id"]
+        for r in weighted_sample(df, "doc_id", F.lit(w_lo)).collect()
+    }
+    hi = {
+        r["doc_id"]
+        for r in weighted_sample(df, "doc_id", F.lit(w_hi)).collect()
+    }
+    assert lo <= hi
