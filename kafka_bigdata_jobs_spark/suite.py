@@ -5237,3 +5237,79 @@ def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("n_full_funnel"),
     )
+
+
+@register(
+    "daily_growth_accounting",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), lagged AS (
+      SELECT user_id, day,
+             LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day
+      FROM act
+    )
+    SELECT day,
+           COUNT(*)                                         AS n_active,
+           COUNT(*) FILTER (WHERE prev_day IS NULL)         AS n_new,
+           COUNT(*) FILTER (WHERE day - prev_day <= 7)      AS n_retained,
+           COUNT(*) FILTER (WHERE day - prev_day > 7)       AS n_resurrected
+    FROM lagged GROUP BY day
+    """,
+    doc="Growth accounting: every active (user, day) classified as "
+    "new (first ever), retained (seen within 7 days) or resurrected "
+    "(returning after a 7+ day gap) via one LAG over the deduped "
+    "activity grain — the standard DAU decomposition.  One user_id "
+    "window shuffle on the (small) distinct activity set, then a tiny "
+    "day rollup; the three classes partition n_active by construction.",
+)
+def q_daily_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    lagged = act.select(
+        "user_id", "day", F.lag("day").over(w).alias("prev_day")
+    )
+    gap = F.datediff("day", "prev_day")
+    return lagged.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(F.col("prev_day").isNull().cast("long")).alias("n_new"),
+        F.coalesce(F.sum((gap <= 7).cast("long")), F.lit(0)).alias("n_retained"),
+        F.coalesce(F.sum((gap > 7).cast("long")), F.lit(0)).alias("n_resurrected"),
+    )
+
+
+@register(
+    "top_spender_per_type",
+    """
+    SELECT event_type,
+           arg_max(user_id, CAST(ROUND(value*100) AS BIGINT) * 100000
+                            + user_id)                    AS top_user,
+           MAX(CAST(ROUND(value*100) AS BIGINT))          AS max_cents,
+           arg_min(user_id, CAST(ROUND(value*100) AS BIGINT) * 100000
+                            + user_id)                    AS bottom_user,
+           MIN(CAST(ROUND(value*100) AS BIGINT))          AS min_cents
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Argmax/argmin per group via max_by/min_by (Spark) = "
+    "arg_max/arg_min (DuckDB) — the single-pass replacement for the "
+    "join-back-on-max idiom.  Both engines leave ties ARBITRARY, so "
+    "the ordinal is a composite integer (cents*100000 + user_id, "
+    "unique) — determinism engineered into the ordering key, not "
+    "assumed from the engine.",
+)
+def q_top_spender_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    ordinal = cents * 100000 + F.col("user_id")
+    return ev.groupBy("event_type").agg(
+        F.max_by("user_id", ordinal).alias("top_user"),
+        F.max(cents).alias("max_cents"),
+        F.min_by("user_id", ordinal).alias("bottom_user"),
+        F.min(cents).alias("min_cents"),
+    )
