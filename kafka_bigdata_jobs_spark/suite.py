@@ -5313,3 +5313,42 @@ def q_top_spender_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("user_id", ordinal).alias("bottom_user"),
         F.min(cents).alias("min_cents"),
     )
+
+
+@register(
+    "weekly_volume_wow",
+    """
+    WITH wk AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE)            AS week,
+             COUNT(*)                                        AS n_events,
+             SUM(CAST(ROUND(value*100) AS BIGINT))           AS cents
+      FROM events GROUP BY week
+    )
+    SELECT week, n_events, cents,
+           n_events - LAG(n_events) OVER (ORDER BY week)     AS wow_events,
+           cents    - LAG(cents)    OVER (ORDER BY week)     AS wow_cents
+    FROM wk
+    """,
+    doc="Week-over-week deltas: LAG over the AGGREGATED weekly series "
+    "(a handful of rows), never over raw events — the window's "
+    "single-partition sort is bounded by the number of weeks, and the "
+    "deltas are exact integer differences.",
+)
+def q_weekly_volume_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    w = Window.orderBy("week")
+    return wk.select(
+        "week",
+        "n_events",
+        "cents",
+        (F.col("n_events") - F.lag("n_events").over(w)).alias("wow_events"),
+        (F.col("cents") - F.lag("cents").over(w)).alias("wow_cents"),
+    )

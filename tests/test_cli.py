@@ -1,0 +1,35 @@
+"""CLI surface: list/run/explain must keep working (user-facing)."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+
+def _run(*args):
+    return subprocess.run(
+        [sys.executable, "-m", "kafka_bigdata_jobs_spark", *args],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=180,
+    )
+
+
+def test_cli_list():
+    r = _run("list")
+    assert r.returncode == 0
+    assert "pricing_summary" in r.stdout
+    assert "[oracle]" in r.stdout and "[rows-only]" in r.stdout
+
+
+def test_cli_unknown_query_exit_code():
+    r = _run("run", "no_such_query")
+    assert r.returncode == 2
+    assert "unknown query" in r.stderr
+
+
+def test_cli_explain_prints_plan():
+    r = _run("explain", "top_orders", "--sf-dir", "/root/testdata/sf0.001")
+    assert r.returncode == 0
+    assert "TakeOrderedAndProject" in r.stdout
