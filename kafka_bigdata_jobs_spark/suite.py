@@ -5352,3 +5352,69 @@ def q_weekly_volume_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_events") - F.lag("n_events").over(w)).alias("wow_events"),
         (F.col("cents") - F.lag("cents").over(w)).alias("wow_cents"),
     )
+
+
+@register(
+    "vocabulary_drift_flags",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split_regex(trim(text), '\s+')) AS word
+      FROM documents
+    ), per_source AS (
+      SELECT source, word, COUNT(*) AS o FROM toks GROUP BY source, word
+    ), src_totals AS (
+      SELECT source, SUM(o) AS total_s FROM per_source GROUP BY source
+    ), global_counts AS (
+      SELECT word, SUM(o) AS cnt_w FROM per_source GROUP BY word
+    ), n AS (
+      SELECT SUM(cnt_w) AS big_n FROM global_counts
+    )
+    SELECT p.source,
+           COUNT(*)                                         AS n_words,
+           COUNT(*) FILTER (WHERE p.o * n.big_n
+                                  > 2 * t.total_s * g.cnt_w) AS n_overused,
+           COUNT(*) FILTER (WHERE p.o * n.big_n * 2
+                                  < t.total_s * g.cnt_w)     AS n_underused
+    FROM per_source p
+    JOIN src_totals t USING (source)
+    JOIN global_counts g USING (word)
+    CROSS JOIN n
+    GROUP BY p.source
+    """,
+    doc="Vocabulary drift detection per source: a word is over-/under-"
+    "used when its source frequency deviates 2x from the corpus "
+    "expectation — tested as cross-multiplied INTEGERS "
+    "(o*N vs 2*total_s*cnt_w), so verdicts are exact, no floating "
+    "ratios.  The per-(source,word) grid shuffles once on word for the "
+    "global join (broadcastable totals), once for the census — the "
+    "distribution-drift guard a corpus refresh pipeline runs per shard.",
+)
+def q_vocabulary_drift_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    )
+    per_source = toks.groupBy("source", "word").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    src_totals = per_source.groupBy("source").agg(F.sum("o").alias("total_s"))
+    global_counts = per_source.groupBy("word").agg(F.sum("o").alias("cnt_w"))
+    big_n = global_counts.agg(F.sum("cnt_w").alias("big_n"))
+    joined = (
+        per_source.join(F.broadcast(src_totals), "source")
+        .join(global_counts, "word")
+        .join(F.broadcast(big_n), how="cross")
+    )
+    over = (F.col("o") * F.col("big_n")) > (
+        2 * F.col("total_s") * F.col("cnt_w")
+    )
+    under = (F.col("o") * F.col("big_n") * 2) < (
+        F.col("total_s") * F.col("cnt_w")
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.coalesce(F.sum(over.cast("long")), F.lit(0)).alias("n_overused"),
+        F.coalesce(F.sum(under.cast("long")), F.lit(0)).alias("n_underused"),
+    )
