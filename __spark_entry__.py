@@ -20,11 +20,49 @@ def entry(spark: SparkSession) -> DataFrame:
     return suite.registry()["pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
+# Queries that already earned a driver-side CORRECTNESS row in round 1
+# (keys of CORRECTNESS_r01.json).  If the driver samples the registry in
+# iteration order under a time budget, the 88 never-checked queries must
+# come FIRST so round 2 closes the verification gap; the previously
+# verified ones re-run afterwards.
+_R1_VERIFIED = frozenset({
+    "pricing_summary", "daily_volume", "segment_summary", "top_orders",
+    "priority_pivot", "value_band_ladder", "temporal_pattern",
+    "union_tagged_entities", "json_props_stats", "top_words",
+    "customer_order_revenue", "region_revenue", "inactive_customers_anti",
+    "big_spenders_semi", "heavy_users_having", "latest_event_per_user",
+    "top3_events_per_type", "monthly_rollup", "alerts_union_by_name",
+    "docs_cleaning_funnel", "token_stats", "quality_histogram",
+    "lang_id_eval", "sentiment_distribution", "sentiment_pandas_udf",
+    "doc_fingerprints", "dedup_exact_summary", "s_token_topk",
+    "approx_uniq_users", "near_dup_pairs_minhash",
+    "near_dup_pairs_word_bigram", "simhash_near_dups",
+    "similarity_topk_bruteforce", "similarity_topk_ivf",
+    "embedding_close_pairs", "media_fingerprints",
+    "multimodal_image_features", "multimodal_audio_features",
+    "order_age_bands", "order_labels", "windowed_events_batch",
+    "events_dedup_by_user_type", "user_sessions", "high_frequency_types",
+    "malformed_json_tolerance", "similarity_topk_hyperplane_lsh",
+    "region_nation_rollup", "status_priority_cube", "q6_forecast_revenue",
+    "big_orders_q18",
+})
+
+
+def _ordered() -> list[str]:
+    names = list(suite.registry())
+    return ([n for n in names if n not in _R1_VERIFIED]
+            + [n for n in names if n in _R1_VERIFIED])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.fn for name, q in suite.registry().items()}
+    reg = suite.registry()
+    return {name: reg[name].fn for name in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
+    reg = suite.registry()
     return {
-        name: q.oracle for name, q in suite.registry().items() if q.oracle is not None
+        name: reg[name].oracle
+        for name in _ordered()
+        if reg[name].oracle is not None
     }

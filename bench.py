@@ -4,6 +4,12 @@
 Prints ONE JSON line:
 ``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}``
 
+The driver records only the TAIL of stdout (~2000 chars), so the printed
+line carries a HEADLINE subset of per-query timings and must stay small;
+the full 138-query timing map is written to ``BENCH_local.json`` next to
+this file (round-1 BENCH artifact was unparseable because the full map
+overflowed the driver's capture window).
+
 Env: ``SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
 ``SPARK_GRAFT_CPUS`` (default 32).
 """
@@ -63,17 +69,38 @@ def main() -> None:
             dt = min(dt, run_once(q))
         timings[name] = round(dt, 3)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+
+    # Representative cross-section (joins, windows, dedup/ANN, text,
+    # TPC-H heavies) kept small enough that the final stdout line fits
+    # the driver's ~2000-char capture tail.
+    HEADLINE = [
+        "pricing_summary", "customer_order_revenue", "region_revenue",
+        "shipping_priority_q3", "big_orders_q18", "waiting_suppliers_q21",
+        "weekly_retention_cohorts", "user_sessions", "windowed_events_batch",
+        "top3_events_per_type", "monthly_rollup", "near_dup_pairs_minhash",
+        "simhash_near_dups", "similarity_topk_bruteforce",
+        "similarity_topk_ivf", "quality_histogram",
+        "repetition_quality_flags", "token_stats", "lang_id_eval",
+        "weekly_uniques_hll_mergeable", "doc_fingerprints",
+        "sentiment_distribution",
+    ]
+    payload = {
+        "metric": "suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: timings[k] for k in HEADLINE if k in timings},
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    full = dict(payload, queries=timings)
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_local.json")
+    try:
+        with open(out_path, "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout must not break the bench line
+    print(json.dumps(payload))
     spark.stop()
 
 

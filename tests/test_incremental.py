@@ -145,3 +145,60 @@ def test_streaming_incremental_view_crash_replay(spark, tmp_path):
     served = serve_daily_volume(spark.read.parquet(state_dir))
     full = serve_daily_volume(daily_user_partials(ev))
     assert _by_day(served) == _by_day(full)
+
+
+def test_streaming_incremental_view_crash_after_swap(spark, tmp_path):
+    """foreachBatch is at-least-once: crash AFTER the state swap
+    completes but BEFORE Spark commits the checkpoint offset.  The
+    replayed micro-batch hits the POST-swap state; without batch_id
+    idempotence the additive merge would double-count it (ADVICE r1,
+    high).  The persisted ``_last_batch`` marker makes the replay a
+    no-op."""
+    from kafka_bigdata_jobs_spark.streaming.runner import (
+        IncrementalViewSink,
+        run_multi_sink,
+    )
+
+    ev = load_table(spark, SF, "events")
+    src_dir = str(tmp_path / "src")
+    for i in range(3):
+        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    state_dir = str(tmp_path / "state")
+    inner = IncrementalViewSink(
+        state_dir=state_dir,
+        partials_fn=daily_user_partials,
+        merge_fn=merge_partials,
+    )
+    crashed = {"done": False}
+
+    def crash_after_swap(batch, batch_id):
+        inner(batch, batch_id)  # swap COMPLETES
+        if batch_id == 1 and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash after state swap")
+
+    def make_stream():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+    ckpt = str(tmp_path / "ckpt")
+    q = run_multi_sink(make_stream(), [crash_after_swap], checkpoint=ckpt)
+    try:
+        q.awaitTermination(120)
+    except Exception:
+        pass
+    assert crashed["done"]
+
+    # Restart: batch 1 REPLAYS against state that already folded it.
+    q2 = run_multi_sink(make_stream(), [inner], checkpoint=ckpt)
+    q2.awaitTermination(120)
+
+    served = serve_daily_volume(spark.read.parquet(state_dir))
+    full = serve_daily_volume(daily_user_partials(ev))
+    assert _by_day(served) == _by_day(full)

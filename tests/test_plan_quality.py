@@ -98,17 +98,20 @@ def test_local_supplier_volume_q5_broadcasts(spark):
     assert li_scan and "l_quantity" not in li_scan[0], "lineitem scan not pruned"
 
 
-def test_waiting_suppliers_q21_aggregate_rewrite(spark):
-    # The aggregate rewrite must keep the late-set semi probe and must
-    # NOT fall back to the naive triple-self-join (11 scans); the late
-    # subplan is shared, so its exchange should be reused.
+def test_waiting_suppliers_q21_single_pass(spark):
+    # Round-2 rewrite: ONE lineitem scan, ONE orders scan, conditional
+    # aggregation — no semi/anti probes, no late-set recompute (the
+    # round-1 two-groupBy + join form benched 19.9 s at sf0.1).
     df = suite.registry()["waiting_suppliers_q21"].fn(spark, SF)
-    df.collect()
-    executed = df._jdf.queryExecution().executedPlan().toString()
-    assert "LeftSemi" in executed, "qualifying-order probe should be a semi join"
-    # Reuse is an AQE-final-plan property — the pre-execution plan still
-    # shows every consumer with its own copy of the late subplan.
-    assert "ReusedExchange" in executed, "late-set exchange not reused"
+    plan = formatted_plan(df)
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("Scan parquet") == 3, (
+        "expected exactly 3 scans (lineitem, orders, supplier), got:\n" + tree
+    )
+    # The per-order aggregate must ride the join's l_orderkey
+    # partitioning: no exchange strictly between the join and the
+    # first HashAggregate consuming it.
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
 
 
 def test_parts_supplier_count_q16_plan(spark):
@@ -205,3 +208,47 @@ def test_no_accidental_cartesian_products(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert offenders == [], f"cartesian products in: {offenders}"
+
+
+def test_no_unbounded_driver_collects_in_engine_code():
+    """Source sweep (VERDICT r1 item 5): every ``.collect()`` in engine
+    code must be bounded — limit()ed, a tiny enumerable domain, or
+    size-gated.  New collect sites fail this test until consciously
+    allowlisted with a justification; driver-side materialization of an
+    unbounded table is the first thing that breaks at 100 TB."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "kafka_bigdata_jobs_spark"
+    # (relative path, expected occurrences, why it is bounded)
+    ALLOWED = {
+        "streaming/runner.py": (
+            3,
+            "console/external/memory sinks collect limit()ed batches only",
+        ),
+        "operators/stats.py": (
+            1,
+            "bucket-domain distinct: time buckets are the small axis by "
+            "construction (days/weeks)",
+        ),
+        "operators/dedup.py": (
+            1,
+            "connected_components driver path is size-gated by "
+            "DRIVER_EDGE_LIMIT (limit-probe before collect)",
+        ),
+    }
+    found: dict[str, int] = {}
+    for f in pkg.rglob("*.py"):
+        rel = str(f.relative_to(pkg))
+        n = f.read_text().count(".collect()")
+        if n:
+            found[rel] = n
+    unexpected = {
+        rel: n
+        for rel, n in found.items()
+        if rel not in ALLOWED or n != ALLOWED[rel][0]
+    }
+    assert unexpected == {}, (
+        f"unallowlisted .collect() sites: {unexpected} — bound them "
+        "(limit/size-gate/side-artifact) or extend ALLOWED with a "
+        "justification"
+    )
