@@ -54,7 +54,11 @@ def word_bigrams_all(text: Column) -> Column:
 
 
 def repetition_stats(
-    df: DataFrame, id_col: str, text_col: str, carry: list[str] | None = None
+    df: DataFrame,
+    id_col: str,
+    text_col: str | None = None,
+    carry: list[str] | None = None,
+    words: Column | None = None,
 ) -> DataFrame:
     """Per-document repetition statistics: word counts, distinct-word
     counts, bigram totals, and the count of the most frequent bigram.
@@ -70,15 +74,19 @@ def repetition_stats(
     Documents with fewer than two words produce no bigram rows and drop
     out (callers on corpora with possible one-word docs should pre-filter
     or union them back; the oracle's ``unnest`` has identical semantics).
+
+    Pass ``words`` (a pre-split ``array<string>`` column, e.g. from the
+    shared ``textproj.tokenized_documents`` projection) to skip the
+    per-call regex split; otherwise ``text_col`` is split here.
     """
     carry = carry or []
-    text = F.col(text_col)
+    w = words if words is not None else _words(F.col(text_col))
     base = df.select(
         id_col,
         *carry,
-        F.size(_words(text)).alias("n_words"),
-        F.size(F.array_distinct(_words(text))).alias("n_distinct_words"),
-        F.explode(word_bigrams_all(text)).alias("bigram"),
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_distinct_words"),
+        F.explode(ngrams_zip(w, 2)).alias("bigram"),
     )
     per_gram = base.groupBy(
         id_col, *carry, "n_words", "n_distinct_words", "bigram"
@@ -98,8 +106,9 @@ def contamination_overlap(
     train: DataFrame,
     bench: DataFrame,
     id_col: str,
-    text_col: str,
+    text_col: str | None = None,
     n: int = 5,
+    words_col: str | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: for each training document, how many
     of its distinct word ``n``-grams also occur anywhere in the
@@ -110,15 +119,16 @@ def contamination_overlap(
     suites are tiny next to a 100 TB training corpus, so the join is
     map-side with no shuffle on the big side.  If the benchmark side
     ever outgrows broadcast range, drop the hint and Spark falls back
-    to a hash-partitioned equi-join on the gram.
+    to a hash-partitioned equi-join on the gram.  ``words_col`` (a
+    pre-split array column present on BOTH inputs, e.g. textproj)
+    skips the per-call regex split.
     """
-    t = train.select(
-        F.col(id_col), F.explode(word_ngrams_distinct(F.col(text_col), n)).alias("gram")
-    )
-    b = (
-        bench.select(F.explode(word_ngrams_distinct(F.col(text_col), n)).alias("gram"))
-        .distinct()
-    )
+    if words_col is not None:
+        grams = F.array_distinct(ngrams_zip(F.col(words_col), n))
+    else:
+        grams = word_ngrams_distinct(F.col(text_col), n)
+    t = train.select(F.col(id_col), F.explode(grams).alias("gram"))
+    b = bench.select(F.explode(grams).alias("gram")).distinct()
     return (
         t.join(F.broadcast(b), "gram")
         .groupBy(id_col)
@@ -148,12 +158,16 @@ def char_pair_counts(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
+def word_frequencies(
+    df: DataFrame, text_col: str | None = None, words: Column | None = None
+) -> DataFrame:
     """Corpus-wide word frequencies: ``(word, cnt)`` — vocabulary
     construction input.  One shuffle on the word; partial aggregation
-    bounds it by vocabulary size per task."""
+    bounds it by vocabulary size per task.  ``words`` (pre-split array,
+    e.g. textproj) skips the per-call regex split."""
+    w = words if words is not None else _words(F.col(text_col))
     return (
-        df.select(F.explode(_words(F.col(text_col))).alias("word"))
+        df.select(F.explode(w).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

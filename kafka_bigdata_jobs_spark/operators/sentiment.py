@@ -9,10 +9,19 @@
    possible variant — SURVEY.md §2.11).
 
 Semantics preserved from the reference: positive/negative keyword-hit
-counts (×1), repeated-``!`` penalty, shouting (caps-ratio) penalty, a
-linear score and a 5-way classification ladder.  The emoji counts of
-the reference collapse into the keyword mechanism (fixture text has no
-emoji; the lexicon lists are the pluggable part).
+counts (×1), emoji *presence* counts (×2 — see below), repeated-``!``
+penalty, shouting (caps-ratio) penalty, a linear score and a 5-way
+classification ladder.  The lexicon/emoji lists are the pluggable part.
+
+Emoji mechanism parity (reference ``streaming/job3_sentiment.py:56-57``
+for the lists, ``:168-170`` for the count, ``:191-192`` for the ×2
+weight): the reference counts how many *distinct* emoji from each class
+appear anywhere in the text (``sum(1 for e in LIST if e in txt)``) —
+presence per listed codepoint, NOT occurrence count.  ``emoji_hits``
+reproduces exactly that as a sum of codegen'd ``contains`` predicates;
+``sentiment_score`` weighs it ×2 like the reference.  Fixture text has
+no emoji so the driver oracle is unaffected; the mechanism is pinned by
+``tests/test_sentiment_emoji.py`` on synthetic emoji rows.
 """
 
 from __future__ import annotations
@@ -26,22 +35,53 @@ from pyspark.sql import types as T
 POSITIVE_WORDS: tuple[str, ...] = ("fast", "small", "merge", "value", "spark")
 NEGATIVE_WORDS: tuple[str, ...] = ("slow", "big", "scan", "dup", "filter")
 
+# Standard Unicode emoji split into sentiment classes (the reference
+# ships similar hand-picked lists at streaming/job3_sentiment.py:56-57;
+# lists are pluggable data, the counting mechanism is the parity target).
+POSITIVE_EMOJIS: tuple[str, ...] = (
+    "\U0001F600", "\U0001F601", "\U0001F602", "\U0001F60A", "\U0001F60D",
+    "\U0001F929", "\U0001F609", "\U0001F44D", "\U0001F64C", "\U0001F389",
+    "\U0001F4B0", "\U0001F680", "✨",
+)
+NEGATIVE_EMOJIS: tuple[str, ...] = (
+    "\U0001F621", "\U0001F620", "\U0001F624", "\U0001F61E", "\U0001F622",
+    "\U0001F62D", "\U0001F4A9", "\U0001F44E", "\U0001F631", "\U0001F628",
+)
+
 
 def _hits(text: Column, words: tuple[str, ...]) -> Column:
     pat = r"\b(" + "|".join(words) + r")\b"
     return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 0))
 
 
+def emoji_hits(text: Column, emojis: tuple[str, ...]) -> Column:
+    """How many *distinct* emoji from ``emojis`` appear in ``text``.
+
+    Presence-per-listed-codepoint, NOT occurrence count — exactly the
+    reference's ``sum(1 for e in LIST if e in txt)``
+    (``streaming/job3_sentiment.py:168-170``).  A sum of ``contains``
+    predicates stays inside whole-stage codegen; no regex needed.
+    """
+    terms = [F.when(text.contains(e), 1).otherwise(0) for e in emojis]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("int")
+
+
 def sentiment_score(text: Column) -> Column:
-    """Linear score: +1/positive hit, -1/negative hit, -3 repeated '!',
+    """Linear score: +2/distinct positive emoji, -2/distinct negative
+    emoji, +1/positive keyword hit, -1/negative hit, -3 repeated '!',
     -2 shouting (majority-uppercase text longer than 10 chars) —
-    reference ``streaming/job3_sentiment.py:191-200``."""
+    reference ``streaming/job3_sentiment.py:188-201``."""
     pos = _hits(text, POSITIVE_WORDS)
     neg = _hits(text, NEGATIVE_WORDS)
+    pos_e = emoji_hits(text, POSITIVE_EMOJIS)
+    neg_e = emoji_hits(text, NEGATIVE_EMOJIS)
     bangs = F.when(text.rlike(r"!{2,}"), -3).otherwise(0)
     upper_len = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
     shouting = F.when((upper_len * 2 > F.length(text)) & (F.length(text) > 10), -2).otherwise(0)
-    return (pos - neg + bangs + shouting).cast("int")
+    return (pos - neg + 2 * pos_e - 2 * neg_e + bangs + shouting).cast("int")
 
 
 def classify(score: Column) -> Column:
@@ -97,6 +137,13 @@ def with_sentiment_pandas_udf(df: DataFrame, text_col: str) -> DataFrame:
         pos = low.str.count(pos_re).astype("int32")
         neg = low.str.count(neg_re).astype("int32")
         raw = texts.fillna("")
+        # Distinct-presence emoji counts, same semantics as emoji_hits().
+        pos_e = sum(
+            raw.str.contains(e, regex=False).astype("int32") for e in POSITIVE_EMOJIS
+        )
+        neg_e = sum(
+            raw.str.contains(e, regex=False).astype("int32") for e in NEGATIVE_EMOJIS
+        )
         bangs = raw.str.contains(bang_re).map({True: -3, False: 0}).astype("int32")
         upper_len = raw.str.count(r"[A-Z]")
         shouting = (
@@ -104,7 +151,7 @@ def with_sentiment_pandas_udf(df: DataFrame, text_col: str) -> DataFrame:
             .map({True: -2, False: 0})
             .astype("int32")
         )
-        score = (pos - neg + bangs + shouting).astype("int32")
+        score = (pos - neg + 2 * pos_e - 2 * neg_e + bangs + shouting).astype("int32")
         label = pd.cut(
             score,
             bins=[-(2**31), -3, -1, 0, 2, 2**31],

@@ -63,46 +63,57 @@ def predict_lang(text: Column) -> Column:
     return best_lang
 
 
-def quality_score(text: Column, n_words: Column | None = None) -> Column:
-    """0–100 heuristic quality score.
+def quality_score_from_parts(
+    length: Column, n_words: Column, n_distinct: Column, n_alpha: Column
+) -> Column:
+    """0–100 heuristic quality score from precomputed text statistics —
+    the form the shared tokenized projection (``textproj.py``) feeds.
 
     Components (each 0–25): length band, mean word length band, unique-
     word ratio, alphabetic ratio.  Integer arithmetic end-to-end so the
     oracle matches exactly.
     """
-    wc = n_words if n_words is not None else word_count(text)
-    length = F.length(text)
     len_pts = (
         F.when((length >= 100) & (length <= 400), 25)
         .when((length >= 50) & (length < 100), 15)
         .when(length > 400, 10)
         .otherwise(0)
     )
-    mean_wlen_x10 = F.when(wc > 0, (length * 10) / wc).otherwise(F.lit(0.0))
+    mean_wlen_x10 = F.when(n_words > 0, (length * 10) / n_words).otherwise(F.lit(0.0))
     wlen_pts = (
         F.when((mean_wlen_x10 >= 35) & (mean_wlen_x10 <= 80), 25)
         .when(mean_wlen_x10 > 0, 10)
         .otherwise(0)
     )
-    uniq_ratio_x100 = F.when(
-        wc > 0,
-        (F.size(F.array_distinct(F.split(F.trim(text), r"\s+"))) * 100) / wc,
-    ).otherwise(F.lit(0.0))
+    uniq_ratio_x100 = F.when(n_words > 0, (n_distinct * 100) / n_words).otherwise(
+        F.lit(0.0)
+    )
     uniq_pts = (
         F.when(uniq_ratio_x100 >= 50, 25)
         .when(uniq_ratio_x100 >= 20, 15)
         .otherwise(5)
     )
-    alpha_ratio_x100 = F.when(
-        length > 0,
-        (F.length(F.regexp_replace(text, r"[^A-Za-z]", "")) * 100) / length,
-    ).otherwise(F.lit(0.0))
+    alpha_ratio_x100 = F.when(length > 0, (n_alpha * 100) / length).otherwise(
+        F.lit(0.0)
+    )
     alpha_pts = (
         F.when(alpha_ratio_x100 >= 70, 25)
         .when(alpha_ratio_x100 >= 40, 15)
         .otherwise(0)
     )
     return (len_pts + wlen_pts + uniq_pts + alpha_pts).cast("int")
+
+
+def quality_score(text: Column, n_words: Column | None = None) -> Column:
+    """0–100 heuristic quality score straight from a text column (see
+    :func:`quality_score_from_parts` for the component bands)."""
+    wc = n_words if n_words is not None else word_count(text)
+    return quality_score_from_parts(
+        F.length(text),
+        wc,
+        F.size(F.array_distinct(F.split(F.trim(text), r"\s+"))),
+        F.length(F.regexp_replace(text, r"[^A-Za-z]", "")),
+    )
 
 
 def doc_fingerprint(text: Column) -> Column:

@@ -750,10 +750,18 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import textstats as TS
+    from .operators.textproj import guarded_word_count, tokenized_documents
 
-    d = _t(spark, sf_dir, "documents")
+    apply_runtime_conf(spark)
+    p = tokenized_documents(spark, sf_dir)
+    score = TS.quality_score_from_parts(
+        F.col("n_chars"),
+        guarded_word_count(F.col("words")),
+        F.size(F.array_distinct(F.col("words"))),
+        F.col("n_alpha"),
+    )
     return (
-        d.select(TS.quality_score(F.col("text")).alias("quality_score"))
+        p.select(score.alias("quality_score"))
         .groupBy("quality_score")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -4110,9 +4118,11 @@ def q_doc_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_repetition_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.quality import repetition_stats
+    from .operators.textproj import tokenized_documents
 
-    docs = _t(spark, sf_dir, "documents")
-    d = repetition_stats(docs, "doc_id", "text", carry=["source"])
+    apply_runtime_conf(spark)
+    p = tokenized_documents(spark, sf_dir)
+    d = repetition_stats(p, "doc_id", carry=["source"], words=F.col("words"))
     flag = (F.col("top_bigram_count") * 10 > F.col("n_bigrams")) | (
         (F.col("n_words") - F.col("n_distinct_words")) * 5 > F.col("n_words") * 3
     )
@@ -4165,11 +4175,13 @@ def q_repetition_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_train_contamination_5gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.quality import contamination_overlap
+    from .operators.textproj import tokenized_documents
 
-    docs = _t(spark, sf_dir, "documents")
-    train = docs.where(F.col("doc_id") % 17 != 0)
-    bench = docs.where(F.col("doc_id") % 17 == 0)
-    hits = contamination_overlap(train, bench, "doc_id", "text", n=5)
+    apply_runtime_conf(spark)
+    p = tokenized_documents(spark, sf_dir)
+    train = p.where(F.col("doc_id") % 17 != 0)
+    bench = p.where(F.col("doc_id") % 17 == 0)
+    hits = contamination_overlap(train, bench, "doc_id", n=5, words_col="words")
     return (
         train.select("doc_id", "source")
         .join(hits, "doc_id", "left")
@@ -4250,9 +4262,11 @@ def q_vocab_coverage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     from .operators.quality import word_frequencies
+    from .operators.textproj import tokenized_documents
 
-    docs = _t(spark, sf_dir, "documents")
-    f = word_frequencies(docs, "text").cache()
+    apply_runtime_conf(spark)
+    p = tokenized_documents(spark, sf_dir)
+    f = word_frequencies(p, words=F.col("words")).cache()
     w = Window.orderBy(F.desc("cnt"), "word")
     ranked = f.select(
         "cnt",
@@ -5428,11 +5442,11 @@ def q_weekly_volume_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distribution-drift guard a corpus refresh pipeline runs per shard.",
 )
 def q_vocabulary_drift_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "source",
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
-    )
+    from .operators.textproj import tokenized_documents
+
+    apply_runtime_conf(spark)
+    p = tokenized_documents(spark, sf_dir)
+    toks = p.select("source", F.explode("words").alias("word"))
     per_source = toks.groupBy("source", "word").agg(
         F.count(F.lit(1)).alias("o")
     )
