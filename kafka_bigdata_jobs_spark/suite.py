@@ -5469,3 +5469,226 @@ def q_vocabulary_drift_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(over.cast("long")), F.lit(0)).alias("n_overused"),
         F.coalesce(F.sum(under.cast("long")), F.lit(0)).alias("n_underused"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: corpus indexing / curation depth (textproj-backed)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_top_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(string_split_regex(trim(text), '\s+')) AS word
+      FROM documents
+    ), tf AS (
+      SELECT source, word, COUNT(*) AS o
+      FROM toks GROUP BY source, word
+    ), df AS (
+      SELECT word, COUNT(DISTINCT doc_id) AS n_docs_with
+      FROM toks GROUP BY word
+    ), n AS (
+      SELECT COUNT(*) AS big_n FROM documents
+    ), scored AS (
+      SELECT tf.source, tf.word,
+             (tf.o * n.big_n * 1000) // df.n_docs_with AS score_x1000
+      FROM tf JOIN df USING (word) CROSS JOIN n
+    ), ranked AS (
+      SELECT source, word, score_x1000,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY score_x1000 DESC, word) AS rank
+      FROM scored
+    )
+    SELECT source, rank, word, score_x1000
+    FROM ranked WHERE rank <= 3
+    """,
+    doc="Per-source top-3 terms by TF-IDF with a LINEAR idf "
+    "(tf * N/df, floor-scaled x1000 integer): ln-based idf would rank "
+    "identically within a source for fixed df ordering but its doubles "
+    "are not cross-engine hashable, so the classic weighting is kept "
+    "on the integer lattice.  One shuffle builds the (source, word) "
+    "grid, one the document frequencies; N broadcasts.  This is the "
+    "query behind 'what characterizes each crawl source' in corpus "
+    "triage.",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.textproj import tokenized_documents
+
+    apply_runtime_conf(spark)
+    p = tokenized_documents(spark, sf_dir)
+    toks = p.select("source", F.explode("words").alias("word"))
+    tf = toks.groupBy("source", "word").agg(F.count(F.lit(1)).alias("o"))
+    # Document frequency WITHOUT a global countDistinct shuffle:
+    # array_distinct per row (each doc contributes each word once),
+    # then a plain count — map-side combinable on the word key.
+    df = (
+        p.select(F.explode(F.array_distinct("words")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_docs_with"))
+    )
+    big_n = p.agg(F.count(F.lit(1)).alias("big_n"))
+    scored = (
+        tf.join(df, "word")
+        .join(F.broadcast(big_n), how="cross")
+        .select(
+            "source",
+            "word",
+            F.expr("(o * big_n * 1000) div n_docs_with").alias("score_x1000"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score_x1000"), "word")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("source", "rank", "word", "score_x1000")
+    )
+
+
+@register(
+    "domain_quality_cap",
+    r"""
+    WITH w AS (
+      SELECT doc_id, source, length(text) AS n_chars,
+             string_split_regex(trim(text), '\s+') AS words,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source,
+        (CASE WHEN n_chars BETWEEN 100 AND 400 THEN 25
+              WHEN n_chars BETWEEN 50 AND 99 THEN 15
+              WHEN n_chars > 400 THEN 10 ELSE 0 END)
+      + (CASE WHEN len(words) = 0 OR (len(words) = 1 AND words[1] = '')
+              THEN 0
+              WHEN (n_chars * 10) / (CASE WHEN len(words) = 1
+                                           AND words[1] = '' THEN 1
+                                          ELSE len(words) END)
+                   BETWEEN 35 AND 80 THEN 25
+              WHEN (n_chars * 10) / (CASE WHEN len(words) = 1
+                                           AND words[1] = '' THEN 1
+                                          ELSE len(words) END) > 0
+                   THEN 10 ELSE 0 END)
+      + (CASE WHEN len(words) = 0 OR (len(words) = 1 AND words[1] = '')
+              THEN 5
+              WHEN (len(list_distinct(words)) * 100) / len(words) >= 50
+                   THEN 25
+              WHEN (len(list_distinct(words)) * 100) / len(words) >= 20
+                   THEN 15 ELSE 5 END)
+      + (CASE WHEN n_chars = 0 THEN 0
+              WHEN (n_alpha * 100) / n_chars >= 70 THEN 25
+              WHEN (n_alpha * 100) / n_chars >= 40 THEN 15 ELSE 0 END)
+        AS q
+      FROM w
+    ), ranked AS (
+      SELECT source, doc_id, q,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY q DESC, doc_id) AS rk
+      FROM scored
+    )
+    SELECT source,
+           COUNT(*)                       AS n_kept,
+           SUM(q)                         AS sum_quality,
+           MIN(q)                         AS min_kept_quality,
+           MAX(doc_id)                    AS max_kept_doc_id
+    FROM ranked WHERE rk <= 5
+    GROUP BY source
+    """,
+    doc="Per-domain cap: keep the 5 highest-quality docs per source "
+    "(quality_score_from_parts bands, deterministic (q DESC, doc_id) "
+    "tie-break) — the crawl-corpus guard against any one domain "
+    "flooding the training mix.  One row_number window per source "
+    "partition over the shared tokenized projection; no joins.",
+)
+def q_domain_quality_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators import textstats as TS
+    from .operators.textproj import guarded_word_count, tokenized_documents
+
+    apply_runtime_conf(spark)
+    p = tokenized_documents(spark, sf_dir)
+    q = TS.quality_score_from_parts(
+        F.col("n_chars"),
+        guarded_word_count(F.col("words")),
+        F.size(F.array_distinct(F.col("words"))),
+        F.col("n_alpha"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("q"), "doc_id")
+    kept = (
+        p.select("doc_id", "source", q.alias("q"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("q").alias("sum_quality"),
+        F.min("q").alias("min_kept_quality"),
+        F.max("doc_id").alias("max_kept_doc_id"),
+    )
+
+
+@register(
+    "bigram_coverage_quality",
+    r"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(text), '\s+') AS words
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(len(words)-1),
+                i -> list_extract(words, i+1) || ' ' || list_extract(words, i+2)))
+               AS bigram
+      FROM w
+    ), corpus AS (
+      SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram
+    ), per_doc AS (
+      SELECT bg.doc_id, bg.lang,
+             COUNT(*)                                  AS n_bigrams,
+             COUNT(*) FILTER (WHERE c.cnt >= 3)        AS n_common
+      FROM bg JOIN corpus c USING (bigram)
+      GROUP BY bg.doc_id, bg.lang
+    )
+    SELECT lang,
+           COUNT(*)                                    AS n_docs,
+           SUM(n_bigrams)                              AS total_bigrams,
+           SUM(n_common)                               AS total_common,
+           (SUM(n_common) * 100) // SUM(n_bigrams)     AS coverage_pct
+    FROM per_doc GROUP BY lang
+    """,
+    doc="Bigram in-distribution coverage — the integer-exact stand-in "
+    "for an n-gram LM perplexity filter: score each doc by the share "
+    "of its word bigrams occurring >= 3 times corpus-wide (common "
+    "bigrams ~ high LM probability; log-prob itself is not cross-"
+    "engine hashable).  Corpus counts shuffle once on the bigram, the "
+    "probe joins back on the same key, rollup per lang.  At 100 TB "
+    "the corpus-count relation is vocabulary-bounded and the join "
+    "stays hash-partitioned on bigram with map-side partial counts.",
+)
+def q_bigram_coverage_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import ngrams_zip
+    from .operators.textproj import tokenized_documents
+
+    apply_runtime_conf(spark)
+    p = tokenized_documents(spark, sf_dir)
+    bg = p.select(
+        "doc_id", "lang", F.explode(ngrams_zip(F.col("words"), 2)).alias("bigram")
+    )
+    corpus = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = (
+        bg.join(corpus, "bigram")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum((F.col("cnt") >= 3).cast("long")).alias("n_common"),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bigrams").alias("total_bigrams"),
+        F.sum("n_common").alias("total_common"),
+        F.expr("(sum(n_common) * 100) div sum(n_bigrams)").alias("coverage_pct"),
+    )
