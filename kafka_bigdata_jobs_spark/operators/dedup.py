@@ -487,15 +487,21 @@ def connected_components(
     output is oracle-checkable against a recursive-CTE closure.
     """
     # bidir references edges twice (both directions); persist the input
-    # so an expensive upstream (the LSH funnel) computes once, not twice
-    edges = edges.persist()
+    # so an expensive upstream (the LSH funnel) computes once, not twice.
+    # Respect a caller-managed cache (e.g. the suite's shared pair
+    # relation): don't re-persist it, and never unpersist it here.
+    lvl = edges.storageLevel
+    caller_cached = lvl.useMemory or lvl.useDisk
+    if not caller_cached:
+        edges = edges.persist()
 
     n_edges = edges.limit(driver_edge_limit + 1).count()
     if n_edges <= driver_edge_limit:
         pair_rows = edges.select(
             F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
         ).collect()
-        edges.unpersist()
+        if not caller_cached:
+            edges.unpersist()
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -546,5 +552,6 @@ def connected_components(
             break
         prev_sum = cur_sum
     bidir.unpersist()
-    edges.unpersist()
+    if not caller_cached:
+        edges.unpersist()
     return labels
