@@ -5702,3 +5702,73 @@ def q_bigram_coverage_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_common").alias("total_common"),
         F.expr("(sum(n_common) * 100) div sum(n_bigrams)").alias("coverage_pct"),
     )
+
+
+@register(
+    "weekly_value_quantiles_kll",
+    None,
+    doc="Mergeable-sketch QUANTILE rollup — the KLL complement of "
+    "weekly_uniques_hll_mergeable: one KllLongsSketch per "
+    "(event_type, day) over value cents is the only pass over raw "
+    "rows; kll_merge_agg re-aggregates day sketches into weekly "
+    "p50/p90/p99 WITHOUT re-touching raw data.  This is how a "
+    "continuous aggregate serves 'weekly latency percentiles' at "
+    "100 TB: day partials persist, weeks (or months) merge from "
+    "partials.  Rows-only by design (sketch estimates are "
+    "engine-specific); accuracy vs the exact sort is pinned by "
+    "tests/test_plans.py::test_kll_quantile_accuracy.",
+)
+def q_weekly_value_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cents = R.cents("value")
+    daily = ev.groupBy(
+        F.date_trunc("week", F.col("ts").cast("timestamp")).alias("week"),
+        F.to_date("ts").alias("day"),
+        "event_type",
+    ).agg(F.kll_sketch_agg_bigint(cents).alias("sk"))
+    weekly = daily.groupBy("week", "event_type").agg(
+        F.kll_merge_agg_bigint("sk").alias("sk"),
+        F.count(F.lit(1)).alias("n_day_sketches"),
+    )
+    return weekly.select(
+        F.col("week").cast("date").alias("week"),
+        "event_type",
+        "n_day_sketches",
+        F.kll_sketch_get_quantile_bigint("sk", F.lit(0.5)).alias("p50_cents"),
+        F.kll_sketch_get_quantile_bigint("sk", F.lit(0.9)).alias("p90_cents"),
+        F.kll_sketch_get_quantile_bigint("sk", F.lit(0.99)).alias("p99_cents"),
+    ).orderBy("week", "event_type")
+
+
+@register(
+    "audience_overlap_theta",
+    None,
+    doc="Set-operation sketches: distinct-user overlap between event "
+    "types via ThetaSketch — unlike HLL, theta supports INTERSECTION "
+    "and DIFFERENCE, so 'how many users both viewed AND purchased' "
+    "needs one sketch per segment, not a re-scan per pair.  Per-type "
+    "sketches build in one pass (tiny: one row per event_type); the "
+    "pairwise grid is a self-join of that sketch table (k x k rows, "
+    "never touching raw data).  Rows-only by design; estimate accuracy "
+    "vs exact COUNT(DISTINCT) intersections is pinned by "
+    "tests/test_plans.py::test_theta_overlap_accuracy.",
+)
+def q_audience_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk")
+    )
+    a, b = per_type.alias("a"), per_type.alias("b")
+    grid = a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+    return grid.select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.theta_sketch_estimate(F.col("a.sk")).cast("long").alias("uniq_a"),
+        F.theta_sketch_estimate(F.col("b.sk")).cast("long").alias("uniq_b"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("a.sk"), F.col("b.sk"))
+        ).cast("long").alias("overlap"),
+        F.theta_sketch_estimate(
+            F.theta_union(F.col("a.sk"), F.col("b.sk"))
+        ).cast("long").alias("union_size"),
+    ).orderBy("type_a", "type_b")

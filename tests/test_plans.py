@@ -105,3 +105,52 @@ def test_hll_mergeable_rollup_close_to_exact(spark):
     assert joined
     for r in joined:
         assert abs(r["approx"] - r["exact"]) <= max(3, 0.05 * r["exact"])
+
+
+def test_kll_quantile_accuracy(spark):
+    """Weekly p50/p90 from merged daily KLL sketches must land within
+    KLL rank error (default k=200 -> ~1.7% rank error; assert a rank
+    window of +-4%) of the exact sorted quantile, and the weekly merge
+    must operate on day sketches, not raw rows."""
+    from kafka_bigdata_jobs_spark import suite
+
+    approx = suite.registry()["weekly_value_quantiles_kll"].fn(spark, SF)
+    ev = load_table(spark, SF, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    rows = approx.collect()
+    assert rows
+    # exact rank of the sketch's answer must be near the target rank
+    for r in rows[:10]:  # bounded: each check is one filtered count
+        base = ev.where(
+            (F.date_trunc("week", F.col("ts").cast("timestamp")) == r["week"])
+            & (F.col("event_type") == r["event_type"])
+        ).select(cents.alias("c"))
+        n = base.count()
+        if n < 50:
+            continue
+        for target, got in ((0.5, r["p50_cents"]), (0.9, r["p90_cents"])):
+            rank = base.where(F.col("c") <= got).count() / n
+            assert abs(rank - target) <= 0.04, (r["week"], r["event_type"], target, rank)
+
+
+def test_theta_overlap_accuracy(spark):
+    """Theta-sketch intersection estimates must match exact distinct
+    intersections (fixture cardinalities are far below the sketch's
+    k=4096 exact-mode bound, so estimates are exact here)."""
+    from kafka_bigdata_jobs_spark import suite
+
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in suite.registry()["audience_overlap_theta"].fn(spark, SF).collect()
+    }
+    assert got
+    ev = load_table(spark, SF, "events")
+    users = ev.select("event_type", "user_id").distinct().collect()
+    by_type: dict = {}
+    for r in users:
+        by_type.setdefault(r["event_type"], set()).add(r["user_id"])
+    for (ta, tb), row in got.items():
+        inter = len(by_type[ta] & by_type[tb])
+        union = len(by_type[ta] | by_type[tb])
+        assert abs(row["overlap"] - inter) <= max(2, 0.05 * inter)
+        assert abs(row["union_size"] - union) <= max(2, 0.05 * union)
