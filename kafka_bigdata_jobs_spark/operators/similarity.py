@@ -552,3 +552,206 @@ def quantize_int8_stats(
         F.min("q_min").alias("min_q"),
         F.max("q_max").alias("max_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the memory-bound scale path
+# ---------------------------------------------------------------------------
+
+
+def pq_fit_codebooks(
+    corpus: DataFrame,
+    vec_col: str,
+    m: int = 8,
+    n_centroids: int = 256,
+    dim: int = 64,
+    seed: int = 42,
+    fit_sample_rows: int = 8192,
+    iters: int = 10,
+):
+    """Train ``m`` per-subspace k-means codebooks (Jegou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI'11 — public method).
+
+    Vectors are l2-normalized then split into ``m`` contiguous
+    subvectors; each subspace gets its own codebook so a vector encodes
+    to ``m`` uint8 ids — 64 float32 dims (256 B) become 8 B, a 32x
+    compression that turns a RAM-bound 100 TB index into a fits-in-
+    memory one.  The fit runs driver-side NumPy Lloyd's on a seeded
+    sample capped at ``fit_sample_rows`` (~4 MB collected — the SAME
+    bounded-sample discipline as kmeans_ivf_cells: codebook quality
+    needs thousands of points, never the corpus).  ``n_centroids``
+    clamps to sample_size // 4 so tiny fixtures don't over-fit empty
+    centroids.  Returns a float64 ndarray (m, k_eff, dim // m).
+    """
+    import numpy as np
+
+    assert dim % m == 0, "dim must divide into m subspaces"
+    sub = dim // m
+    n = corpus.count()
+    fit_df = corpus.select(as_double_vec(F.col(vec_col)).alias("v"))
+    if n > fit_sample_rows:
+        fit_df = fit_df.sample(fraction=min(1.0, 1.05 * fit_sample_rows / n), seed=seed)
+    X = np.array([r["v"] for r in fit_df.collect()], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    X = X / norms
+    k_eff = max(2, min(n_centroids, len(X) // 4))
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k_eff, sub))
+    for j in range(m):
+        S = X[:, j * sub : (j + 1) * sub]
+        C = S[rng.choice(len(S), size=k_eff, replace=False)]
+        for _ in range(iters):
+            # assign: nearest centroid by squared L2
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(k_eff):
+                pts = S[a == c]
+                if len(pts):
+                    C[c] = pts.mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame, id_col: str, vec_col: str, codebooks, dim: int = 64
+) -> DataFrame:
+    """Encode every corpus vector to its ``m`` nearest-centroid ids —
+    a pure map stage (mapInPandas, codebooks ride the closure at
+    ~m*k*sub*8 B), no shuffle: exactly the index-build write pass that
+    runs once per corpus snapshot at scale.  Vectors are l2-normalized
+    before encoding so ADC inner products approximate cosine."""
+    import numpy as np
+    import pandas as pd
+
+    m, k_eff, sub = codebooks.shape
+    books = codebooks  # closure broadcast (tiny)
+
+    def encode(batches):
+        for pdf in batches:
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if len(V) == 0:
+                continue
+            norms = np.linalg.norm(V, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            V = V / norms
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for j in range(m):
+                S = V[:, j * sub : (j + 1) * sub]
+                d2 = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"pq_id": pdf[id_col].values, "codes": list(codes.tolist())}
+            )
+
+    out = corpus.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias(vec_col))
+    return out.mapInPandas(encode, "pq_id bigint, codes array<int>").withColumnRenamed(
+        "pq_id", id_col
+    )
+
+
+def topk_neighbors_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    m: int = 8,
+    n_centroids: int = 256,
+    dim: int = 64,
+    seed: int = 42,
+    rerank_oversample: int = 5,
+) -> DataFrame:
+    """PQ ANN top-k by asymmetric distance computation (ADC) with exact
+    re-ranking.
+
+    Each query builds an (m x k_eff) table of sub-inner-products with
+    the codebooks; a corpus vector's approximate cosine is then m table
+    lookups summed — the scan never touches floats, only uint8 codes.
+    Distribution: the coded corpus is the big side (never shuffled for
+    scoring); per-partition NumPy emits each query's LOCAL candidates,
+    and a ranking window keeps the top ``k * rerank_oversample`` — the
+    same partial-top-k-then-merge shape as TakeOrderedAndProject.  The
+    surviving candidate set (k*oversample rows per query) is then
+    re-scored with EXACT cosine against the full-precision vectors —
+    the standard PQ deployment (compressed scan finds candidates,
+    floats touched only for ~50 rows/query).  Raw-ADC recall@10 is
+    ~0.55 at 32x compression; with 5x oversample re-rank it is pinned
+    >= 0.9 by tests/test_ann_recall.py.  Approximate by construction:
+    rows-only territory.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    books = pq_fit_codebooks(
+        corpus, vec_col, m=m, n_centroids=n_centroids, dim=dim, seed=seed
+    )
+    m_eff, k_eff, sub = books.shape
+    q_rows = queries.select(
+        F.col(id_col), as_double_vec(F.col(vec_col)).alias("v")
+    ).collect()
+    Q = np.array([r["v"] for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0.0] = 1.0
+    Q = Q / qn
+    q_ids = np.array([r[id_col] for r in q_rows])
+    # ADC tables: T[q][j][c] = <q_j, codebook[j][c]>
+    T = np.einsum("qjs,jcs->qjc", Q.reshape(len(Q), m_eff, sub), books)
+
+    coded = pq_encode(corpus, id_col, vec_col, books, dim=dim)
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (nb, m)
+            ids = pdf[id_col].values
+            # scores (nq, nb): sum_j T[q, j, codes[:, j]]
+            scores = np.zeros((len(q_ids), len(codes)))
+            for j in range(m_eff):
+                scores += T[:, j, codes[:, j]]
+            top = min(k * rerank_oversample + 1, len(codes))  # +1: self dropped later
+            part = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                for ci in part[qi]:
+                    out_q.append(int(q_ids[qi]))
+                    out_n.append(int(ids[ci]))
+                    out_s.append(float(scores[qi, ci]))
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "approx_score": out_s}
+            )
+
+    local = coded.mapInPandas(
+        scan, "query_id bigint, neighbor_id bigint, approx_score double"
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_score"), F.col("neighbor_id")
+    )
+    cands = (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k * rerank_oversample)
+        .select("query_id", "neighbor_id")
+    )
+    # Exact re-rank: floats touched only for the candidate rows.
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_vec(F.col(vec_col)).alias("__qv"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_vec(F.col(vec_col)).alias("__cv"),
+    )
+    scored = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cosine", F.round(F.expr(cosine_sql("__qv", "__cv", dim)), 6))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -5772,3 +5772,24 @@ def q_audience_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.theta_union(F.col("a.sk"), F.col("b.sk"))
         ).cast("long").alias("union_size"),
     ).orderBy("type_a", "type_b")
+
+
+@register(
+    "similarity_topk_pq",
+    None,
+    doc="Product-quantization ANN (Jegou et al. TPAMI'11): per-subspace "
+    "codebooks compress 64 float32 dims to 8 uint8 codes (32x), the "
+    "corpus scan is table-lookup ADC over codes (floats never touched), "
+    "and the surviving 5x-oversampled candidates are re-ranked with "
+    "exact cosine — the memory-bound scale path that complements IVF's "
+    "compute-bound one.  Fit is a seeded bounded sample (codebooks "
+    "~128 KB); encode is a shuffle-free map stage.  Rows-only by "
+    "design; recall floor pinned by tests/test_ann_recall.py.",
+)
+def q_similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import topk_neighbors_pq
+
+    e = _t(spark, sf_dir, "embeddings")
+    return topk_neighbors_pq(
+        e, e.where(F.col("vec_id") < 5), "vec_id", "embedding", k=10
+    )

