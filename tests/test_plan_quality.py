@@ -235,6 +235,12 @@ def test_no_unbounded_driver_collects_in_engine_code():
             "connected_components driver path is size-gated by "
             "DRIVER_EDGE_LIMIT (limit-probe before collect)",
         ),
+        "operators/similarity.py": (
+            2,
+            "PQ: codebook fit collects a seeded sample capped at "
+            "fit_sample_rows (~4 MB); ADC collects the QUERY side only "
+            "(the broadcast-small side by contract, never the corpus)",
+        ),
     }
     found: dict[str, int] = {}
     for f in pkg.rglob("*.py"):
