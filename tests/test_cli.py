@@ -33,3 +33,17 @@ def test_cli_explain_prints_plan():
     r = _run("explain", "top_orders", "--sf-dir", "/root/testdata/sf0.001")
     assert r.returncode == 0
     assert "TakeOrderedAndProject" in r.stdout
+
+
+def test_cli_oracle_match(capsys):
+    from kafka_bigdata_jobs_spark.__main__ import main
+
+    assert main(["oracle", "daily_volume", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    assert "MATCH" in capsys.readouterr().out
+
+
+def test_cli_oracle_rows_only(capsys):
+    from kafka_bigdata_jobs_spark.__main__ import main
+
+    assert main(["oracle", "approx_uniq_users", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    assert "rows-only" in capsys.readouterr().out
