@@ -80,6 +80,23 @@ def _shared_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _NEAR_DUP_PAIRS_CACHE[key]
 
 
+#: Same sharing for the embedding-cosine pair relation (threshold 0.45),
+#: consumed by embedding_close_pairs and embedding_dedup_retention.
+_EMB_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shared_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import embedding_near_dup_pairs_blocked
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EMB_PAIRS_CACHE:
+        e = _t(spark, sf_dir, "embeddings")
+        _EMB_PAIRS_CACHE[key] = embedding_near_dup_pairs_blocked(
+            e, "vec_id", "embedding", threshold=0.45
+        ).cache()
+    return _EMB_PAIRS_CACHE[key]
+
+
 # ---------------------------------------------------------------------------
 # Relational core (SURVEY §2.5/2.7) on lineitem/orders/customer/events
 # ---------------------------------------------------------------------------
@@ -1150,10 +1167,7 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distribution so both engines cut identically).",
 )
 def q_embedding_close_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import embedding_near_dup_pairs_blocked
-
-    e = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs_blocked(e, "vec_id", "embedding", threshold=0.45)
+    return _shared_embedding_pairs(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -5792,4 +5806,61 @@ def q_similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return topk_neighbors_pq(
         e, e.where(F.col("vec_id") < 5), "vec_id", "embedding", k=10
+    )
+
+
+@register(
+    "embedding_dedup_retention",
+    """
+    WITH RECURSIVE e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.emb, b.emb) /
+            sqrt(list_dot_product(a.emb, a.emb) * list_dot_product(b.emb, b.emb))
+            >= 0.45
+    ), edges AS (
+      SELECT ia AS a, ib AS b FROM pairs
+      UNION
+      SELECT ib AS a, ia AS b FROM pairs
+    ), reach(node, root) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT ed.b, r.root FROM reach r JOIN edges ed ON ed.a = r.node
+    ), comp AS (
+      SELECT node, MIN(root) AS comp FROM reach GROUP BY node
+    )
+    SELECT e.label,
+           COUNT(*) AS n_vectors,
+           COUNT(*) FILTER (WHERE c.node IS NULL OR c.comp = e.vec_id)
+                    AS n_survivors,
+           COUNT(*) FILTER (WHERE c.node IS NOT NULL AND c.comp <> e.vec_id)
+                    AS n_dropped
+    FROM e LEFT JOIN comp c ON c.node = e.vec_id
+    GROUP BY e.label
+    """,
+    doc="SemDeDup-style semantic dedup retention (Abbas et al. 2023 — "
+    "public method): embedding-cosine close pairs (cell-blocked "
+    "numpy matmul, never O(n^2) floats row-wise) -> exact connected "
+    "components -> keep one canonical vector (min id) per semantic "
+    "cluster -> per-label survival census.  The embedding-modality "
+    "twin of near_dup_retention: same funnel shape, different "
+    "similarity kernel.  Oracle brute-forces pairs + recursive-CTE "
+    "closure.",
+)
+def q_embedding_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import connected_components
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = _shared_embedding_pairs(spark, sf_dir)
+    comp = connected_components(pairs, "id_a", "id_b")
+    member = e.select("vec_id", "label").join(
+        comp.withColumnRenamed("node", "vec_id"), "vec_id", "left"
+    )
+    survivor = F.col("comp").isNull() | (F.col("comp") == F.col("vec_id"))
+    return member.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(survivor.cast("long")).alias("n_survivors"),
+        F.sum((~survivor).cast("long")).alias("n_dropped"),
     )
