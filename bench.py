@@ -6,7 +6,7 @@ Prints ONE JSON line:
 
 The driver records only the TAIL of stdout (~2000 chars), so the printed
 line carries a HEADLINE subset of per-query timings and must stay small;
-the full 138-query timing map is written to ``BENCH_local.json`` next to
+the full per-query timing map is written to ``BENCH_local.json`` next to
 this file (round-1 BENCH artifact was unparseable because the full map
 overflowed the driver's capture window).
 
@@ -82,7 +82,8 @@ def main() -> None:
         "similarity_topk_ivf", "quality_histogram",
         "repetition_quality_flags", "token_stats", "lang_id_eval",
         "weekly_uniques_hll_mergeable", "doc_fingerprints",
-        "sentiment_distribution",
+        "sentiment_distribution", "tfidf_top_terms", "similarity_topk_pq",
+        "embedding_dedup_retention", "weekly_value_quantiles_kll",
     ]
     payload = {
         "metric": "suite_wall_sec",

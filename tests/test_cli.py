@@ -35,15 +35,15 @@ def test_cli_explain_prints_plan():
     assert "TakeOrderedAndProject" in r.stdout
 
 
-def test_cli_oracle_match(capsys):
-    from kafka_bigdata_jobs_spark.__main__ import main
+def test_cli_oracle_match():
+    # Subprocess like the other CLI tests: main() stops its session, which
+    # would kill the shared pytest SparkSession if run in-process.
+    r = _run("oracle", "daily_volume", "--sf-dir", "/root/testdata/sf0.001")
+    assert r.returncode == 0
+    assert "MATCH" in r.stdout
 
-    assert main(["oracle", "daily_volume", "--sf-dir", "/root/testdata/sf0.001"]) == 0
-    assert "MATCH" in capsys.readouterr().out
 
-
-def test_cli_oracle_rows_only(capsys):
-    from kafka_bigdata_jobs_spark.__main__ import main
-
-    assert main(["oracle", "approx_uniq_users", "--sf-dir", "/root/testdata/sf0.001"]) == 0
-    assert "rows-only" in capsys.readouterr().out
+def test_cli_oracle_rows_only():
+    r = _run("oracle", "approx_uniq_users", "--sf-dir", "/root/testdata/sf0.001")
+    assert r.returncode == 0
+    assert "rows-only" in r.stdout

@@ -241,6 +241,12 @@ def test_no_unbounded_driver_collects_in_engine_code():
             "fit_sample_rows (~4 MB); ADC collects the QUERY side only "
             "(the broadcast-small side by contract, never the corpus)",
         ),
+        "__main__.py": (
+            1,
+            "CLI 'oracle' subcommand collects the query RESULT for "
+            "strict comparison — a user-facing debug command with the "
+            "same blast radius as .show(), never in an engine path",
+        ),
     }
     found: dict[str, int] = {}
     for f in pkg.rglob("*.py"):
