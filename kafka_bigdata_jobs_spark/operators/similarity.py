@@ -755,3 +755,127 @@ def topk_neighbors_pq(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def topk_neighbors_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 6,
+    m: int = 8,
+    n_centroids: int = 256,
+    dim: int = 64,
+    seed: int = 42,
+    rerank_oversample: int = 5,
+) -> DataFrame:
+    """IVF-PQ: coarse k-means cells restrict WHICH codes are scanned,
+    PQ codes make the scan itself table lookups — the standard
+    billion-scale composition (FAISS IVFPQ; Jegou et al. TPAMI'11).
+
+    Index build = two map-ish passes over the corpus (cell assignment +
+    PQ encode), both shuffle-free given the trained quantizers (bounded
+    sample fits).  Query path: rank the broadcast centroid table, probe
+    ``n_probe`` cells, equi-join the (query, cell) list against the
+    coded corpus on the cell id — the scan touches ``n_probe/n_cells``
+    of the codes, and floats only for the re-ranked candidates.
+    Scoring is vectorized per Arrow batch: ADC table lookups grouped by
+    query within the batch.  Approximate by construction (rows-only);
+    recall floor pinned in tests/test_ann_recall.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    assigned, centers = kmeans_ivf_cells(
+        corpus, id_col, vec_col, n_cells, seed=seed, dim=dim
+    )
+    books = pq_fit_codebooks(
+        corpus, vec_col, m=m, n_centroids=n_centroids, dim=dim, seed=seed
+    )
+    m_eff, k_eff, sub = books.shape
+    coded = pq_encode(corpus, id_col, vec_col, books, dim=dim).join(
+        assigned.select(F.col(id_col), "__cell"), id_col
+    )
+
+    q_rows = queries.select(
+        F.col(id_col), as_double_vec(F.col(vec_col)).alias("v")
+    ).collect()
+    Q = np.array([r["v"] for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0.0] = 1.0
+    Q = Q / qn
+    q_ids = [r[id_col] for r in q_rows]
+    T = np.einsum("qjs,jcs->qjc", Q.reshape(len(Q), m_eff, sub), books)
+    T_by_qid = {int(q_ids[i]): T[i] for i in range(len(q_ids))}
+
+    qdf = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_vec(F.col(vec_col)).alias("__qdv"),
+    )
+    scored_cells = qdf.crossJoin(F.broadcast(centers)).withColumn(
+        "__cdist", F.expr(cosine_sql("__qdv", "center", dim))
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("__cdist"), F.col("cell_id"))
+    probed = (
+        scored_cells.withColumn("__r", F.row_number().over(wc))
+        .where(F.col("__r") <= n_probe)
+        .select("query_id", F.col("cell_id").alias("__cell"))
+    )
+
+    cand = coded.join(F.broadcast(probed), "__cell").select(
+        "query_id", F.col(id_col).alias("neighbor_id"), "codes"
+    )
+
+    def adc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            scores = np.empty(len(codes))
+            # batch rows group by query: look up each query's ADC table
+            for qid, idx in pdf.groupby("query_id").indices.items():
+                Tq = T_by_qid[int(qid)]
+                s = np.zeros(len(idx))
+                for j in range(m_eff):
+                    s += Tq[j, codes[idx, j]]
+                scores[idx] = s
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].values,
+                    "neighbor_id": pdf["neighbor_id"].values,
+                    "approx_score": scores,
+                }
+            )
+
+    local = cand.mapInPandas(
+        adc, "query_id bigint, neighbor_id bigint, approx_score double"
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_score"), F.col("neighbor_id")
+    )
+    cands = (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k * rerank_oversample)
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("__qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("__cv")
+    )
+    scored = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cosine", F.round(F.expr(cosine_sql("__qv", "__cv", dim)), 6))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

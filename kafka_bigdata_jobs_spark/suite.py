@@ -5864,3 +5864,26 @@ def q_embedding_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(survivor.cast("long")).alias("n_survivors"),
         F.sum((~survivor).cast("long")).alias("n_dropped"),
     )
+
+
+@register(
+    "similarity_topk_ivfpq",
+    None,
+    doc="IVF-PQ ANN (FAISS-style composition): k-means cells bound WHICH "
+    "vectors are scanned (n_probe/n_cells of the corpus), PQ codes make "
+    "that scan table lookups over uint8, and the oversampled survivors "
+    "re-rank with exact cosine — the billion-scale memory+compute "
+    "design in one lineage.  Probed (query, cell) pairs broadcast into "
+    "an equi-join on the cell id; ADC is grouped-by-query vectorized "
+    "per Arrow batch.  Rows-only; recall floor pinned in "
+    "tests/test_ann_recall.py (fixture's quasi-random 64-dim geometry "
+    "caps ALL cell-probing variants near 0.5-0.66 — the exact-scoring "
+    "IVF measures 0.5 on the same corpus).",
+)
+def q_similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import topk_neighbors_ivfpq
+
+    e = _t(spark, sf_dir, "embeddings")
+    return topk_neighbors_ivfpq(
+        e, e.where(F.col("vec_id") < 5), "vec_id", "embedding", k=10
+    )

@@ -94,3 +94,21 @@ def test_pq_adc_rerank_recall_floor(spark):
         )
     got = _topk_sets(pq_df)
     assert _mean_recall(exact, got) >= 0.8
+
+
+def test_ivfpq_recall_floor(spark):
+    """IVF-PQ (cell-probe + compressed ADC + exact re-rank) must hold
+    recall@10 >= 0.45 on the smoke fixture.  The ceiling here is
+    cell-probe geometry, not PQ: the exact-scoring k-means IVF measures
+    ~0.5 on the same quasi-random 64-dim corpus (curse of
+    dimensionality — cells barely separate), and IVF-PQ with n_probe=6
+    measures >= it.  On clustered real-world embeddings both rise
+    together; the floor protects against a broken ADC/probe path, not
+    against fixture geometry."""
+    from kafka_bigdata_jobs_spark.operators.similarity import topk_neighbors_ivfpq
+
+    e = load_table(spark, SF, "embeddings")
+    queries = e.where(F.col("vec_id") < 20)
+    exact = _topk_sets(topk_neighbors(e, queries, "vec_id", "embedding", k=10))
+    got = _topk_sets(topk_neighbors_ivfpq(e, queries, "vec_id", "embedding", k=10))
+    assert _mean_recall(exact, got) >= 0.45
