@@ -148,6 +148,51 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter * 1.0 / (F.size(a) + F.size(b) - inter)
 
 
+def word_segment_rows(
+    df: DataFrame, id_col: str, words_col: str, seg_len: int = 20
+) -> DataFrame:
+    """Explode each document into consecutive fixed-length word
+    segments: ``(id, seg_idx, segment)`` with ``segment`` the
+    space-joined run of exactly ``seg_len`` words starting at word
+    offset ``seg_idx * seg_len``.
+
+    This is the unit relation behind paragraph/boilerplate-level
+    dedup (MassiveText/Gopher-style repeated-passage removal — public
+    method): corpora repeat *passages* (headers, footers, license
+    blocks) far more often than whole documents, so dedup at the
+    segment grain catches what document-grain fingerprints miss.  The
+    fixtures carry no structural paragraph delimiter, so the segment
+    boundary is a fixed word count — the operator only requires "a
+    words array", and a newline-split projection plugs in unchanged.
+
+    Only FULL segments are emitted (a trailing run shorter than
+    ``seg_len`` is dropped, as is any doc with fewer than ``seg_len``
+    words) so segment identity is well-defined across documents of
+    different lengths.
+
+    Scale: one generate/explode — output is ~1x corpus size; the
+    downstream ``groupBy(segment)`` is a single shuffle on a
+    high-cardinality key, the same funnel shape as exact dedup.
+    """
+    w = F.col(words_col)
+    starts = F.sequence(F.lit(1), F.size(w) - (seg_len - 1), F.lit(seg_len))
+    return (
+        df.where(F.size(w) >= seg_len)
+        .select(
+            id_col,
+            w.alias("__w"),
+            F.posexplode(starts).alias("seg_idx", "__g"),
+        )
+        .select(
+            id_col,
+            "seg_idx",
+            F.array_join(F.slice("__w", F.col("__g"), seg_len), " ").alias(
+                "segment"
+            ),
+        )
+    )
+
+
 # -- MinHash + LSH ----------------------------------------------------------
 
 

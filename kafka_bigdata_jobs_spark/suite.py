@@ -5887,3 +5887,277 @@ def q_similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_neighbors_ivfpq(
         e, e.where(F.col("vec_id") < 5), "vec_id", "embedding", k=10
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 2: segment-grain dedup, skew machinery under the oracle gate,
+# inverted-index posting lists, native session windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "boilerplate_segments",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ), idx AS (
+      SELECT doc_id, w, unnest(range(1, len(w)-19+1, 20)) AS g
+      FROM toks WHERE len(w) >= 20
+    ), seg AS (
+      SELECT doc_id, array_to_string(w[g:g+19], ' ') AS segment FROM idx
+    )
+    SELECT segment,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*)               AS n_occurrences,
+           MIN(doc_id)            AS first_doc_id
+    FROM seg
+    GROUP BY segment
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    doc="Repeated-passage census (MassiveText/Gopher boilerplate removal, "
+    "public method): every full 20-word segment shared by >=2 distinct "
+    "documents, with its document frequency and canonical (min) doc.  "
+    "Segment grain catches the headers/footers/license blocks that "
+    "document-grain fingerprints miss.  One explode + one shuffle on "
+    "the segment key — the exact-dedup funnel applied one level down.",
+)
+def q_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import word_segment_rows
+    from .operators.textproj import tokenized_documents
+
+    apply_runtime_conf(spark)
+    p = tokenized_documents(spark, sf_dir)
+    segs = word_segment_rows(p, "doc_id", "words", seg_len=20)
+    return (
+        segs.groupBy("segment")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+@register(
+    "segment_dedup_stats",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ), idx AS (
+      SELECT doc_id, source, w, unnest(range(1, len(w)-19+1, 20)) AS g
+      FROM toks WHERE len(w) >= 20
+    ), seg AS (
+      SELECT doc_id, source, array_to_string(w[g:g+19], ' ') AS segment
+      FROM idx
+    ), canon AS (
+      SELECT segment, MIN(doc_id) AS canon_doc FROM seg GROUP BY segment
+    )
+    SELECT s.source,
+           COUNT(DISTINCT s.doc_id)                           AS n_docs,
+           COUNT(*)                                           AS n_segments,
+           COUNT(*) FILTER (WHERE s.doc_id > c.canon_doc)     AS n_redundant,
+           (COUNT(*) FILTER (WHERE s.doc_id > c.canon_doc) * 10000)
+               // COUNT(*)                                    AS redundant_bp
+    FROM seg s JOIN canon c USING (segment)
+    GROUP BY s.source
+    """,
+    doc="Segment-grain dedup retention by source: a segment occurrence "
+    "is redundant when a smaller-id document already carries the same "
+    "segment (the deterministic survivor rule of exact_dedup applied "
+    "at passage grain).  redundant_bp is floor basis points — integer "
+    "lattice, cross-engine hashable.  Two shuffles (segment key, then "
+    "source rollup); the doc->source attribution rides the segment "
+    "rows, so no extra join against the corpus.",
+)
+def q_segment_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import word_segment_rows
+    from .operators.textproj import tokenized_documents
+
+    apply_runtime_conf(spark)
+    p = tokenized_documents(spark, sf_dir)
+    segs = word_segment_rows(
+        p.select("doc_id", "source", "words"), "doc_id", "words", seg_len=20
+    ).join(
+        p.select("doc_id", "source"), "doc_id"
+    )
+    canon = segs.groupBy("segment").agg(F.min("doc_id").alias("canon_doc"))
+    joined = segs.join(canon, "segment")
+    redundant = (F.col("doc_id") > F.col("canon_doc")).cast("long")
+    return joined.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(redundant).alias("n_redundant"),
+        ((F.sum(redundant) * 10000).cast("long") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("redundant_bp"),
+    )
+
+
+@register(
+    "skewed_type_revenue_salted",
+    """
+    WITH dim AS (
+      SELECT DISTINCT event_type, length(event_type) AS type_weight
+      FROM events
+    )
+    SELECT e.event_type,
+           COUNT(*)                                         AS n_events,
+           SUM(CAST(ROUND(value*100) AS BIGINT))            AS value_cents,
+           SUM(CAST(ROUND(value*100) AS BIGINT) * d.type_weight)
+                                                            AS weighted_cents
+    FROM events e JOIN dim d ON d.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+    doc="The skew machinery under the driver's oracle gate: a "
+    "salted_join (hot key spread over 8 reducer salts, dim replicated "
+    "8x) feeding a salted two_phase_agg (partial sums per (key, salt), "
+    "merged per key) — and the result provably identical to the plain "
+    "JOIN + GROUP BY the oracle runs.  event_type is a 5-value key, "
+    "i.e. exactly the shape that serializes onto 5 reducers at 100 TB "
+    "without salting; AQE skew split can't help a key whose post-split "
+    "partitions share one value.  Correctness is invariant to the salt "
+    "count by construction.",
+)
+def q_skewed_type_revenue_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            F.col("event_type").alias("et"),
+            F.length("event_type").alias("type_weight"),
+        )
+    )
+    j = salted_join(ev, dim, "event_type", "et", salt=8).drop("et")
+    cents = R.cents("value")
+    return R.two_phase_agg(
+        j,
+        ["event_type"],
+        {
+            "n_events": (F.count(F.lit(1)), F.sum("n_events")),
+            "value_cents": (F.sum(cents), F.sum("value_cents")),
+            "weighted_cents": (
+                F.sum(cents * F.col("type_weight")),
+                F.sum("weighted_cents"),
+            ),
+        },
+        salt_buckets=16,
+        salt_on="event_id",
+    )
+
+
+@register(
+    "term_posting_lists",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ), big AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS term
+      FROM toks, unnest(range(1, len(w))) AS t(i)
+    )
+    SELECT term,
+           COUNT(*) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+               AS postings
+    FROM big
+    GROUP BY term
+    HAVING COUNT(*) BETWEEN 2 AND 25
+    """,
+    doc="Inverted-index build: bigram term -> sorted posting list of "
+    "doc_ids (mid-band document frequency 2..25; df-1 terms are noise, "
+    "near-universal terms are stopwords).  The postings column is the "
+    "canonical comma-joined sorted list, so the output is order- and "
+    "engine-deterministic.  One explode + one shuffle on the term key "
+    "with map-side distinct; at 100 TB the posting list per term is "
+    "bounded by the df band, never by corpus size.",
+)
+def q_term_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import ngrams_zip
+    from .operators.textproj import tokenized_documents
+
+    apply_runtime_conf(spark)
+    p = tokenized_documents(spark, sf_dir)
+    terms = p.select(
+        "doc_id",
+        F.explode(F.array_distinct(ngrams_zip(F.col("words"), 2))).alias(
+            "term"
+        ),
+    )
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .where(F.col("df").between(2, 25))
+    )
+
+
+@register(
+    "session_window_rollup",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    ), g AS (
+      SELECT user_id, sid, COUNT(*) AS n,
+             epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS dur_ms
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           COUNT(*)   AS n_sessions,
+           SUM(n)     AS n_events,
+           MAX(n)     AS max_session_events,
+           MAX(dur_ms) AS longest_millis
+    FROM g GROUP BY user_id
+    """,
+    doc="Native Spark session_window (gap 30 min) rolled up per user — "
+    "the ENGINE-side sessionizer (dynamic gap windows merged by the "
+    "aggregation operator itself, usable identically under Structured "
+    "Streaming with a watermark) vs user_sessions' gaps-and-islands "
+    "window-function formulation.  Oracle reproduces the merge rule "
+    "exactly: an event at prev_ts + gap starts a NEW session (window "
+    "is [first, last+gap)), so the SQL break is diff >= gap, strict "
+    "lattice tie included.  All-integer output (epoch-millis "
+    "durations), cross-engine hashable.",
+)
+def q_session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per_session = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # session_window over an NTZ event column yields TIMESTAMP_NTZ
+    # bounds; the cast re-anchors both to the session zone, and the
+    # difference is offset-invariant either way.
+    dur = F.unix_millis(
+        F.col("session_window.end").cast("timestamp")
+    ) - F.unix_millis(
+        F.col("session_window.start").cast("timestamp")
+    ) - F.lit(30 * 60 * 1000)
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+        F.max("n").alias("max_session_events"),
+        F.max(dur).alias("longest_millis"),
+    )

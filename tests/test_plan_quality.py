@@ -236,10 +236,11 @@ def test_no_unbounded_driver_collects_in_engine_code():
             "DRIVER_EDGE_LIMIT (limit-probe before collect)",
         ),
         "operators/similarity.py": (
-            2,
+            3,
             "PQ: codebook fit collects a seeded sample capped at "
-            "fit_sample_rows (~4 MB); ADC collects the QUERY side only "
-            "(the broadcast-small side by contract, never the corpus)",
+            "fit_sample_rows (~4 MB); PQ-ADC and IVF-PQ each collect "
+            "the QUERY side only (the broadcast-small side by "
+            "contract, never the corpus)",
         ),
         "__main__.py": (
             1,
