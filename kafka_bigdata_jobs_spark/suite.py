@@ -6161,3 +6161,23 @@ def q_session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("max_session_events"),
         F.max(dur).alias("longest_millis"),
     )
+
+
+@register(
+    "ml_quality_filter",
+    None,
+    doc="Distilled ML quality filter (CCNet/fastText-classifier analog, "
+    "public method): the rule-based quality_score teacher labels a "
+    "seeded bounded sample, a logistic regression student fits on "
+    "expression-only surface features, and the WHOLE corpus is scored "
+    "JVM-side by model.transform — the fitted model (~10 doubles) is "
+    "the only thing that moves, so the scoring pass is one map-side "
+    "projection at any corpus size.  Per-source keep counts + "
+    "student/teacher agreement.  Rows-only (LBFGS optimum is not an "
+    "SQL expression); agreement floor pinned in tests/test_mlquality.py.",
+)
+def q_ml_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.mlquality import quality_filter_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_filter_report(docs)
