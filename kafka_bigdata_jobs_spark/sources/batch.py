@@ -107,3 +107,47 @@ def read_csv_with_rejects(
         F.col(corrupt_col).alias("raw_line")
     )
     return good, rejects
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines read with a declared schema and a quarantine split —
+    the JSONL twin of :func:`read_csv_with_rejects` (crawl dumps and
+    export feeds arrive as JSONL at least as often as CSV).
+
+    Schema declared, never inferred: inference is an extra full pass
+    over the data and types drift run-to-run with the sample.  Returns
+    ``(good, rejects)`` exactly like the CSV variant.
+    """
+    full_schema = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    raw = spark.read.json(
+        path,
+        schema=full_schema,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord=corrupt_col,
+    ).cache()
+    good = raw.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    rejects = raw.where(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return good, rejects
+
+
+def read_orc(
+    spark: SparkSession, path: str, columns: list[str] | None = None
+) -> DataFrame:
+    """ORC scan with optional column projection.
+
+    ORC carries its schema (no inference pass) and, like parquet,
+    supports predicate pushdown + column pruning — the projection here
+    exists so callers state intent early and the pruned ReadSchema is
+    visible in the plan even before any downstream select.
+    """
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df

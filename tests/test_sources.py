@@ -133,3 +133,59 @@ def test_xml_round_trip(spark):
         .collect()
     )
     assert got == want
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from kafka_bigdata_jobs_spark.sources.batch import read_jsonl
+
+    p = tmp_path / "events.jsonl"
+    p.write_text(
+        '{"event_id": 1, "event_type": "click", "value": 1.5}\n'
+        '{"event_id": 2, "event_type": "view", "value": 0.25}\n'
+        "this is not json\n"
+        '{"event_id": "NaN-ish", "event_type": 3, "value": []}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    good, rejects = read_jsonl(spark, str(p), schema)
+    assert good.count() == 2
+    assert [f.name for f in good.schema.fields] == [
+        "event_id",
+        "event_type",
+        "value",
+    ]
+    bad = [r.raw_line for r in rejects.collect()]
+    assert len(bad) == 2 and any("not json" in b for b in bad)
+
+
+def test_orc_roundtrip_prunes_and_pushes_down(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kafka_bigdata_jobs_spark.sources.batch import read_orc
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    dst = str(tmp_path / "events_orc")
+    src.write.mode("overwrite").orc(dst)
+
+    back = read_orc(spark, dst, columns=["event_id", "event_type", "value"])
+    assert back.count() == src.count()
+
+    filtered = back.where(F.col("event_type") == "click")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    # Column pruning: the scan must not read ts/user_id/props;
+    # predicate pushdown: the event_type filter reaches the ORC scan.
+    assert "props" not in plan.split("ReadSchema")[-1]
+    assert "PushedFilters: [" in plan and "event_type" in plan.split(
+        "PushedFilters"
+    )[-1]
+
+    a = sorted(map(tuple, src.select("event_id", "event_type").collect()))
+    b = sorted(map(tuple, back.select("event_id", "event_type").collect()))
+    assert a == b
