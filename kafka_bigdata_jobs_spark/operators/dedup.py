@@ -264,6 +264,37 @@ def minhash_signatures(
     )
 
 
+def banded_rows(
+    sig_df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """Explode each signature into ``bands`` bucket rows keyed by
+    ``(band_id, hash(band slice))`` — the shared banding step behind
+    both the self-join (``lsh_band_pairs``) and the incremental
+    new-vs-indexed join.  ``carry`` columns ride along unchanged."""
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    extra = carry or []
+    return sig_df.select(
+        F.col(id_col),
+        *extra,
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bh"),
+    ).select(id_col, *extra, "bh.band_id", "bh.band_hash")
+
+
 def lsh_band_pairs(
     sig_df: DataFrame,
     id_col: str,
@@ -280,21 +311,7 @@ def lsh_band_pairs(
     data telling us they're all duplicates — AQE's skew-join splitting
     handles the pathological case.
     """
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = sig_df.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                band_idx,
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.xxhash64(
-                        F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)
-                    ).alias("band_hash"),
-                ),
-            )
-        ).alias("bh"),
-    ).select(id_col, "bh.band_id", "bh.band_hash")
+    banded = banded_rows(sig_df, id_col, sig_col, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -391,6 +408,106 @@ def near_dup_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     return verified.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def incremental_near_dup_pairs(
+    corpus: DataFrame,
+    increment: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    num_hashes: int = 128,
+    bands: int = 16,
+) -> DataFrame:
+    """Dedup an ARRIVING batch against an already-indexed corpus — the
+    production shape of fuzzy dedup at 100 TB: the corpus is indexed
+    once (signatures + band buckets are a materialized store), and each
+    increment generates only ``increment × (corpus ∪ earlier-increment)``
+    candidates.  Corpus × corpus pairs are never formed, so the
+    per-batch cost is proportional to the BATCH, not the corpus.
+
+    Here the corpus signature relation is computed inline from the
+    corpus DataFrame (this sandbox has no persistent store); the two
+    signature builds are deliberately separate aggregations so the
+    corpus side is exactly the thing a store would hold.
+
+    Returns ``(new_id, dup_of, jaccard)`` with ``dup_of`` an indexed
+    corpus document, or an increment document with smaller id (so
+    within-batch duplicates are caught once, deterministically).
+    """
+    from .relational import spread
+
+    rows_per_band = num_hashes // bands
+    base_c = spread(corpus).select(F.col(id_col), F.col(text_col))
+    base_i = spread(increment).select(F.col(id_col), F.col(text_col))
+    sig_c = minhash_signatures(
+        char_shingle_rows(base_c, id_col, text_col, shingle_k),
+        id_col, None, num_hashes,
+    ).withColumn("__is_new", F.lit(False))
+    sig_i = minhash_signatures(
+        char_shingle_rows(base_i, id_col, text_col, shingle_k),
+        id_col, None, num_hashes,
+    ).withColumn("__is_new", F.lit(True))
+    all_sigs = sig_c.unionByName(sig_i).cache()
+    all_sigs.count()  # materialize before the multi-branch consumption
+
+    banded = banded_rows(
+        all_sigs, id_col, "sig", bands, rows_per_band, carry=["__is_new"]
+    )
+    a = banded.where(F.col("__is_new")).alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+            & (
+                ~F.col("b.__is_new")
+                | (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
+            ),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("new_id"),
+            F.col(f"b.{id_col}").alias("dup_of"),
+        )
+        .distinct()
+    )
+
+    sa = all_sigs.select(F.col(id_col).alias("new_id"), F.col("sig").alias("sig_a"))
+    sb = all_sigs.select(F.col(id_col).alias("dup_of"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    ) / float(num_hashes)
+    prefiltered = (
+        cands.join(sa, "new_id")
+        .join(sb, "dup_of")
+        .where(est >= threshold - 0.15)
+        .select("new_id", "dup_of")
+    )
+
+    texts = base_c.unionByName(base_i)
+    ta = texts.select(F.col(id_col).alias("new_id"), F.col(text_col).alias("__ta"))
+    tb = texts.select(F.col(id_col).alias("dup_of"), F.col(text_col).alias("__tb"))
+    verified = (
+        prefiltered.join(ta, "new_id")
+        .join(tb, "dup_of")
+        .withColumn(
+            "jaccard",
+            jaccard(
+                char_shingles(F.col("__ta"), shingle_k),
+                char_shingles(F.col("__tb"), shingle_k),
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.select(
+        "new_id", "dup_of", F.round("jaccard", 4).alias("jaccard")
+    )
 
 
 # -- SimHash ----------------------------------------------------------------

@@ -6181,3 +6181,43 @@ def q_ml_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return quality_filter_report(docs)
+
+
+@register(
+    "near_dup_incremental",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(length(text)-4),
+                                          i -> substr(text, i+1, 5))) AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS new_id, b.doc_id AS dup_of,
+           ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+             AS jaccard
+    FROM s a JOIN s b
+      ON a.doc_id % 5 = 0
+     AND b.doc_id <> a.doc_id
+     AND (b.doc_id % 5 <> 0 OR b.doc_id < a.doc_id)
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+    """,
+    doc="Incremental fuzzy dedup: an arriving batch (doc_id %% 5 == 0, "
+    "a deterministic ~20%% 'today's crawl') checked against the indexed "
+    "corpus via MinHash-LSH — candidates are increment x index only, "
+    "never corpus x corpus, so per-batch cost tracks the batch size.  "
+    "Within-batch dups attribute to the smaller new id.  The oracle "
+    "brute-forces the same asymmetric pair space with exact Jaccard.",
+)
+def q_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import incremental_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return incremental_near_dup_pairs(
+        d.where(F.col("doc_id") % 5 != 0),
+        d.where(F.col("doc_id") % 5 == 0),
+        "doc_id",
+        "text",
+        threshold=0.8,
+    )
