@@ -6221,3 +6221,49 @@ def q_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         threshold=0.8,
     )
+
+
+@register(
+    "embedding_cluster_profile",
+    None,
+    doc="Topic-balance census over the embedding space: k-means cells "
+    "(the IVF coarse quantizer reused as a topic proxy — SemDeDup / "
+    "cluster-balanced sampling, public methods) profiled per cell with "
+    "size, label diversity, dominant label, and the floor-bp resample "
+    "factor that would equalize cells for balanced training mixes.  "
+    "Fit is the bounded-sample k-means (seeded); the census itself is "
+    "one transform + one groupBy.  Rows-only: centroids are engine "
+    "state, not SQL.",
+)
+def q_embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import kmeans_ivf_cells
+
+    e = _t(spark, sf_dir, "embeddings")
+    assigned, _centers = kmeans_ivf_cells(
+        e, "vec_id", "embedding", n_cells=8, seed=42
+    )
+    # quantizer output carries only (id, vec, __cell); label rides back
+    # on the id key.
+    assigned = assigned.select("vec_id", "__cell").join(
+        e.select("vec_id", "label"), "vec_id"
+    )
+    total = assigned.count()
+    n_cells = 8
+    return (
+        assigned.groupBy("__cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+        .withColumn(
+            "resample_bp",
+            ((F.lit(10000) * F.lit(total)) / (F.lit(n_cells) * F.col("n_vectors")))
+            .cast("long"),
+        )
+        .select(
+            F.col("__cell").alias("cell_id"),
+            "n_vectors",
+            "n_labels",
+            "resample_bp",
+        )
+    )

@@ -112,3 +112,16 @@ def test_ivfpq_recall_floor(spark):
     exact = _topk_sets(topk_neighbors(e, queries, "vec_id", "embedding", k=10))
     got = _topk_sets(topk_neighbors_ivfpq(e, queries, "vec_id", "embedding", k=10))
     assert _mean_recall(exact, got) >= 0.45
+
+
+def test_cluster_profile_covers_corpus_deterministically(spark):
+    from kafka_bigdata_jobs_spark import suite
+
+    fn = suite.registry()["embedding_cluster_profile"].fn
+    sf = "/root/testdata/sf0.001"
+    a = fn(spark, sf).orderBy("cell_id").collect()
+    b = fn(spark, sf).orderBy("cell_id").collect()
+    assert a == b, "seeded k-means census must be run-stable"
+    n = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    assert sum(r.n_vectors for r in a) == n
+    assert all(r.n_vectors > 0 for r in a)
