@@ -6267,3 +6267,64 @@ def q_embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "resample_bp",
         )
     )
+
+
+@register(
+    "orders_quality_gate",
+    """
+    SELECT 'custkey_not_null' AS check_name,
+           COUNT(*) FILTER (WHERE o_custkey IS NULL) AS n_violations,
+           COUNT(*) FILTER (WHERE o_custkey IS NULL) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'totalprice_positive',
+           COUNT(*) FILTER (WHERE o_totalprice IS NULL OR o_totalprice <= 0
+                                  OR o_totalprice > 1000000),
+           COUNT(*) FILTER (WHERE o_totalprice IS NULL OR o_totalprice <= 0
+                                  OR o_totalprice > 1000000) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'status_domain',
+           COUNT(*) FILTER (WHERE o_orderstatus IS NULL
+                                  OR o_orderstatus NOT IN ('O','F','P')),
+           COUNT(*) FILTER (WHERE o_orderstatus IS NULL
+                                  OR o_orderstatus NOT IN ('O','F','P')) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'orderkey_unique',
+           SUM(n - 1),
+           SUM(n - 1) = 0
+    FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'custkey_references_customer',
+           COUNT(*),
+           COUNT(*) = 0
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_custkey IS NULL
+    """,
+    doc="Declarative data-quality gate (Deequ/Great-Expectations analog, "
+    "public method) over orders: three row-local expectations folded "
+    "into ONE aggregate pass (each a map-side-combinable conditional "
+    "sum — adding checks never adds scans), one key-uniqueness shuffle, "
+    "one broadcast anti-join for referential integrity.  The report is "
+    "rows-per-check, never rows-per-violation, so it is driver-safe at "
+    "any table size.  The gate a 100 TB ingest runs before anything "
+    "downstream trains on the batch.",
+)
+def q_orders_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import expectations as X
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return X.quality_report(
+        orders,
+        row_checks=[
+            X.not_null("custkey_not_null", "o_custkey"),
+            X.in_range("totalprice_positive", "o_totalprice", 1e-9, 1_000_000),
+            X.in_set("status_domain", "o_orderstatus", ["O", "F", "P"]),
+        ],
+        unique_keys={"orderkey_unique": ["o_orderkey"]},
+        references=[
+            ("custkey_references_customer", "o_custkey", customer, "c_custkey")
+        ],
+    )
