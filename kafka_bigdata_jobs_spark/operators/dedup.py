@@ -98,19 +98,30 @@ def char_shingles(text: Column, k: int = 5) -> Column:
     )
 
 
-def char_shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+def char_shingle_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    carry: list[str] | None = None,
+) -> DataFrame:
     """One row per (id, k-char shingle position) — explode a position
     sequence then substring, which stays in whole-stage codegen (array
     ``transform`` lambdas are interpreted per element and dominated the
     minhash runtime).  Duplicates are NOT removed: min-aggregation over
-    a multiset equals min over its set, so signatures are unaffected."""
+    a multiset equals min over its set, so signatures are unaffected.
+    ``carry`` columns ride along per shingle row (constant per id)."""
     t = F.col(text_col)
+    extra = carry or []
     return df.select(
         F.col(id_col),
+        *extra,
         F.explode(F.sequence(F.lit(0), F.length(t) - k)).alias("__i"),
         t.alias("__t"),
     ).select(
-        id_col, F.col("__t").substr(F.col("__i") + 1, F.lit(k)).alias("__s")
+        id_col,
+        *extra,
+        F.col("__t").substr(F.col("__i") + 1, F.lit(k)).alias("__s"),
     )
 
 
@@ -220,7 +231,11 @@ def _perm_constants(num_hashes: int) -> list[tuple[int, int]]:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, shingles_col: str | None, num_hashes: int = 64
+    df: DataFrame,
+    id_col: str,
+    shingles_col: str | None,
+    num_hashes: int = 64,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """MinHash signatures via explode → hash-aggregate.
 
@@ -250,7 +265,7 @@ def minhash_signatures(
     exploded = exploded.withColumn(
         "__x", F.xxhash64(F.col("__s")).bitwiseAND(F.lit(_HASH_MASK))
     )
-    mins = exploded.groupBy(id_col).agg(
+    mins = exploded.groupBy(id_col, *(carry or [])).agg(
         *[
             F.min(F.pmod(F.col("__x") * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))).alias(
                 f"__m{i}"
@@ -260,6 +275,7 @@ def minhash_signatures(
     )
     return mins.select(
         F.col(id_col),
+        *(carry or []),
         F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig"),
     )
 
@@ -441,15 +457,21 @@ def incremental_near_dup_pairs(
     rows_per_band = num_hashes // bands
     base_c = spread(corpus).select(F.col(id_col), F.col(text_col))
     base_i = spread(increment).select(F.col(id_col), F.col(text_col))
-    sig_c = minhash_signatures(
-        char_shingle_rows(base_c, id_col, text_col, shingle_k),
-        id_col, None, num_hashes,
-    ).withColumn("__is_new", F.lit(False))
-    sig_i = minhash_signatures(
-        char_shingle_rows(base_i, id_col, text_col, shingle_k),
-        id_col, None, num_hashes,
-    ).withColumn("__is_new", F.lit(True))
-    all_sigs = sig_c.unionByName(sig_i).cache()
+    # ONE signature aggregation over the tagged union (the membership
+    # flag is constant per id, so it rides the groupBy for free).  Two
+    # separate aggregations benched 10 s vs 3 s at sf0.1: each 128-min
+    # aggregate compiles its own multi-thousand-line codegen unit, and
+    # fresh expression ids defeat the generated-class cache, so the
+    # split pays the compile twice every run.  In production the corpus
+    # side is read pre-signed from the index store, which is exactly
+    # this single-aggregation shape applied to the increment alone.
+    tagged = base_c.withColumn("__is_new", F.lit(False)).unionByName(
+        base_i.withColumn("__is_new", F.lit(True))
+    )
+    all_sigs = minhash_signatures(
+        char_shingle_rows(tagged, id_col, text_col, shingle_k, carry=["__is_new"]),
+        id_col, None, num_hashes, carry=["__is_new"],
+    ).cache()
     all_sigs.count()  # materialize before the multi-branch consumption
 
     banded = banded_rows(
