@@ -89,6 +89,9 @@ def main() -> None:
         "weekly_uniques_hll_mergeable", "doc_fingerprints",
         "sentiment_distribution", "tfidf_top_terms", "similarity_topk_pq",
         "embedding_dedup_retention", "weekly_value_quantiles_kll",
+        "near_dup_incremental", "boilerplate_segments",
+        "session_window_rollup", "orders_quality_gate",
+        "ml_quality_filter",
     ]
     payload = {
         "metric": "suite_wall_sec",
