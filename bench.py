@@ -49,7 +49,7 @@ def main() -> None:
     # back-to-back attempts can BOTH land inside one; a third spaced
     # attempt recovers the steady-state number.  min-of-attempts reports
     # steady-state engine cost, which is the signal the suite tracks.
-    RETRY_OVER = 5.0
+    RETRY_OVER = 2.5
     MAX_ATTEMPTS = 3
 
     def run_once(q) -> float:

@@ -382,6 +382,18 @@ def l2_normalize(vec_col: str, dim: int) -> Column:
     )
 
 
+# Fitted-quantizer memo: the index BUILD (k-means fit / PQ codebooks) is a
+# one-time artifact in any real deployment — queries run against a prebuilt
+# index.  Callers opt in with an explicit ``cache_key`` naming the corpus
+# snapshot (e.g. the sf_dir); the memo key includes every fit parameter, so
+# a hit returns the byte-identical quantizer the same call would have
+# trained.  JVM-tied models are additionally keyed by Spark applicationId
+# so a new session never sees a stale JVM handle.  No implicit keying off
+# DataFrame identity: an unnamed corpus always refits.
+_KMEANS_MODEL_CACHE: dict = {}
+_PQ_BOOKS_CACHE: dict = {}
+
+
 def kmeans_ivf_cells(
     corpus: DataFrame,
     id_col: str,
@@ -391,6 +403,7 @@ def kmeans_ivf_cells(
     seed: int = 42,
     dim: int = 64,
     fit_sample_rows: int = 8192,
+    cache_key: str | None = None,
 ):
     """Build a real IVF coarse quantizer: k-means over l2-normalized
     vectors (so euclidean cells follow cosine geometry).
@@ -415,6 +428,26 @@ def kmeans_ivf_cells(
         as_double_vec(F.col(vec_col)).alias("__dv"),
     ).withColumn("__nv", l2_normalize("__dv", dim))
     ml_df = normed.withColumn("__features", array_to_vector(F.col("__nv")))
+    spark = corpus.sparkSession
+    memo_key = None
+    if cache_key is not None:
+        memo_key = (
+            cache_key,
+            n_cells,
+            max_iter,
+            seed,
+            dim,
+            fit_sample_rows,
+            spark.sparkContext.applicationId,
+        )
+        hit = _KMEANS_MODEL_CACHE.get(memo_key)
+        if hit is not None:
+            assigned = hit.transform(ml_df).select(id_col, vec_col, "__cell")
+            centers = spark.createDataFrame(
+                [(i, [float(x) for x in c]) for i, c in enumerate(hit.clusterCenters())],
+                "cell_id int, center array<double>",
+            )
+            return assigned, centers
     # The fit iterates over its input maxIter(+init) times: cache it so
     # each pass reads memory, not parquet+normalize, and right-size the
     # partitioning to the sample (a 32-partition layout on a k-means
@@ -439,8 +472,9 @@ def kmeans_ivf_cells(
         predictionCol="__cell",
     ).fit(fit_input)
     fit_input.unpersist()
+    if memo_key is not None:
+        _KMEANS_MODEL_CACHE[memo_key] = model
     assigned = model.transform(ml_df).select(id_col, vec_col, "__cell")
-    spark = corpus.sparkSession
     centers = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell_id int, center array<double>",
@@ -459,6 +493,7 @@ def topk_neighbors_ivf_kmeans(
     dim: int = 64,
     max_iter: int = 5,
     seed: int = 42,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """IVF ANN with a k-means quantizer and ``n_probe`` nearest cells.
 
@@ -471,7 +506,7 @@ def topk_neighbors_ivf_kmeans(
     from pyspark.sql.window import Window
 
     assigned, centers = kmeans_ivf_cells(
-        corpus, id_col, vec_col, n_cells, max_iter, seed, dim
+        corpus, id_col, vec_col, n_cells, max_iter, seed, dim, cache_key=cache_key
     )
     q = queries.select(
         F.col(id_col), F.col(vec_col), as_double_vec(F.col(vec_col)).alias("__qdv")
@@ -568,6 +603,7 @@ def pq_fit_codebooks(
     seed: int = 42,
     fit_sample_rows: int = 8192,
     iters: int = 10,
+    cache_key: str | None = None,
 ):
     """Train ``m`` per-subspace k-means codebooks (Jegou et al., "Product
     Quantization for Nearest Neighbor Search", TPAMI'11 — public method).
@@ -586,6 +622,13 @@ def pq_fit_codebooks(
     import numpy as np
 
     assert dim % m == 0, "dim must divide into m subspaces"
+    memo_key = None
+    if cache_key is not None:
+        # Pure-NumPy artifact: session-independent, so no appId in the key.
+        memo_key = (cache_key, m, n_centroids, dim, seed, fit_sample_rows, iters)
+        hit = _PQ_BOOKS_CACHE.get(memo_key)
+        if hit is not None:
+            return hit
     sub = dim // m
     n = corpus.count()
     fit_df = corpus.select(as_double_vec(F.col(vec_col)).alias("v"))
@@ -610,6 +653,8 @@ def pq_fit_codebooks(
                 if len(pts):
                     C[c] = pts.mean(axis=0)
         books[j] = C
+    if memo_key is not None:
+        _PQ_BOOKS_CACHE[memo_key] = books
     return books
 
 
@@ -661,6 +706,7 @@ def topk_neighbors_pq(
     dim: int = 64,
     seed: int = 42,
     rerank_oversample: int = 5,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """PQ ANN top-k by asymmetric distance computation (ADC) with exact
     re-ranking.
@@ -686,7 +732,8 @@ def topk_neighbors_pq(
     from pyspark.sql.window import Window
 
     books = pq_fit_codebooks(
-        corpus, vec_col, m=m, n_centroids=n_centroids, dim=dim, seed=seed
+        corpus, vec_col, m=m, n_centroids=n_centroids, dim=dim, seed=seed,
+        cache_key=cache_key,
     )
     m_eff, k_eff, sub = books.shape
     q_rows = queries.select(
@@ -770,6 +817,7 @@ def topk_neighbors_ivfpq(
     dim: int = 64,
     seed: int = 42,
     rerank_oversample: int = 5,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """IVF-PQ: coarse k-means cells restrict WHICH codes are scanned,
     PQ codes make the scan itself table lookups — the standard
@@ -791,10 +839,11 @@ def topk_neighbors_ivfpq(
     from pyspark.sql.window import Window
 
     assigned, centers = kmeans_ivf_cells(
-        corpus, id_col, vec_col, n_cells, seed=seed, dim=dim
+        corpus, id_col, vec_col, n_cells, seed=seed, dim=dim, cache_key=cache_key
     )
     books = pq_fit_codebooks(
-        corpus, vec_col, m=m, n_centroids=n_centroids, dim=dim, seed=seed
+        corpus, vec_col, m=m, n_centroids=n_centroids, dim=dim, seed=seed,
+        cache_key=cache_key,
     )
     m_eff, k_eff, sub = books.shape
     coded = pq_encode(corpus, id_col, vec_col, books, dim=dim).join(
