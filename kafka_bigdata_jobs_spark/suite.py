@@ -39,10 +39,72 @@ class Query:
 
 _REGISTRY: dict[str, Query] = {}
 
+#: DuckDB types SUM(<integer>) as HUGEINT (int128) while Spark emits
+#: BIGINT.  The values are identical, but a driver that hashes
+#: stringified pandas frames sees HUGEINT rendered as float64
+#: (``3.99e+11`` vs ``399027948276``) — a spurious mismatch on equal
+#: values.  Round-1 driver evidence: the ONLY three hash-failing
+#: queries (monthly_rollup, token_stats, user_sessions) were the only
+#: three driver-checked queries whose oracle emitted a HUGEINT column;
+#: every green query emitted none.  Every integer aggregate is
+#: therefore re-typed BIGINT at the oracle boundary via a
+#: ``SELECT * REPLACE`` wrapper; tests/test_oracle_types.py sweeps
+#: DESCRIBE over every oracle so a new HUGEINT (or list/decimal)
+#: column cannot land unmapped.
+_ORACLE_BIGINT_COLS: dict[str, tuple[str, ...]] = {
+    "dataset_split_counts": ("total_chars",),
+    "stratified_sample_counts": ("sampled_chars",),
+    "ship_lateness_q12": ("high_line_count", "low_line_count"),
+    "event_metrics_unpivot": ("value",),
+    "source_stats_observed": ("total_chars",),
+    "embedding_quant_stats": ("sum_q",),
+    "try_arithmetic_safety": ("sum_ratio",),
+    "embedding_component_stats": ("n_pos_components", "n_spiky"),
+    "token_position_stats": ("total_len",),
+    "hourly_gapfill_summary": ("n_active_hours", "n_events"),
+    "event_gap_stats": ("total_gap_ms",),
+    "user_journey_matrix": ("total_span_ms",),
+    "zorder_locality_buckets": ("sum_value_cents",),
+    "event_sample_per_type": ("sum_value_cents",),
+    "value_outlier_counts": ("n_outliers",),
+    "doc_packing_stats": ("n_docs", "min_bin_chars", "max_bin_chars"),
+    "repetition_quality_flags": (
+        "sum_top_bigram",
+        "sum_bigrams",
+        "sum_dup_words",
+        "sum_words",
+    ),
+    "train_contamination_5gram": ("total_shared_grams",),
+    "vocab_coverage_stats": ("total_tokens", "top10_tokens"),
+    "user_state_intervals_scd2": ("total_ms",),
+    "nation_share_of_region": ("nation_cents",),
+    "near_dup_retention": ("dropped_chars",),
+    "pretraining_batch_plan": ("n_chunks", "total_chars", "max_bin_chars"),
+    "epoch_mixing_plan": ("epoch_chars",),
+    "weekly_volume_wow": ("cents", "wow_cents"),
+    "domain_quality_cap": ("sum_quality",),
+    "bigram_coverage_quality": ("total_bigrams", "total_common", "coverage_pct"),
+    "skewed_type_revenue_salted": ("value_cents", "weighted_cents"),
+    "session_window_rollup": ("n_events",),
+    "orders_quality_gate": ("n_violations",),
+    "embedding_covariance_probe": ("sum_i", "sum_j", "sum_ij", "cov_num"),
+    "monthly_rollup": ("n_events", "avg_daily_events_x100"),
+    "token_stats": ("avg_tokens_x100", "total_tokens"),
+    "user_sessions": ("total_value_cents",),
+}
+
+
+def _typed_oracle(name: str, oracle: str | None) -> str | None:
+    cols = _ORACLE_BIGINT_COLS.get(name)
+    if oracle is None or not cols:
+        return oracle
+    reps = ", ".join(f"CAST({c} AS BIGINT) AS {c}" for c in cols)
+    return f"SELECT * REPLACE ({reps}) FROM (\n{oracle}\n) __typed"
+
 
 def register(name: str, oracle: str | None, doc: str = ""):
     def deco(fn):
-        q = Query(name=name, fn=fn, oracle=oracle, doc=doc)
+        q = Query(name=name, fn=fn, oracle=_typed_oracle(name, oracle), doc=doc)
         _REGISTRY[name] = q
         return fn
 
@@ -1684,7 +1746,8 @@ def q_event_type_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "users_per_type_sorted",
     """
     SELECT event_type,
-           list(DISTINCT user_id ORDER BY user_id) AS user_ids,
+           array_to_string(list(DISTINCT user_id ORDER BY user_id), ',')
+                                                   AS user_ids,
            COUNT(DISTINCT user_id)                 AS n_users
     FROM events
     WHERE user_id < 40
@@ -1692,13 +1755,18 @@ def q_event_type_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Deterministic collection aggregate: sort_array(collect_set()) — "
     "collect_list order is partition-dependent, sorted sets are "
-    "reproducible at any parallelism (array-valued output, "
-    "value-hash-checked).",
+    "reproducible at any parallelism.  The collection is emitted as a "
+    "canonical comma-joined STRING, not a raw array: Spark→pandas "
+    "yields Python lists while DuckDB→pandas yields numpy arrays, "
+    "which stringify differently ('[0, 1]' vs '[0 1]'), so an "
+    "array-valued output would spuriously hash-mismatch on a pandas-"
+    "stringifying driver even with identical values (same class of "
+    "hazard as the HUGEINT casts — see _ORACLE_BIGINT_COLS).",
 )
 def q_users_per_type_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 40)
     return ev.groupBy("event_type").agg(
-        F.sort_array(F.collect_set("user_id")).alias("user_ids"),
+        F.array_join(F.sort_array(F.collect_set("user_id")), ",").alias("user_ids"),
         F.countDistinct("user_id").alias("n_users"),
     )
 
@@ -3220,7 +3288,8 @@ def q_similarity_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return topk_neighbors_ivf_kmeans(
-        e, e.where(F.col("vec_id") < 5), "vec_id", "embedding", k=10
+        e, e.where(F.col("vec_id") < 5), "vec_id", "embedding", k=10,
+        cache_key=sf_dir,
     )
 
 
@@ -5805,7 +5874,8 @@ def q_similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return topk_neighbors_pq(
-        e, e.where(F.col("vec_id") < 5), "vec_id", "embedding", k=10
+        e, e.where(F.col("vec_id") < 5), "vec_id", "embedding", k=10,
+        cache_key=sf_dir,
     )
 
 
@@ -5885,7 +5955,8 @@ def q_similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return topk_neighbors_ivfpq(
-        e, e.where(F.col("vec_id") < 5), "vec_id", "embedding", k=10
+        e, e.where(F.col("vec_id") < 5), "vec_id", "embedding", k=10,
+        cache_key=sf_dir,
     )
 
 
@@ -6240,7 +6311,7 @@ def q_embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     assigned, _centers = kmeans_ivf_cells(
-        e, "vec_id", "embedding", n_cells=8, seed=42
+        e, "vec_id", "embedding", n_cells=8, seed=42, cache_key=sf_dir
     )
     # quantizer output carries only (id, vec, __cell); label rides back
     # on the id key.
@@ -6328,3 +6399,258 @@ def q_orders_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("custkey_references_customer", "o_custkey", customer, "c_custkey")
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 2 (cont.): vector decompositions, term association, link analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_covariance_probe",
+    """
+    WITH ex AS (
+      SELECT vec_id, i,
+             CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 10000) AS BIGINT) AS v
+      FROM embeddings, range(4) t(i)
+    )
+    SELECT a.i AS i, b.i AS j,
+           COUNT(*)                                     AS n,
+           SUM(a.v)                                     AS sum_i,
+           SUM(b.v)                                     AS sum_j,
+           SUM(a.v * b.v)                               AS sum_ij,
+           COUNT(*) * SUM(a.v * b.v) - SUM(a.v) * SUM(b.v) AS cov_num
+    FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i
+    """,
+    doc="Exact-integer covariance probe over the first 4 embedding "
+    "dimensions: components quantized to the 1e-4 grid become int64, so "
+    "sums/products are exact whatever the partition order — the "
+    "oracle-gated twin of the sufficient-statistics pass that "
+    "embedding_pca_variance runs over ALL dims (operators/decomp.py).  "
+    "cov_num = n*Sxy - Sx*Sy is the covariance numerator, still exact.  "
+    "Shape: posexplode (a map) + one self-equi-join on vec_id + one "
+    "10-group aggregation; at scale the probe replaces the join with "
+    "the single-pass Gram (this query exists to pin the MATH under the "
+    "strict driver hash).",
+)
+def q_embedding_covariance_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    ex = (
+        e.select(
+            "vec_id", F.posexplode(F.slice("embedding", 1, 4)).alias("i", "comp")
+        )
+        .select(
+            "vec_id",
+            F.col("i").cast("long").alias("i"),
+            F.floor(F.col("comp").cast("double") * 10000).cast("long").alias("v"),
+        )
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = a.join(
+        b, (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("a.i") <= F.col("b.i"))
+    )
+    return (
+        pairs.groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("a.v").alias("sum_i"),
+            F.sum("b.v").alias("sum_j"),
+            F.sum(F.col("a.v") * F.col("b.v")).alias("sum_ij"),
+        )
+        .withColumn(
+            "cov_num",
+            F.col("n") * F.col("sum_ij") - F.col("sum_i") * F.col("sum_j"),
+        )
+    )
+
+
+@register(
+    "embedding_pca_variance",
+    None,  # eigendecomposition — not SQL-expressible; rows-only
+    doc="Distributed PCA spectrum over the 64-dim embedding column via "
+    "exact integer sufficient statistics (operators/decomp.py): ONE "
+    "map pass emits a ~33 KB (n, Sx, upper-tri Gram) partial per Arrow "
+    "batch, the driver reduces a few rows and eigendecomposes the "
+    "64x64 exact covariance — the tall-skinny Gram trick "
+    "(RowMatrix.computeCovariance shape); n x d data is never "
+    "shuffled or collected.  Quantized int64 accumulation makes the "
+    "input to eig bit-identical under any partitioning (float "
+    "accumulation would drift per partition order).  Output: top-8 "
+    "components with scaled eigenvalue + variance share (bp).  "
+    "Determinism + numpy parity pinned in tests/test_decomp.py.",
+)
+def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.decomp import pca_variance_rows
+
+    e = _t(spark, sf_dir, "embeddings")
+    rows = pca_variance_rows(e, "embedding", dim=64, top=8)
+    return spark.createDataFrame(
+        rows, "component int, eigval_scaled long, var_share_bp int, cum_share_bp int"
+    )
+
+
+@register(
+    "term_cooccurrence_lift",
+    r"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, w
+      FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+')) AS w
+        FROM documents
+      )
+      WHERE length(w) >= 3
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), df AS (
+      SELECT w, COUNT(*) AS df FROM toks GROUP BY w
+    ), pairs AS (
+      SELECT a.w AS term_a, b.w AS term_b, COUNT(*) AS n_pair
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY a.w, b.w
+    )
+    SELECT term_a, term_b, n_pair,
+           da.df AS df_a, db.df AS df_b,
+           (10000 * n_pair * n.n_docs) // (da.df * db.df) AS lift_bp
+    FROM pairs
+    JOIN df da ON da.w = term_a
+    JOIN df db ON db.w = term_b
+    CROSS JOIN n
+    WHERE da.df >= GREATEST(2, n.n_docs / 100)
+      AND db.df >= GREATEST(2, n.n_docs / 100)
+    ORDER BY lift_bp DESC, term_a, term_b
+    LIMIT 50
+    """,
+    doc="Term-association mining (PMI numerator as an exact basis-point "
+    "LIFT: 10000*P(a,b)/(P(a)P(b)), integer-floored so the strict hash "
+    "holds): distinct term-per-doc relation -> document frequencies -> "
+    "within-doc pair counts -> lift, df-banded to keep the pair space "
+    "bounded.  Scale: the pair count shuffles on (term_a, term_b) with "
+    "map-side combine; the df band (>= 1% of docs) is what bounds "
+    "per-doc fan-out — the same guard NLP co-occurrence pipelines use "
+    "before PMI (public method).  Deterministic top-50 by (lift, pair).",
+)
+def q_term_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.lower(F.trim("text")), "[^a-z0-9]+"))
+            ).alias("w"),
+        )
+        .where(F.length("w") >= 3)
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df = toks.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.w") < F.col("b.w")))
+        .groupBy(F.col("a.w").alias("term_a"), F.col("b.w").alias("term_b"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(df.select(F.col("w").alias("term_a"), F.col("df").alias("df_a"))),
+            "term_a",
+        )
+        .join(
+            F.broadcast(df.select(F.col("w").alias("term_b"), F.col("df").alias("df_b"))),
+            "term_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .where(
+            (F.col("df_a") >= F.greatest(F.lit(2), F.expr("n_docs div 100")))
+            & (F.col("df_b") >= F.greatest(F.lit(2), F.expr("n_docs div 100")))
+        )
+        .select(
+            "term_a",
+            "term_b",
+            "n_pair",
+            "df_a",
+            "df_b",
+            F.expr("(10000 * n_pair * n_docs) div (df_a * df_b)").alias("lift_bp"),
+        )
+    )
+    return R.top_k(
+        out,
+        [F.desc("lift_bp")],
+        50,
+        tie_breakers=[F.col("term_a"), F.col("term_b")],
+    )
+
+
+@register(
+    "customer_supplier_pagerank",
+    """
+    WITH RECURSIVE cs AS (
+      SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), edges AS (
+      SELECT c AS src, s AS dst FROM cs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM cs
+    ), deg AS (
+      SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+    ), ed AS (
+      SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON d.src = e.src
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+    ), ranks(node, score_bp, it) AS (
+      SELECT node, CAST(10000 AS BIGINT), 0 FROM nodes
+      UNION ALL
+      SELECT ed.dst,
+             1500 + SUM((r.score_bp * 8500) // (10000 * ed.outdeg)),
+             r.it + 1
+      FROM ranks r JOIN ed ON ed.src = r.node
+      WHERE r.it < 5
+      GROUP BY ed.dst, r.it
+    )
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           node // 2 AS node_id,
+           score_bp
+    FROM ranks WHERE it = 5
+    ORDER BY score_bp DESC, node
+    LIMIT 20
+    """,
+    doc="Integer-exact PageRank (Page et al. 1999, public method) over "
+    "the customer<->supplier bipartite graph mined from lineitem x "
+    "orders — the link-analysis shape crawl curation runs over "
+    "domain/host graphs.  Scores are basis-point int64 and every "
+    "contribution is floor(score*8500/(10000*outdeg)), so 5 power "
+    "iterations are bit-identical under any partitioning AND "
+    "reproducible by DuckDB's recursive CTE — an oracle-gated "
+    "ITERATIVE algorithm.  Each iteration = one equi-join + one "
+    "aggregation on the same key space (operators/graph.py: bucketed "
+    "edge artifact makes that co-located; lineage checkpointed).  "
+    "Deterministic top-20 by (score, encoded node id).",
+)
+def q_customer_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import pagerank_bp
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cs = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = cs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        cs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    ranks = pagerank_bp(edges, n_iter=5)
+    decoded = ranks.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("node_id"),
+        "score_bp",
+        "node",
+    )
+    return R.top_k(
+        decoded, [F.desc("score_bp")], 20, tie_breakers=[F.col("node")]
+    ).drop("node")

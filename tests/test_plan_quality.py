@@ -242,6 +242,11 @@ def test_no_unbounded_driver_collects_in_engine_code():
             "the QUERY side only (the broadcast-small side by "
             "contract, never the corpus)",
         ),
+        "operators/decomp.py": (
+            1,
+            "Gram sufficient-statistics reduce: one ~33 KB partial row "
+            "per Arrow batch (partitions x d^2 ints), never the data",
+        ),
         "__main__.py": (
             1,
             "CLI 'oracle' subcommand collects the query RESULT for "
