@@ -31,8 +31,12 @@ _R1_VERIFIED = frozenset({
     "union_tagged_entities", "json_props_stats", "top_words",
     "customer_order_revenue", "region_revenue", "inactive_customers_anti",
     "big_spenders_semi", "heavy_users_having", "latest_event_per_user",
-    "top3_events_per_type", "monthly_rollup", "alerts_union_by_name",
-    "docs_cleaning_funnel", "token_stats", "quality_histogram",
+    # monthly_rollup / token_stats / user_sessions deliberately NOT
+    # listed: their r1 driver rows hash-FAILED (HUGEINT-vs-BIGINT pandas
+    # rendering, fixed via suite._ORACLE_BIGINT_COLS) — keep them in the
+    # check-first group until a green driver row lands.
+    "top3_events_per_type", "alerts_union_by_name",
+    "docs_cleaning_funnel", "quality_histogram",
     "lang_id_eval", "sentiment_distribution", "sentiment_pandas_udf",
     "doc_fingerprints", "dedup_exact_summary", "s_token_topk",
     "approx_uniq_users", "near_dup_pairs_minhash",
@@ -41,7 +45,7 @@ _R1_VERIFIED = frozenset({
     "embedding_close_pairs", "media_fingerprints",
     "multimodal_image_features", "multimodal_audio_features",
     "order_age_bands", "order_labels", "windowed_events_batch",
-    "events_dedup_by_user_type", "user_sessions", "high_frequency_types",
+    "events_dedup_by_user_type", "high_frequency_types",
     "malformed_json_tolerance", "similarity_topk_hyperplane_lsh",
     "region_nation_rollup", "status_priority_cube", "q6_forecast_revenue",
     "big_orders_q18",

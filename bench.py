@@ -91,7 +91,8 @@ def main() -> None:
         "embedding_dedup_retention", "weekly_value_quantiles_kll",
         "near_dup_incremental", "boilerplate_segments",
         "session_window_rollup", "orders_quality_gate",
-        "ml_quality_filter",
+        "ml_quality_filter", "customer_supplier_pagerank",
+        "embedding_pca_variance", "term_cooccurrence_lift",
     ]
     payload = {
         "metric": "suite_wall_sec",

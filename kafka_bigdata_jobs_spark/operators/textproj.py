@@ -65,7 +65,14 @@ def tokenized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.trim(text), r"\s+").alias("words"),
         )
         _CACHE[key] = proj.cache()
-    return _CACHE[key]
+    df = _CACHE[key]
+    # catalog.clearCache() (bench isolation) drops the CacheManager entry
+    # but not this handle — re-mark so downstream actions don't silently
+    # re-split the corpus on every action.
+    lvl = df.storageLevel
+    if not (lvl.useMemory or lvl.useDisk):
+        df = df.cache()
+    return df
 
 
 def guarded_word_count(words: F.Column) -> F.Column:
