@@ -66,14 +66,16 @@ def pagerank_bp(
 
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__outdeg"))
     # One co-located relation: (src, dst, outdeg_src).  At scale this is
-    # the bucketed artifact every iteration re-joins against.
-    ed = edges.join(deg, src)
+    # the bucketed artifact every iteration re-joins against — so
+    # PERSIST it: without this, each of the n_iter joins recomputes the
+    # whole upstream edge derivation (measured 7.8 s -> 2 s at sf0.1 on
+    # the customer/supplier graph, where upstream is a lineitem×orders
+    # join + distinct).
+    ed = edges.join(deg, src).persist()
 
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
-        .distinct()
-    )
+    # Every node is required to have an outgoing edge, so the src side
+    # alone enumerates the node set — and it reads the persisted ed.
+    nodes = ed.select(F.col(src).alias("node")).distinct()
     ranks = nodes.withColumn("score_bp", F.lit(init_bp).cast("long"))
 
     for it in range(n_iter):
@@ -91,4 +93,9 @@ def pagerank_bp(
         )
         if (it + 1) % CHECKPOINT_EVERY == 0 and it + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=False)
+    # Materialize the (small: one row per node) result so the edge
+    # artifact can be released — callers get a checkpointed frame with
+    # no live dependency on ed.
+    ranks = ranks.localCheckpoint(eager=True)
+    ed.unpersist()
     return ranks
