@@ -6528,8 +6528,8 @@ def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN df da ON da.w = term_a
     JOIN df db ON db.w = term_b
     CROSS JOIN n
-    WHERE da.df >= GREATEST(2, n.n_docs / 100)
-      AND db.df >= GREATEST(2, n.n_docs / 100)
+    WHERE da.df >= GREATEST(2, n.n_docs // 100)
+      AND db.df >= GREATEST(2, n.n_docs // 100)
     ORDER BY lift_bp DESC, term_a, term_b
     LIMIT 50
     """,
@@ -6747,4 +6747,72 @@ def q_supplier_copurchase_similarity(spark: SparkSession, sf_dir: str) -> DataFr
     )
     return R.top_k(
         out, [F.desc("lift_bp")], 20, tie_breakers=[F.col("supp_a"), F.col("supp_b")]
+    )
+
+
+#: (applicationId, sf_dir) -> trained BPE merge table.  The merge table
+#: is a tokenizer ARTIFACT: trained once per corpus snapshot, applied
+#: many times (bpe_learned_merges reports it, bpe_tokenize_census
+#: deploys it) — same amortization as the ANN fit memo.  Driver-side
+#: list of 8 tuples: negligible memory, session-keyed.
+_BPE_MERGES_CACHE: dict[tuple[str, str], list] = {}
+
+
+def _shared_bpe_merges(spark: SparkSession, sf_dir: str) -> list:
+    from .operators.bpe import bpe_learn
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BPE_MERGES_CACHE:
+        docs = _t(spark, sf_dir, "documents")
+        _BPE_MERGES_CACHE[key] = bpe_learn(docs, "text", n_merges=8)
+    return _BPE_MERGES_CACHE[key]
+
+
+@register(
+    "bpe_learned_merges",
+    None,  # iterative argmax — not SQL-expressible; rows-only
+    doc="Corpus-level BPE tokenizer training (Sennrich et al. 2016, "
+    "public method): 8 merge rounds over the DISTINCT-WORD relation — "
+    "Zipf compresses trillions of running tokens into the type "
+    "vocabulary, so per-round state is vocab-bounded.  Each round = "
+    "one map-side-combinable pair aggregation + one single-row argmax "
+    "collect + one Arrow-batched segmentation rewrite (left-to-right "
+    "non-overlap rule), lineage checkpointed.  Deterministic: ties "
+    "break (weight DESC, left, right).  Verified merge-for-merge "
+    "against an independent pure-Python BPE in tests/test_bpe.py; "
+    "complements bpe_merge_pairs (the oracle-gated FIRST-merge "
+    "statistics) with the actual training loop.",
+)
+def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = _shared_bpe_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_weight long"
+    )
+
+
+@register(
+    "bpe_tokenize_census",
+    None,  # tokens depend on the engine-trained merge table; rows-only
+    doc="Tokenizer APPLICATION (the deploy half of bpe_learned_merges): "
+    "the frozen 8-merge table rides the closure into one Arrow-batched "
+    "map pass — nothing shuffles until the final per-source census "
+    "(sum chars/words/tokens + compression in exact bp).  Per-word "
+    "merges replay in training order (BPE application is order-"
+    "sensitive).  Rows-only: token counts depend on the engine-trained "
+    "merge table; application parity is pinned against the pure-Python "
+    "reference tokenizer in tests/test_bpe.py.",
+)
+def q_bpe_tokenize_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bpe import bpe_tokenize_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = _shared_bpe_merges(spark, sf_dir)
+    per_doc = bpe_tokenize_stats(docs, "doc_id", "text", merges)
+    per_doc = per_doc.join(docs.select("doc_id", "source"), "doc_id")
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("n_words").alias("sum_words"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.expr("(10000 * sum(n_tokens)) div sum(n_chars)").alias("tokens_per_char_bp"),
     )

@@ -242,6 +242,11 @@ def test_no_unbounded_driver_collects_in_engine_code():
             "the QUERY side only (the broadcast-small side by "
             "contract, never the corpus)",
         ),
+        "operators/bpe.py": (
+            1,
+            "per-merge argmax pair: limit(1) before collect — exactly "
+            "one row per training round",
+        ),
         "operators/decomp.py": (
             1,
             "Gram sufficient-statistics reduce: one ~33 KB partial row "
