@@ -56,3 +56,38 @@ def test_conservation_bound(spark):
     got = _ranks(spark, edges, n_iter=4)
     assert sum(got.values()) <= 3 * 10000
     assert all(v >= 1500 for v in got.values())
+
+
+def _reference_pagerank(edge_list, n_iter=5, damping_bp=8500, init_bp=10000):
+    """Independent pure-Python twin of the integer iteration."""
+    from collections import defaultdict
+
+    outdeg: dict = defaultdict(int)
+    for s, _ in edge_list:
+        outdeg[s] += 1
+    nodes = {n for e in edge_list for n in e}
+    base = (10000 - damping_bp) * init_bp // 10000
+    score = {n: init_bp for n in nodes}
+    for _ in range(n_iter):
+        nxt = defaultdict(lambda: base)
+        for s, d in edge_list:
+            nxt[d] += score[s] * damping_bp // (10000 * outdeg[s])
+        score = {n: nxt[n] for n in nodes}
+    return dict(score)
+
+
+def test_pagerank_matches_pure_python_reference(spark):
+    """Exact-equality twin check on a batch of seeded random graphs —
+    the integer discipline means EVERY score must agree, not just
+    rankings."""
+    import random
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        n = rng.randint(4, 12)
+        base = [(a, b) for a in range(n) for b in range(n)
+                if a != b and rng.random() < 0.4]
+        if not base:
+            base = [(0, 1)]
+        edges = sorted(set(base) | {(b, a) for a, b in base})
+        assert _ranks(spark, edges) == _reference_pagerank(edges), f"seed {seed}"
