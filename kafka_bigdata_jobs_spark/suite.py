@@ -91,6 +91,7 @@ _ORACLE_BIGINT_COLS: dict[str, tuple[str, ...]] = {
     "monthly_rollup": ("n_events", "avg_daily_events_x100"),
     "token_stats": ("avg_tokens_x100", "total_tokens"),
     "user_sessions": ("total_value_cents",),
+    "user_activity_skew_profile": ("top1_share_bp", "top10_share_bp", "hhi_bp"),
 }
 
 
@@ -6815,4 +6816,53 @@ def q_bpe_tokenize_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_words").alias("sum_words"),
         F.sum("n_tokens").alias("sum_tokens"),
         F.expr("(10000 * sum(n_tokens)) div sum(n_chars)").alias("tokens_per_char_bp"),
+    )
+
+
+@register(
+    "user_activity_skew_profile",
+    """
+    WITH c AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS r FROM c
+    )
+    SELECT COUNT(*)                            AS n_keys,
+           CAST(SUM(n) AS BIGINT)              AS total_rows,
+           MAX(n)                              AS max_per_key,
+           (10000 * MAX(n)) // SUM(n)          AS top1_share_bp,
+           (10000 * SUM(CASE WHEN r <= 10 THEN n ELSE 0 END)) // SUM(n)
+                                               AS top10_share_bp,
+           (10000 * SUM(n * n)) // (SUM(n) * SUM(n))
+                                               AS hhi_bp
+    FROM ranked
+    """,
+    doc="Key-skew diagnostics — the profile a 100 TB pipeline reads "
+    "BEFORE choosing shuffle strategy (plain hash join vs salting vs "
+    "AQE skew split): per-key counts in one map-side-combinable "
+    "aggregation, then key count, hottest-key and top-10 concentration "
+    "shares, and a Herfindahl concentration index — all exact integer "
+    "basis points (sum of squared counts stays in int64 because "
+    "sum(n_i^2) <= total*max).  The top-10 rank needs one small "
+    "shuffle over the already-aggregated key counts, never the rows.  "
+    "Companion to skewed_type_revenue_salted: this measures, that "
+    "mitigates.",
+)
+def q_user_activity_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    r = c.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("n"), F.col("user_id")))
+    )
+    return r.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("total_rows"),
+        F.max("n").alias("max_per_key"),
+        F.expr("(10000 * max(n)) div sum(n)").alias("top1_share_bp"),
+        F.expr(
+            "(10000 * sum(CASE WHEN r <= 10 THEN n ELSE 0 END)) div sum(n)"
+        ).alias("top10_share_bp"),
+        F.expr("(10000 * sum(n * n)) div (sum(n) * sum(n))").alias("hhi_bp"),
     )
