@@ -92,6 +92,8 @@ _ORACLE_BIGINT_COLS: dict[str, tuple[str, ...]] = {
     "token_stats": ("avg_tokens_x100", "total_tokens"),
     "user_sessions": ("total_value_cents",),
     "user_activity_skew_profile": ("top1_share_bp", "top10_share_bp", "hhi_bp"),
+    "order_join_health_profile": ("avg_fanout_bp",),
+    "event_type_trend_slopes": ("slope_num", "slope_den", "r2_bp"),
 }
 
 
@@ -6865,4 +6867,120 @@ def q_user_activity_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(10000 * sum(CASE WHEN r <= 10 THEN n ELSE 0 END)) div sum(n)"
         ).alias("top10_share_bp"),
         F.expr("(10000 * sum(n * n)) div (sum(n) * sum(n))").alias("hhi_bp"),
+    )
+
+
+@register(
+    "order_join_health_profile",
+    """
+    WITH fan AS (
+      SELECT o.o_orderkey, COUNT(l.l_orderkey) AS n_lines
+      FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey
+    ), orphans AS (
+      SELECT COUNT(*) AS n_orphan_lines
+      FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey IS NULL
+    )
+    SELECT COUNT(*)                                     AS n_orders,
+           CAST(SUM(n_lines) AS BIGINT)                 AS n_lines,
+           COUNT(*) FILTER (WHERE n_lines = 0)          AS n_childless,
+           MAX(n_lines)                                 AS max_fanout,
+           (10000 * SUM(n_lines)) // COUNT(*)           AS avg_fanout_bp,
+           (SELECT n_orphan_lines FROM orphans)         AS n_orphan_lines
+    FROM fan
+    """,
+    doc="Join-health profile — the pre-join audit a 100 TB pipeline "
+    "runs before trusting a key relationship: per-parent fan-out "
+    "distribution (childless parents, max and mean fan-out in exact "
+    "bp) plus orphan children with no parent (the anti-join count).  "
+    "One groupBy on the join key + one broadcast-able anti probe; "
+    "reading this BEFORE the join chooses broadcast vs shuffle vs "
+    "salting and catches referential rot early (companion to "
+    "orders_quality_gate's boolean checks — this one QUANTIFIES).",
+)
+def q_order_join_health_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    fan = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("n_lines"))
+    )
+    orphans = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphan_lines"))
+    )
+    prof = fan.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("n_lines").alias("n_lines"),
+        F.sum((F.col("n_lines") == 0).cast("long")).alias("n_childless"),
+        F.max("n_lines").alias("max_fanout"),
+        F.expr("(10000 * sum(n_lines)) div count(*)").alias("avg_fanout_bp"),
+    )
+    return prof.crossJoin(F.broadcast(orphans))
+
+
+@register(
+    "event_type_trend_slopes",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS d,
+             COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type,
+             CAST(d - MIN(d) OVER (PARTITION BY event_type) AS BIGINT) AS x,
+             y
+      FROM daily
+    )
+    SELECT event_type,
+           COUNT(*)                                          AS n_days,
+           COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)           AS slope_num,
+           COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)           AS slope_den,
+           (10000 * (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                  * (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)))
+             // ((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+                  * (COUNT(*) * SUM(y * y) - SUM(y) * SUM(y))) AS r2_bp
+    FROM idx
+    GROUP BY event_type
+    """,
+    doc="Per-group linear trend via exact integer sufficient statistics "
+    "(the decomp.py discipline applied to regression): daily activity "
+    "per event type -> OLS slope NUMERATOR and DENOMINATOR "
+    "(n*Sxy - Sx*Sy over n*Sxx - Sx^2) kept as exact int64 — the "
+    "slope's sign and cross-group comparisons need no floats — plus "
+    "r-squared in exact bp (numerator squared is nonnegative, so "
+    "integer floor-div is engine-identical; a signed ratio would hit "
+    "the div-truncates vs //-floors divergence).  One partial-agg "
+    "shuffle on (type, day), one window for the day index, one final "
+    "aggregation.  Trend detection at 100 TB = this exact shape over "
+    "a date-partitioned scan.",
+)
+def q_event_type_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.to_date(F.date_trunc("day", F.col("ts").cast("timestamp"))).alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    w = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        F.datediff(F.col("d"), F.min("d").over(w)).cast("long").alias("x"),
+        "y",
+    )
+    num = "count(*) * sum(x * y) - sum(x) * sum(y)"
+    den = "count(*) * sum(x * x) - sum(x) * sum(x)"
+    syy = "count(*) * sum(y * y) - sum(y) * sum(y)"
+    return idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr(num).alias("slope_num"),
+        F.expr(den).alias("slope_den"),
+        F.expr(f"(10000 * ({num}) * ({num})) div (({den}) * ({syy}))").alias(
+            "r2_bp"
+        ),
     )
