@@ -275,3 +275,36 @@ def test_no_unbounded_driver_collects_in_engine_code():
         "(limit/size-gate/side-artifact) or extend ALLOWED with a "
         "justification"
     )
+
+
+def test_global_windows_are_consciously_allowlisted():
+    """An unpartitioned Window single-threads its input — fine over a
+    pre-aggregated or filtered SMALL relation, fatal over raw rows at
+    100 TB.  Pin the allowed count so a new ``Window.orderBy(...)``
+    (without partitionBy) must be justified here before it lands."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "kafka_bigdata_jobs_spark"
+    # file -> (count, why each global window is bounded)
+    ALLOWED = {
+        "suite.py": (
+            4,
+            "purchase_value_ranks (filtered subset, documented); "
+            "distinctive-terms word frequencies (vocab-bounded); "
+            "weekly_volume_wow LAG (weeks axis); "
+            "user_activity_skew_profile rank (aggregated key counts)",
+        ),
+    }
+    found: dict[str, int] = {}
+    for f in pkg.rglob("*.py"):
+        n = f.read_text().count("Window.orderBy")
+        if n:
+            found[str(f.relative_to(pkg))] = n
+    unexpected = {
+        rel: n for rel, n in found.items()
+        if rel not in ALLOWED or n != ALLOWED[rel][0]
+    }
+    assert unexpected == {}, (
+        f"unallowlisted global windows: {unexpected} — partition them or "
+        "extend ALLOWED with why the input is small by construction"
+    )
