@@ -6984,3 +6984,98 @@ def q_event_type_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r2_bp"
         ),
     )
+
+
+@register(
+    "event_type_overlap_exact",
+    """
+    WITH f AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS v,
+             MAX(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS c,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(SUM(v) AS BIGINT)                   AS n_view,
+           CAST(SUM(c) AS BIGINT)                   AS n_click,
+           CAST(SUM(p) AS BIGINT)                   AS n_purchase,
+           CAST(SUM(v * c) AS BIGINT)               AS n_view_click,
+           CAST(SUM(v * p) AS BIGINT)               AS n_view_purchase,
+           CAST(SUM(c * p) AS BIGINT)               AS n_click_purchase,
+           CAST(SUM(v * c * p) AS BIGINT)           AS n_all_three,
+           CAST(SUM((1 - v) * (1 - c) * (1 - p)) AS BIGINT)
+                                                    AS n_none_of_three
+    FROM f
+    """,
+    doc="Exact multi-set audience overlap — the ground-truth twin of "
+    "audience_overlap_theta: one groupBy collapses each user to three "
+    "presence bits, then every intersection cardinality (pairwise, "
+    "triple, none) is a conditional sum over ONE pass of the bit "
+    "relation — 2^k combinations from k flags with no joins and no "
+    "distinct-count shuffles per set.  At 100 TB this is the exact "
+    "path while theta sketches are the mergeable/streaming path; "
+    "running both quantifies the sketch error on real data.",
+)
+def q_event_type_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "view").cast("int")).alias("v"),
+        F.max((F.col("event_type") == "click").cast("int")).alias("c"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("p"),
+    )
+    return f.agg(
+        F.sum("v").alias("n_view"),
+        F.sum("c").alias("n_click"),
+        F.sum("p").alias("n_purchase"),
+        F.sum(F.col("v") * F.col("c")).alias("n_view_click"),
+        F.sum(F.col("v") * F.col("p")).alias("n_view_purchase"),
+        F.sum(F.col("c") * F.col("p")).alias("n_click_purchase"),
+        F.sum(F.col("v") * F.col("c") * F.col("p")).alias("n_all_three"),
+        F.sum((1 - F.col("v")) * (1 - F.col("c")) * (1 - F.col("p"))).alias(
+            "n_none_of_three"
+        ),
+    )
+
+
+@register(
+    "value_equidepth_histogram",
+    """
+    WITH t AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             NTILE(4) OVER (PARTITION BY event_type
+                            ORDER BY CAST(ROUND(value * 100) AS BIGINT),
+                                     event_id) AS bucket
+      FROM events
+    )
+    SELECT event_type, bucket,
+           COUNT(*)    AS n,
+           MIN(cents)  AS min_cents,
+           MAX(cents)  AS max_cents
+    FROM t
+    GROUP BY event_type, bucket
+    """,
+    doc="Equi-depth (equal-height) histogram per event type — the "
+    "statistic cost-based optimizers and skew planners actually use "
+    "(equi-WIDTH twin: value_band_ladder / order_count_histogram).  "
+    "NTILE over a per-type window with a UNIQUE ordering (cents, "
+    "event_id) so both engines split ties identically and bucket "
+    "boundaries hash-match exactly.  One partitioned window sort + "
+    "one aggregation; at scale the window parallelizes per type and "
+    "the production form samples before ranking (a histogram needs "
+    "bounded error, not every row).",
+)
+def q_value_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("event_type").orderBy(cents, F.col("event_id"))
+    t = ev.select(
+        "event_type", cents.alias("cents"), F.ntile(4).over(w).alias("bucket")
+    )
+    return t.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )
