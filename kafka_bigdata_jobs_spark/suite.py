@@ -7079,3 +7079,67 @@ def q_value_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").alias("min_cents"),
         F.max("cents").alias("max_cents"),
     )
+
+
+@register(
+    "conversion_latency_stats",
+    """
+    WITH fv AS (
+      SELECT user_id, MIN(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), fp AS (
+      SELECT user_id, MIN(ts) AS first_purchase
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), conv AS (
+      SELECT CAST(epoch_ms(fp.first_purchase) - epoch_ms(fv.first_view)
+                  AS BIGINT) AS latency_ms
+      FROM fv JOIN fp ON fp.user_id = fv.user_id
+      WHERE fp.first_purchase >= fv.first_view
+    )
+    SELECT COUNT(*)                              AS n_converters,
+           CAST(SUM(latency_ms) AS BIGINT)       AS total_latency_ms,
+           MIN(latency_ms)                       AS min_latency_ms,
+           MAX(latency_ms)                       AS max_latency_ms,
+           quantile_cont(latency_ms, 0.5)        AS median_latency_ms,
+           quantile_cont(latency_ms, 0.9)        AS p90_latency_ms
+    FROM conv
+    """,
+    doc="Conversion latency distribution — first view to first purchase "
+    "per user (the TIMING face of funnel_view_click_purchase's COUNT "
+    "face): two filtered min-aggregations on user_id, one equi-join on "
+    "the same key (co-partitioned, zero extra shuffle under AQE), then "
+    "exact integer epoch-millis latencies with interpolated percentiles "
+    "(Spark percentile == DuckDB quantile_cont bit-exactly on integer "
+    "inputs — the event_type_percentiles precedent).",
+)
+def q_conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    fv = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(ts).alias("first_view"))
+    )
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(ts).alias("first_purchase"))
+    )
+    conv = (
+        fv.join(fp, "user_id")
+        .where(F.col("first_purchase") >= F.col("first_view"))
+        .select(
+            (
+                F.unix_millis(F.col("first_purchase"))
+                - F.unix_millis(F.col("first_view"))
+            ).alias("latency_ms")
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        F.sum("latency_ms").alias("total_latency_ms"),
+        F.min("latency_ms").alias("min_latency_ms"),
+        F.max("latency_ms").alias("max_latency_ms"),
+        F.percentile("latency_ms", 0.5).alias("median_latency_ms"),
+        F.percentile("latency_ms", 0.9).alias("p90_latency_ms"),
+    )
