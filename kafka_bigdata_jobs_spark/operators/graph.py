@@ -75,7 +75,9 @@ def pagerank_bp(
 
     # Every node is required to have an outgoing edge, so the src side
     # alone enumerates the node set — and it reads the persisted ed.
-    nodes = ed.select(F.col(src).alias("node")).distinct()
+    # Persisted too: every iteration re-anchors on it (see below), and
+    # it is one row per node, far smaller than the edge relation.
+    nodes = ed.select(F.col(src).alias("node")).distinct().persist()
     ranks = nodes.withColumn("score_bp", F.lit(init_bp).cast("long"))
 
     for it in range(n_iter):
@@ -88,8 +90,18 @@ def pagerank_bp(
                 ),
             )
         )
-        ranks = contrib.groupBy("node").agg(
-            (F.lit(base_bp) + F.sum("__c")).cast("long").alias("score_bp")
+        # Re-anchor on the FULL node set: a groupBy over contributions
+        # alone only reproduces nodes that receive at least one
+        # contribution, silently dropping source-only nodes (no in-edges)
+        # after the first iteration — they must keep their teleport term
+        # base_bp and continue feeding downstream, matching the pure
+        # integer formulation (and the test twin in test_graph.py).
+        summed = contrib.groupBy("node").agg(F.sum("__c").alias("__s"))
+        ranks = nodes.join(summed, "node", "left").select(
+            "node",
+            (F.lit(base_bp) + F.coalesce(F.col("__s"), F.lit(0)))
+            .cast("long")
+            .alias("score_bp"),
         )
         if (it + 1) % CHECKPOINT_EVERY == 0 and it + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=False)
@@ -97,5 +109,6 @@ def pagerank_bp(
     # artifact can be released — callers get a checkpointed frame with
     # no live dependency on ed.
     ranks = ranks.localCheckpoint(eager=True)
+    nodes.unpersist()
     ed.unpersist()
     return ranks

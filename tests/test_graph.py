@@ -91,3 +91,34 @@ def test_pagerank_matches_pure_python_reference(spark):
             base = [(0, 1)]
         edges = sorted(set(base) | {(b, a) for a, b in base})
         assert _ranks(spark, edges) == _reference_pagerank(edges), f"seed {seed}"
+
+
+def test_source_only_node_keeps_teleport_score(spark):
+    """Regression (round-2 advisor): a node with outgoing but no incoming
+    edges satisfies the operator's contract yet used to vanish after
+    iteration 1 (groupBy over contributions alone), losing its teleport
+    score AND its downstream contributions."""
+    edges = [(1, 2), (2, 3), (3, 2)]
+    got = _ranks(spark, edges)
+    want = _reference_pagerank(edges)
+    assert got == want
+    assert got[1] == 1500  # teleport-only, never dropped
+    assert got[2] > got[3] > got[1]
+
+
+def test_pagerank_asymmetric_random_graphs_match_twin(spark):
+    """Directed (non-symmetrized) graphs where every node has outdeg>=1
+    but in-degree may be 0 — the shape the symmetric-only suite missed."""
+    import random
+
+    for seed in (7, 11, 13):
+        rng = random.Random(seed)
+        n = rng.randint(4, 10)
+        edges = set()
+        for a in range(n):
+            # guarantee the outgoing-edge contract per node
+            targets = rng.sample([b for b in range(n) if b != a],
+                                 k=rng.randint(1, min(3, n - 1)))
+            edges.update((a, b) for b in targets)
+        edges = sorted(edges)
+        assert _ranks(spark, edges) == _reference_pagerank(edges), f"seed {seed}"
