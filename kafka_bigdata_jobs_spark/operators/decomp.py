@@ -76,19 +76,27 @@ def pca_variance_rows(df: DataFrame, vec_col: str, dim: int, top: int = 8):
     """Eigen-spectrum of the exact covariance: list of
     ``(component, eigval_scaled, var_share_bp, cum_share_bp)`` rows.
 
-    Covariance (times n²·QUANT², still exact int64 math until the final
-    eig): ``C = n·G − s sᵀ``.  Eigenvalues of a symmetric matrix are
-    continuous in its entries and the input is exact, so the spectrum
-    is reproducible to numpy's deterministic LAPACK path.
+    Covariance (times n²·QUANT²): ``C = n·G − s sᵀ``, assembled in
+    arbitrary-precision Python ints (object dtype), so the integer math
+    truly cannot overflow — entries reach ~n²·QUANT², which exceeds
+    int64 already at n ≈ 3·10⁵ rows, far below the 1e10-row envelope
+    (round-2 advisor finding).  The ONE lossy step is the final cast to
+    float64 for LAPACK: entries beyond 2^53 round to the nearest
+    representable double (relative error ≤ 2⁻⁵³ per entry, and
+    eigenvalues of a symmetric matrix are Lipschitz-1 in the entries by
+    Weyl's inequality, so the spectrum shifts by at most
+    ‖rounding‖₂ ≈ 2⁻⁵³·‖C‖ — irrelevant to basis-point shares).
     """
     import numpy as np
 
     n, s, g = gram_sufficient_stats(df, vec_col, dim)
     iu = np.triu_indices(dim)
-    C = np.zeros((dim, dim), dtype=np.float64)
-    C[iu] = g
-    C = C + C.T - np.diag(np.diag(C))
-    C = n * C - np.outer(s, s).astype(np.float64)
+    G = np.zeros((dim, dim), dtype=object)
+    G[iu] = g.astype(object)
+    G = G + G.T - np.diag(np.diag(G))
+    s_obj = s.astype(object)
+    C_int = n * G - np.outer(s_obj, s_obj)  # exact: Python-int arithmetic
+    C = C_int.astype(np.float64)  # the single, final float conversion
     w = np.linalg.eigvalsh(C)[::-1]  # descending
     total = float(w.sum())
     out = []

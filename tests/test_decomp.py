@@ -63,3 +63,30 @@ def test_pca_recovers_planted_component(spark):
     )
     rows = pca_variance_rows(df, "embedding", dim=64, top=3)
     assert rows[0][2] > 8000  # first component holds >80% of variance
+
+
+def test_pca_no_int64_overflow_on_large_components(spark):
+    """Regression (round-2 advisor): the rank-1 correction n·G − s sᵀ used
+    np.outer in int64; with component magnitudes ~1e3 the quantized sums
+    reach ~n·1e7 and the outer product overflows int64 already at
+    n = 1000 rows.  The object-dtype (Python-int) assembly must agree
+    with a plain float64 numpy covariance on the quantized data."""
+    rng = np.random.RandomState(11)
+    dim, n = 8, 1000
+    X = rng.normal(1000.0, 50.0, size=(n, dim))  # large offset: big s
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = pca_variance_rows(df, "embedding", dim=dim, top=dim)
+
+    Q = np.floor(X * QUANT)  # float64 twin of the quantized data
+    C = n * (Q.T @ Q) - np.outer(Q.sum(axis=0), Q.sum(axis=0))
+    w = np.linalg.eigvalsh(C)[::-1]
+    total = w.sum()
+    # Old int64 path produced garbage negative entries here; shares from
+    # the fixed path must match the float twin to the basis point.
+    got_shares = [r[2] for r in rows]
+    want_shares = [int(np.floor(10000.0 * wi / total)) for wi in w]
+    assert got_shares == want_shares
+    assert all(0 <= s_ <= 10000 for s_ in got_shares)
