@@ -451,6 +451,16 @@ def incremental_near_dup_pairs(
     Returns ``(new_id, dup_of, jaccard)`` with ``dup_of`` an indexed
     corpus document, or an increment document with smaller id (so
     within-batch duplicates are caught once, deterministically).
+
+    Recall is probabilistic in the banding: a pair at exactly
+    ``J = threshold`` survives at least one band with probability
+    ``1 - (1 - J^r)^b`` (r = num_hashes/bands rows per band).  The
+    default 16×8 gives ~95% at J=0.80 — fine for dedup, but an
+    exact-Jaccard differential oracle needs the miss probability
+    negligible at threshold: pass ``bands=32`` (4 rows/band,
+    miss ≈ 5e-8 at 0.80) for oracle-gated configurations.  More bands
+    = more candidate pairs, all cheaply killed by the signature
+    estimate prefilter, so the exact-verify stage is unaffected.
     """
     from .relational import spread
 
@@ -468,11 +478,17 @@ def incremental_near_dup_pairs(
     tagged = base_c.withColumn("__is_new", F.lit(False)).unionByName(
         base_i.withColumn("__is_new", F.lit(True))
     )
+    # Materialize once before the multi-branch consumption.  eager
+    # localCheckpoint instead of cache(): checkpoint blocks are owned by
+    # the RDD and released by the ContextCleaner when the returned frame
+    # is garbage-collected, whereas a cache() entry stays pinned in the
+    # cache manager until an explicit unpersist — which this function
+    # cannot issue, since the caller consumes the result lazily
+    # (round-2 advisor: repeated invocations leaked cached relations).
     all_sigs = minhash_signatures(
         char_shingle_rows(tagged, id_col, text_col, shingle_k, carry=["__is_new"]),
         id_col, None, num_hashes, carry=["__is_new"],
-    ).cache()
-    all_sigs.count()  # materialize before the multi-branch consumption
+    ).localCheckpoint(eager=True)
 
     banded = banded_rows(
         all_sigs, id_col, "sig", bands, rows_per_band, carry=["__is_new"]
