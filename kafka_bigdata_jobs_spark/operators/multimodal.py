@@ -10,12 +10,17 @@ Design (training-data pipeline at 100 TB):
   ``mapInPandas`` stages: one Python worker per partition, whole-batch
   numpy work, bounded batch sizes via
   ``spark.sql.execution.arrow.maxRecordsPerBatch``.
-- the actual codec calls (PIL/ffmpeg/librosa) are NOT available in this
-  environment, so the codec boundary is stubbed: ``decode_image_stub``
+- the image/video codec calls (PIL/ffmpeg) are NOT available in this
+  environment, so those codec boundaries are stubbed: ``decode_image_stub``
   raises ``NotImplementedError`` unless ``deterministic_fake=True``, in
   which case it derives a deterministic fake decode from the bytes —
   the Spark-side plumbing (schema, batching, partitioning, UDF
   signatures) is real and tested either way.
+- AUDIO has a REAL codec: WAV/RIFF PCM payloads decode through the
+  stdlib ``wave`` module (header parse + int16/int8 PCM to numpy,
+  multi-channel averaged) inside the same Arrow-batched stage — see
+  ``extract_audio_features``.  Non-WAV audio falls back to the
+  deterministic fake (or raises, matching the other modalities).
 """
 
 from __future__ import annotations
@@ -233,28 +238,54 @@ def extract_audio_features(
 ) -> DataFrame:
     """Arrow-batched audio feature extraction via ``mapInPandas``.
 
-    The codec call (librosa/ffmpeg PCM decode) is the stubbed boundary:
-    the fake derives a deterministic int16 waveform from the payload
-    digest.  Everything downstream of decode — RMS energy and
-    zero-crossing rate over the waveform — is real vectorized numpy,
-    exactly the batch shape a real decoder would feed, so the plumbing
-    this exercises (schema, Arrow batches, per-partition workers) is
-    what ships; only ``_decode`` gets replaced.
+    The codec is REAL for WAV: payloads carrying a RIFF/WAVE header
+    decode through the stdlib ``wave`` module — container parse, PCM
+    frames to numpy int16 (8-bit unsigned widened, multi-channel
+    averaged) — no third-party codec library needed.  Non-WAV payloads
+    fall back to the deterministic digest-derived fake (or raise when
+    ``deterministic_fake=False``, same contract as image/video whose
+    codecs genuinely are absent here).  Everything downstream of decode
+    — RMS energy and zero-crossing rate — is vectorized numpy over the
+    decoded waveform, identical for both paths.
     """
     fake = deterministic_fake
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Self-contained closure: workers must not need the engine package.
         import hashlib as _hashlib
+        import io as _io
+        import wave as _wave
 
         import numpy as _np
         import pandas as _pd
 
+        def _decode_wav(payload: bytes):
+            with _wave.open(_io.BytesIO(payload), "rb") as wf:
+                rate = wf.getframerate()
+                width = wf.getsampwidth()
+                n_ch = wf.getnchannels()
+                raw = wf.readframes(wf.getnframes())
+            if width == 2:
+                pcm = _np.frombuffer(raw, dtype="<i2")
+            elif width == 1:  # WAV 8-bit is unsigned; recenter + widen
+                pcm = (_np.frombuffer(raw, dtype="u1").astype(_np.int16)
+                       - 128) << 8
+            else:
+                raise NotImplementedError(
+                    f"{8 * width}-bit PCM unsupported (16/8-bit only)")
+            if n_ch > 1:  # average channels, stay int16
+                pcm = (pcm.reshape(-1, n_ch).mean(axis=1)
+                       .round().astype(_np.int16))
+            return rate, pcm
+
         def _decode(payload: bytes):
+            if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                return _decode_wav(payload)  # real codec path
             if not fake:
                 raise NotImplementedError(
-                    "audio codecs are not available in this environment; "
-                    "pass deterministic_fake=True for the test pipeline"
+                    "non-WAV audio codecs are not available in this "
+                    "environment; pass deterministic_fake=True for the "
+                    "test pipeline or supply RIFF/WAVE payloads"
                 )
             digest = _hashlib.sha256(payload).digest()
             rate = (8000, 16000, 22050, 44100)[digest[0] % 4]
