@@ -7,31 +7,43 @@ Scale design
 
 BPE trains on the DISTINCT-WORD relation, not the corpus: Zipf's law
 compresses trillions of running tokens into millions of word types, so
-the state each merge iteration updates is (word, count, segmentation)
-— bounded by the type vocabulary, shuffled nowhere after its one
-groupBy.  Each of the ``n_merges`` iterations is:
+the training state is (word, count, segmentation) — bounded by the
+type vocabulary, produced by ONE distributed explode+groupBy over the
+corpus (the only pass that ever touches the data).
 
-1. one distributed aggregation: explode each word's adjacent
-   segment pairs weighted by the word count, sum per pair (map-side
-   combinable — the pair key space is bounded by vocab²),
-2. one bounded driver action: take the argmax pair (a single row —
-   limit(1) then collect),
-3. one Arrow-batched map: rewrite segmentations, merging
-   non-overlapping occurrences left-to-right (the overlap rule that
-   makes 'aaa' + (a,a) -> [aa, a], matching reference BPE).
+The merge loop itself is driver-side (round-2 verdict item 4): the
+word-type relation is collected once under ``DRIVER_VOCAB_LIMIT`` and
+all ``n_merges`` merges are learned with incremental pair-count
+maintenance (a heap argmax + touch-only-affected-words updates — the
+standard in-memory BPE trainer shape).  A 32k-merge vocabulary is 32k
+dict updates, not 32k sequential Spark jobs; the former per-merge
+distributed loop (agg → limit(1) collect → mapInPandas rewrite per
+merge) survives as the explicit fallback above the limit, where it is
+the honest choice: beyond ~millions of word types per-merge
+distributed aggregation is what still fits in memory.
 
-Lineage is cut with ``localCheckpoint`` each round (same discipline as
-``graph.pagerank_bp``).  The merge table output is exact and
-deterministic: ties in pair weight break on (left, right) text order.
-Verified in tests/test_bpe.py against an independent pure-Python
-reference implementation — exact merge-for-merge equality — since SQL
-cannot express the iterative argmax (rows-only territory).
+The merge table output is exact and deterministic either way: ties in
+pair weight break on (left, right) text order, and both paths are
+pinned merge-for-merge equal to an independent pure-Python reference
+in tests/test_bpe.py — SQL cannot express the iterative argmax
+(rows-only territory).
 """
 
 from __future__ import annotations
 
+import heapq
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Word-type count above which ``bpe_learn`` refuses to collect the
+#: vocabulary and falls back to the per-merge distributed loop.  A
+#: type is ~30 B of driver state here (segs + counts + pair index);
+#: 5M types ≈ a few hundred MB — comfortably inside a driver that is
+#: already sized for Spark planning, and Zipf keeps real corpora (even
+#: 100 TB ones) around this order.  Same named-cutover discipline as
+#: ``dedup.DRIVER_EDGE_LIMIT``.
+DRIVER_VOCAB_LIMIT = 5_000_000
 
 
 def word_counts(df: DataFrame, text_col: str) -> DataFrame:
@@ -68,6 +80,7 @@ def bpe_learn(
     text_col: str,
     n_merges: int = 8,
     min_pair_weight: int = 2,
+    vocab_limit: int = DRIVER_VOCAB_LIMIT,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merges; returns
     ``[(rank, left, right, pair_weight), ...]`` (exact integers,
@@ -75,10 +88,99 @@ def bpe_learn(
 
     Stops early when the best pair's weight drops below
     ``min_pair_weight`` (merging hapax pairs memorizes noise).
+
+    The corpus is reduced to its word-type relation distributedly; the
+    merge loop runs driver-side on that bounded relation when it has at
+    most ``vocab_limit`` types (one collect, then pure in-memory
+    learning — no per-merge Spark jobs), else falls back to the
+    per-merge distributed loop.  Both paths produce identical tables.
     """
+    words = word_counts(df, text_col)
+    n_types = words.count()
+    if n_types <= vocab_limit:
+        rows = words.collect()  # bounded: <= vocab_limit word types
+        return _learn_from_counts(
+            [(r["word"], int(r["n"])) for r in rows], n_merges, min_pair_weight
+        )
+    return _bpe_learn_distributed(words, n_merges, min_pair_weight)
+
+
+def _learn_from_counts(
+    counts: list[tuple[str, int]],
+    n_merges: int,
+    min_pair_weight: int,
+) -> list[tuple[int, str, str, int]]:
+    """In-memory BPE trainer with incremental pair maintenance.
+
+    Each merge touches ONLY the words that contain the merged pair
+    (tracked in an inverted pair→word-ids index); their old adjacency
+    counts are retracted and the rewritten ones added back.  The argmax
+    is a lazy-invalidation heap keyed (-weight, left, right), which
+    reproduces the deterministic tie-break weight DESC, (left, right)
+    ASC.  Cost per merge ∝ affected words, not vocabulary — the shape
+    that makes a 32k-merge vocabulary practical.
+    """
+    segs_list = [list(w) for w, _ in counts]
+    ns = [n for _, n in counts]
+    weights: dict[tuple[str, str], int] = {}
+    occ: dict[tuple[str, str], set[int]] = {}
+    for i, segs in enumerate(segs_list):
+        n = ns[i]
+        for p in zip(segs, segs[1:]):
+            weights[p] = weights.get(p, 0) + n
+            occ.setdefault(p, set()).add(i)
+    heap = [(-w, l, r) for (l, r), w in weights.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        best = None
+        while heap:
+            negw, left, right = heap[0]
+            if weights.get((left, right), 0) == -negw:
+                best = (left, right, -negw)
+                break
+            heapq.heappop(heap)  # stale entry — weight changed since push
+        if best is None or best[2] < min_pair_weight:
+            break
+        left, right, weight = best
+        merges.append((rank, left, right, weight))
+
+        for i in sorted(occ.get((left, right), ())):
+            segs, n = segs_list[i], ns[i]
+            touched: set[tuple[str, str]] = set()
+            for p in zip(segs, segs[1:]):
+                weights[p] -= n
+                occ[p].discard(i)
+                touched.add(p)
+            new = _merge_segs(segs, left, right)
+            segs_list[i] = new
+            for p in zip(new, new[1:]):
+                weights[p] = weights.get(p, 0) + n
+                occ.setdefault(p, set()).add(i)
+                touched.add(p)
+            for p in touched:
+                w = weights.get(p, 0)
+                if w > 0:
+                    heapq.heappush(heap, (-w, p[0], p[1]))
+                else:
+                    weights.pop(p, None)
+                    occ.pop(p, None)
+    return merges
+
+
+def _bpe_learn_distributed(
+    words: DataFrame,
+    n_merges: int,
+    min_pair_weight: int,
+) -> list[tuple[int, str, str, int]]:
+    """Per-merge distributed loop — the above-``DRIVER_VOCAB_LIMIT``
+    fallback.  Each iteration: one pair aggregation (map-side
+    combinable), one bounded limit(1)-then-collect argmax, one
+    Arrow-batched segmentation rewrite; lineage cut via
+    ``localCheckpoint`` (same discipline as ``graph.pagerank_bp``)."""
     import pandas as pd
 
-    words = word_counts(df, text_col)
     state = words.select(
         "n", F.split(F.col("word"), "").alias("segs")
     ).localCheckpoint(eager=False)
@@ -109,10 +211,23 @@ def bpe_learn(
         merges.append((rank, left, right, weight))
 
         def rewrite(batches, _l=left, _r=right):
+            # Self-contained closure (no module-global helper): workers
+            # must not need this package importable — see
+            # session.ensure_package_shipped for the belt to this
+            # suspender.
+            def merge(segs):
+                out, i = [], 0
+                while i < len(segs):
+                    if i + 1 < len(segs) and segs[i] == _l and segs[i + 1] == _r:
+                        out.append(_l + _r)
+                        i += 2
+                    else:
+                        out.append(segs[i])
+                        i += 1
+                return out
+
             for pdf in batches:
-                pdf["segs"] = [
-                    _merge_segs(list(s), _l, _r) for s in pdf["segs"]
-                ]
+                pdf["segs"] = [merge(list(s)) for s in pdf["segs"]]
                 yield pd.DataFrame({"n": pdf["n"], "segs": pdf["segs"]})
 
         state = state.mapInPandas(
@@ -144,6 +259,19 @@ def bpe_tokenize_stats(
     ordered = [(left, right) for _, left, right, _ in sorted(merges)]
 
     def census(batches):
+        # Self-contained closure — workers must not need this package
+        # importable (session.ensure_package_shipped is the belt).
+        def merge(segs, left, right):
+            out, i = [], 0
+            while i < len(segs):
+                if i + 1 < len(segs) and segs[i] == left and segs[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(segs[i])
+                    i += 1
+            return out
+
         for pdf in batches:
             ids, n_chars, n_words, n_tokens = [], [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
@@ -152,7 +280,7 @@ def bpe_tokenize_stats(
                 for w in words:
                     segs = list(w)
                     for left, right in ordered:
-                        segs = _merge_segs(segs, left, right)
+                        segs = merge(segs, left, right)
                     toks += len(segs)
                 ids.append(doc_id)
                 n_chars.append(sum(len(w) for w in words))

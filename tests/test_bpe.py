@@ -85,6 +85,56 @@ def test_bpe_is_deterministic(spark):
     )
 
 
+def test_driver_and_distributed_paths_agree(spark):
+    """vocab_limit=0 forces the per-merge distributed fallback; it must
+    produce the identical merge table to the driver-side learner."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    driver_side = bpe_learn(docs, "text", n_merges=8)
+    distributed = bpe_learn(docs, "text", n_merges=8, vocab_limit=0)
+    assert driver_side == distributed
+
+
+def test_incremental_learner_matches_reference_at_depth():
+    """The in-memory trainer's incremental pair maintenance (retract /
+    re-add touched adjacencies + lazy-invalidation heap) vs the naive
+    recount-everything reference, deep enough that merges consume each
+    other many times over — the regime 8-merge suite runs never reach."""
+    import random
+
+    from kafka_bigdata_jobs_spark.operators.bpe import _learn_from_counts
+
+    rng = random.Random(42)
+    alphabet = "abcdef"
+    wc: collections.Counter = collections.Counter()
+    for _ in range(400):
+        w = "".join(rng.choice(alphabet) for _ in range(rng.randint(2, 12)))
+        wc[w] += rng.randint(1, 50)
+    got = _learn_from_counts(sorted(wc.items()), n_merges=200, min_pair_weight=2)
+    want = _reference_bpe(dict(wc), n_merges=200)
+    assert got == want
+    assert len(got) > 50  # deep enough to exercise merge-on-merge
+
+
+def test_thousand_merges_without_thousand_jobs(spark):
+    """Round-2 verdict item 4's acceptance: a 1k-merge train must not
+    launch one Spark job per merge.  The driver path runs exactly two
+    Spark actions (count + collect of the word-type relation) however
+    large n_merges is."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    sc.setJobGroup("bpe-1k", "bpe 1k merges")
+    merges = bpe_learn(docs, "text", n_merges=1000, min_pair_weight=1)
+    jobs = len(tracker.getJobIdsForGroup("bpe-1k") or [])
+    sc.setJobGroup(None, None)
+    assert merges  # learned a real table (fixture corpus is small; early
+    # stop on exhausted pairs is fine — the point is the job count)
+    # count()+collect() expand to a handful of jobs under AQE; the
+    # invariant is O(1) in n_merges, not an exact figure.
+    assert jobs <= 10, f"driver-side path ran {jobs} Spark jobs for 1k merges"
+
+
 def test_learned_merges_build_on_each_other(spark):
     """Later merges may consume earlier merge outputs — the property
     that distinguishes the training loop from first-merge statistics."""

@@ -243,9 +243,11 @@ def test_no_unbounded_driver_collects_in_engine_code():
             "contract, never the corpus)",
         ),
         "operators/bpe.py": (
-            1,
-            "per-merge argmax pair: limit(1) before collect — exactly "
-            "one row per training round",
+            2,
+            "driver-side learner collects the word-TYPE relation once, "
+            "size-gated by DRIVER_VOCAB_LIMIT (count-probe before "
+            "collect); distributed fallback's per-merge argmax is "
+            "limit(1) before collect — exactly one row per round",
         ),
         "operators/decomp.py": (
             1,
