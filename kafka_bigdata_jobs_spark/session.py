@@ -102,4 +102,41 @@ def apply_runtime_conf(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on this build — leave as-is
+    ensure_package_shipped(spark)
     return spark
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship this package to Python workers via ``addPyFile`` (once per
+    SparkContext).
+
+    A driver that imports the engine through a ``sys.path`` insert (the
+    correctness driver runs from an arbitrary cwd) leaves Spark's Python
+    WORKERS without the package: any closure cloudpickle serializes by
+    reference — UDTF classes, the Python DataSource, a mapInPandas
+    helper — dies on the worker with ModuleNotFoundError.  Zipping the
+    package and ``addPyFile``-ing it makes every queries() callable
+    location-independent.  No-op when the package is a normal installed/
+    cwd-visible import AND workers share that view (local mode from the
+    repo root), but shipping is cheap (~100 KB) and always correct.
+    """
+    sc = spark.sparkContext
+    if sc is None or getattr(sc, "_kbj_pkg_shipped", False):
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    parent = os.path.dirname(pkg_dir)
+    stem = os.path.join(
+        tempfile.gettempdir(), f"kbj_spark_pkg_{os.getpid()}")
+    try:
+        zip_path = shutil.make_archive(
+            stem, "zip", root_dir=parent,
+            base_dir=os.path.basename(pkg_dir))
+        sc.addPyFile(zip_path)
+    except Exception:
+        # Read-only tmp or an exotic deployment: leave import resolution
+        # to the environment (the in-repo/local-mode path still works).
+        pass
+    sc._kbj_pkg_shipped = True
