@@ -1,0 +1,65 @@
+"""Guards on the driver contract in ``__spark_entry__.py``.
+
+Round-2 verdict "What's wrong" item 1: the driver demonstrably checks
+``_ordered()[:50]`` each round, and round 2 re-checked the same 50
+because the verified set was a hand-maintained frozenset that went
+stale.  The fix derives the set from the committed ``CORRECTNESS_r*.json``
+artifacts at import time; these tests pin that invariant so it cannot
+silently regress.
+"""
+
+from __future__ import annotations
+
+import glob
+import importlib.util
+import json
+import os
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_under_test", os.path.join(REPO, "__spark_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _artifact_keys() -> set[str]:
+    keys: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        with open(path, encoding="utf-8") as fh:
+            rows = json.load(fh)
+        assert isinstance(rows, dict), path
+        keys.update(rows)
+    return keys
+
+
+def test_verified_set_matches_committed_artifacts(entry_mod):
+    """The verified set is exactly the union of CORRECTNESS_r*.json keys."""
+    artifacts = _artifact_keys()
+    assert artifacts, "no CORRECTNESS_r*.json committed — driver never ran?"
+    assert entry_mod._driver_verified() == artifacts
+
+
+def test_never_checked_queries_come_first(entry_mod):
+    """While never-checked queries remain, the driver's 50-query sample
+    (the front of ``_ordered()``) must consist only of them."""
+    verified = entry_mod._driver_verified()
+    ordered = entry_mod._ordered()
+    never = [n for n in ordered if n not in verified]
+    front = ordered[:min(50, len(never))]
+    assert all(n not in verified for n in front), (
+        "verified queries found ahead of never-checked ones: "
+        f"{[n for n in front if n in verified][:5]}")
+    # And the tail is exactly the verified set, order-preserved.
+    assert set(ordered) == set(never) | verified
+
+
+def test_ordered_covers_registry_exactly(entry_mod):
+    from kafka_bigdata_jobs_spark import suite
+    assert sorted(entry_mod._ordered()) == sorted(suite.registry())
