@@ -7,6 +7,7 @@ Usage::
         --sf-dir /root/testdata/sf0.01 --limit 20
     python -m kafka_bigdata_jobs_spark explain near_dup_pairs_minhash
     python -m kafka_bigdata_jobs_spark oracle token_stats   # Spark vs DuckDB
+    python -m kafka_bigdata_jobs_spark matrix --out CORRECTNESS_local.json
 
 This is the switch-over surface for a reference user: every analysis the
 reference's batch/streaming jobs compute exists here as a named query
@@ -32,6 +33,15 @@ def main(argv: list[str] | None = None) -> int:
         s.add_argument("query")
         s.add_argument("--sf-dir", default="/root/testdata/sf0.01")
         s.add_argument("--limit", type=int, default=20)
+    m = sub.add_parser(
+        "matrix",
+        help="run EVERY registered query against its oracle at each "
+        "--sf-dir and write the full strict-comparison matrix as JSON "
+        "(the repo-side complement of the driver's 50-query sample)",
+    )
+    m.add_argument("--sf-dir", action="append", dest="sf_dirs",
+                   help="repeatable; default sf0.001 and sf0.01")
+    m.add_argument("--out", default="CORRECTNESS_local.json")
     args = p.parse_args(argv)
 
     from . import suite
@@ -45,6 +55,11 @@ def main(argv: list[str] | None = None) -> int:
         except BrokenPipeError:
             pass  # `| head` closed the pipe
         return 0
+
+    if args.cmd == "matrix":
+        return _matrix(reg, args.sf_dirs or
+                       ["/root/testdata/sf0.001", "/root/testdata/sf0.01"],
+                       args.out)
 
     if args.query not in reg:
         print(f"unknown query: {args.query}", file=sys.stderr)
@@ -73,14 +88,7 @@ _ORACLE_TABLES = (
 ).split()
 
 
-def _oracle_compare(name: str, q, df, sf_dir: str) -> int:
-    """Strict value comparison — exactly the driver's discipline:
-    columns sorted by name, rows stringified and sorted, compared
-    exactly (no float tolerance)."""
-    if q.oracle is None:
-        print(f"{name} is rows-only by design (no oracle SQL); "
-              f"ran Spark side: {df.count()} rows")
-        return 0
+def _duckdb_views(sf_dir: str):
     import duckdb
 
     con = duckdb.connect()
@@ -89,24 +97,105 @@ def _oracle_compare(name: str, q, df, sf_dir: str) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
+    return con
+
+
+def _strict_check(q, df, con) -> dict:
+    """Strict value comparison — exactly the driver's discipline:
+    columns sorted by name, rows stringified and sorted, compared
+    exactly (no float tolerance).  Returns a JSON-able result row."""
     scols = sorted(df.columns)
     srows = sorted(tuple(str(r[c]) for c in scols) for r in df.collect())
+    if q.oracle is None:
+        return {"status": "ROWS_ONLY", "rows": len(srows), "cols": len(scols)}
     cur = con.execute(q.oracle)
     ocols_raw = [d[0] for d in cur.description]
     idx = sorted(range(len(ocols_raw)), key=lambda i: ocols_raw[i])
     orows = sorted(tuple(str(r[i]) for i in idx) for r in cur.fetchall())
     if scols != sorted(ocols_raw):
-        print(f"SCHEMA MISMATCH: spark={scols} oracle={sorted(ocols_raw)}")
-        return 1
+        return {"status": "SCHEMA_MISMATCH", "rows": len(srows),
+                "spark_cols": scols, "oracle_cols": sorted(ocols_raw)}
     if srows != orows:
-        print(f"VALUE MISMATCH: {len(srows)} spark rows vs {len(orows)} oracle rows")
-        for a, b in zip(srows, orows):
-            if a != b:
-                print(f"  first diff:\n    spark:  {a}\n    oracle: {b}")
-                break
+        first = next((
+            {"spark": list(a), "oracle": list(b)}
+            for a, b in zip(srows, orows) if a != b), None)
+        return {"status": "VALUE_MISMATCH", "rows": len(srows),
+                "oracle_rows": len(orows), "first_diff": first}
+    return {"status": "MATCH", "rows": len(srows), "cols": len(scols)}
+
+
+def _oracle_compare(name: str, q, df, sf_dir: str) -> int:
+    if q.oracle is None:
+        print(f"{name} is rows-only by design (no oracle SQL); "
+              f"ran Spark side: {df.count()} rows")
+        return 0
+    res = _strict_check(q, df, _duckdb_views(sf_dir))
+    if res["status"] == "SCHEMA_MISMATCH":
+        print(f"SCHEMA MISMATCH: spark={res['spark_cols']} "
+              f"oracle={res['oracle_cols']}")
         return 1
-    print(f"MATCH: {len(srows)} rows, {len(scols)} columns")
+    if res["status"] == "VALUE_MISMATCH":
+        print(f"VALUE MISMATCH: {res['rows']} spark rows vs "
+              f"{res['oracle_rows']} oracle rows")
+        if res["first_diff"]:
+            print(f"  first diff:\n    spark:  {res['first_diff']['spark']}"
+                  f"\n    oracle: {res['first_diff']['oracle']}")
+        return 1
+    print(f"MATCH: {res['rows']} rows, {res['cols']} columns")
     return 0
+
+
+def _matrix(reg, sf_dirs: list[str], out_path: str) -> int:
+    """The complete auditable correctness signal: every registered query
+    strict-checked against its DuckDB oracle at every given SF.  The
+    driver samples 50 queries/round; this publishes the full matrix
+    (round-2 verdict 'Next round' item 3).  Regenerate via
+    ``make correctness-local`` whenever the registry changes —
+    tests/test_correctness_matrix.py pins freshness."""
+    import json
+    import time
+
+    from .session import get_spark
+
+    spark = get_spark("kbj-matrix")
+    spark.sparkContext.setLogLevel("ERROR")
+    cons = {sf: _duckdb_views(sf) for sf in sf_dirs}
+    queries: dict = {}
+    n_bad = 0
+    t0 = time.time()
+    for name in sorted(reg):
+        q = reg[name]
+        row: dict = {"oracle": q.oracle is not None}
+        for sf in sf_dirs:
+            t = time.time()
+            try:
+                res = _strict_check(q, q.fn(spark, sf), cons[sf])
+            except Exception as exc:  # noqa: BLE001 — recorded, not hidden
+                res = {"status": "ERROR", "err": f"{type(exc).__name__}: {exc}"}
+            res["sec"] = round(time.time() - t, 2)
+            row[sf] = res
+            if res["status"] not in ("MATCH", "ROWS_ONLY"):
+                n_bad += 1
+                print(f"  !! {name} @ {sf}: {res['status']}")
+        queries[name] = row
+        print(f"{name:44s} " + "  ".join(
+            f"{row[sf]['status']}" for sf in sf_dirs))
+    out = {
+        "registry_size": len(reg),
+        "sf_dirs": sf_dirs,
+        "oracle_backed": sum(1 for r in queries.values() if r["oracle"]),
+        "rows_only": sum(1 for r in queries.values() if not r["oracle"]),
+        "failures": n_bad,
+        "wall_sec": round(time.time() - t0, 1),
+        "queries": queries,
+    }
+    with open(out_path, "w", encoding="utf-8") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"\nwrote {out_path}: {len(queries)} queries x {len(sf_dirs)} SFs, "
+          f"{n_bad} failures, {out['wall_sec']}s")
+    spark.stop()
+    return 1 if n_bad else 0
 
 
 if __name__ == "__main__":
