@@ -10,17 +10,22 @@ Design (training-data pipeline at 100 TB):
   ``mapInPandas`` stages: one Python worker per partition, whole-batch
   numpy work, bounded batch sizes via
   ``spark.sql.execution.arrow.maxRecordsPerBatch``.
-- the image/video codec calls (PIL/ffmpeg) are NOT available in this
-  environment, so those codec boundaries are stubbed: ``decode_image_stub``
-  raises ``NotImplementedError`` unless ``deterministic_fake=True``, in
-  which case it derives a deterministic fake decode from the bytes —
-  the Spark-side plumbing (schema, batching, partitioning, UDF
-  signatures) is real and tested either way.
+- general image/video codec calls (PIL/ffmpeg) are NOT available in
+  this environment, so those codec boundaries are stubbed:
+  ``decode_image_stub`` raises ``NotImplementedError`` unless
+  ``deterministic_fake=True``, in which case it derives a deterministic
+  fake decode from the bytes — the Spark-side plumbing (schema,
+  batching, partitioning, UDF signatures) is real and tested either way.
 - AUDIO has a REAL codec: WAV/RIFF PCM payloads decode through the
   stdlib ``wave`` module (header parse + int16/int8 PCM to numpy,
   multi-channel averaged) inside the same Arrow-batched stage — see
   ``extract_audio_features``.  Non-WAV audio falls back to the
   deterministic fake (or raises, matching the other modalities).
+- IMAGE also has a REAL codec: uncompressed 24-bit BI_RGB BMP payloads
+  decode through a pure-numpy header+pixel-plane parser inside
+  ``extract_image_features`` (stride-padded rows, BGR ordering,
+  BT.601 luma).  Non-BMP images fall back to the deterministic fake
+  (or raise), same contract as audio.
 """
 
 from __future__ import annotations
@@ -109,6 +114,15 @@ def extract_image_features(
 ) -> DataFrame:
     """Arrow-batched image feature extraction via ``mapInPandas``.
 
+    The codec is REAL for BMP: payloads carrying a ``BM`` magic decode
+    through a pure-numpy parser for the uncompressed 24-bit BI_RGB
+    format (the format every encoder can emit) — header-field reads,
+    stride-padded row matrix, BGR pixel plane, ITU-R BT.601 luma — no
+    third-party codec library needed.  Non-BMP payloads fall back to
+    the deterministic digest-derived fake (or raise when
+    ``deterministic_fake=False``, same contract as the audio path whose
+    real codec is WAV).
+
     Batch shape: the iterator yields pandas DataFrames of whole Arrow
     record batches; per-batch work is vectorized except the per-payload
     codec call (inherently per-item).  Output schema is fixed
@@ -124,13 +138,41 @@ def extract_image_features(
         # locals and importable stdlib/site-packages modules.
         import hashlib as _hashlib
 
+        import numpy as _np
         import pandas as _pd
 
+        def _decode_bmp(payload: bytes):
+            # Minimal BMP reader: BITMAPFILEHEADER (14 bytes) +
+            # BITMAPINFOHEADER (>=40 bytes), 24bpp, BI_RGB only.
+            off = int.from_bytes(payload[10:14], "little")
+            w = int.from_bytes(payload[18:22], "little", signed=True)
+            h = int.from_bytes(payload[22:26], "little", signed=True)
+            bpp = int.from_bytes(payload[28:30], "little")
+            comp = int.from_bytes(payload[30:34], "little")
+            if bpp != 24 or comp != 0:
+                raise NotImplementedError(
+                    f"only uncompressed 24-bit BMP supported "
+                    f"(got bpp={bpp}, compression={comp})"
+                )
+            n_rows = abs(h)  # h > 0 = bottom-up; luma is order-invariant
+            stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+            rows = _np.frombuffer(
+                payload, dtype=_np.uint8, count=n_rows * stride, offset=off
+            ).reshape(n_rows, stride)
+            bgr = rows[:, : w * 3].reshape(n_rows, w, 3).astype(_np.float64)
+            luma = (
+                0.114 * bgr[..., 0] + 0.587 * bgr[..., 1] + 0.299 * bgr[..., 2]
+            )
+            return w, n_rows, round(float(luma.mean()) / 255.0, 6)
+
         def _decode(payload: bytes):
+            if payload[:2] == b"BM":
+                return _decode_bmp(payload)  # real codec path
             if not fake:
                 raise NotImplementedError(
-                    "image codecs are not available in this environment; "
-                    "pass deterministic_fake=True for the test pipeline"
+                    "non-BMP image codecs are not available in this "
+                    "environment; pass deterministic_fake=True for the "
+                    "test pipeline or supply BMP payloads"
                 )
             digest = _hashlib.sha256(payload).digest()
             return (

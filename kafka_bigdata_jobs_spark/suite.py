@@ -1394,6 +1394,79 @@ def q_wav_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bmp_codec_features",
+    None,  # pixel synthesis + codec decode — not SQL-expressible
+    doc="REAL image codec end-to-end, the BMP twin of "
+    "wav_codec_features: genuine uncompressed 24-bit BI_RGB BMP "
+    "containers are synthesized per media id (solid-gray field whose "
+    "level is a deterministic function of the id, dimensions chosen "
+    "to exercise the 4-byte row-stride padding), then decoded by the "
+    "pure-numpy BMP parser inside extract_image_features with "
+    "deterministic_fake=False — the row can ONLY be produced by "
+    "actual header parsing, stride handling, and BGR-plane luma math "
+    "(solid gray level g ⇒ mean_luma = g/255 exactly, so the output "
+    "is self-evidently a real decode).  Same Arrow-batched "
+    "mapInPandas plumbing as every multimodal stage.",
+)
+def q_bmp_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal as M
+
+    ids = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("media_id"))
+    )
+
+    def synth(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        def _encode_bmp(w: int, h: int, gray: int) -> bytes:
+            stride = (w * 3 + 3) & ~3  # BMP rows pad to 4-byte boundaries
+            row = _np.full(stride, 0, dtype=_np.uint8)
+            row[: w * 3] = gray
+            pixels = row.tobytes() * h
+            info = (
+                (40).to_bytes(4, "little")
+                + w.to_bytes(4, "little", signed=True)
+                + h.to_bytes(4, "little", signed=True)  # bottom-up
+                + (1).to_bytes(2, "little")             # planes
+                + (24).to_bytes(2, "little")            # bpp
+                + (0).to_bytes(4, "little")             # BI_RGB
+                + len(pixels).to_bytes(4, "little")
+                + (2835).to_bytes(4, "little") * 2      # 72 dpi
+                + (0).to_bytes(4, "little") * 2
+            )
+            header = (
+                b"BM"
+                + (14 + 40 + len(pixels)).to_bytes(4, "little")
+                + (0).to_bytes(4, "little")
+                + (54).to_bytes(4, "little")
+            )
+            return header + info + pixels
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                # widths 17..23 hit every stride-padding residue mod 4
+                w = 17 + mid % 7
+                h = 6 + mid % 5
+                gray = 32 + 24 * mid
+                payloads.append(_encode_bmp(w, h, gray))
+            yield _pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = ids.mapInPandas(synth, "media_id long, payload binary")
+    return (
+        M.extract_image_features(media, deterministic_fake=False)
+        .select("media_id", "width", "height", "mean_luma", "size_bytes")
+        .orderBy("media_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar-function surface + batch windows (SURVEY §2.9, §2.10-T2-as-batch)
 # ---------------------------------------------------------------------------
