@@ -2,7 +2,7 @@
 
 PY ?= python
 
-.PHONY: test bench correctness-local coverage
+.PHONY: test bench correctness-local coverage scaledata scaleprobe
 
 test:
 	$(PY) -m pytest tests/ -x -q
@@ -21,3 +21,14 @@ correctness-local:
 # CORRECTNESS artifacts (driver rounds + the local matrix).
 coverage:
 	$(PY) tools/refresh_coverage.py
+
+# Materialize 3x/10x replicas of sf0.1 (key-shifted, similarity-
+# decorrelated — see tools/scaleup.py docstring) for the scaling probe.
+scaledata:
+	$(PY) tools/scaleup.py --factor 3 --out .scaledata/x3
+	$(PY) tools/scaleup.py --factor 10 --out .scaledata/x10
+
+# Time the heavyweight funnels at 1x/3x/10x and record per-plan scaling
+# exponents in SCALING.json (narrated in SCALE.md).
+scaleprobe: scaledata
+	$(PY) tools/scaleprobe.py

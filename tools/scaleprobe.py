@@ -1,0 +1,140 @@
+"""Scaling probe: time the suite's heavyweight funnels at 1×/3×/10×
+the sf0.1 data volume and record how close each plan is to linear.
+
+Companion to tools/scaleup.py (which materializes the replicated
+datasets).  The task brief's standing question — "would this plan
+survive a 100× scale-up?" — is answered per-plan here with measured
+wall-clock exponents instead of prose: a query whose time grows like
+t(N) ∝ N^e has e ≈ 1 when the plan is shuffle-linear, e ≈ 2 when an
+all-pairs surface sneaks in.  Results land in SCALING.json; SCALE.md
+narrates them.
+
+Method notes:
+
+- Loop order is SCALES OUTER, QUERIES INNER — the same discipline as
+  bench.py, so the suite's deliberate shared projections (tokenized
+  documents, cached pair relations, memoized ANN fits) warm identically
+  at every scale; the cache clears between scales only.  Per-query
+  time is min of ``--attempts`` runs to shave host-stall noise.
+- Probe queries are the suite's heaviest + one representative of every
+  scale-critical shape (LSH funnels, connected components, iterative
+  pagerank, blocked Gram products, ANN, bigram shuffle-joins, TPC-H
+  joins, session windows, sampled ML fit).
+- Caveat on exponents measured at this size: fixed per-query overheads
+  (plan compile, task launch, small-dim scans) are a large share of
+  sub-second queries, DEFLATING e below the plan's asymptotic truth.
+  A measured e well below 1 usually means "overhead-dominated", not
+  "sublinear algorithm" — except where the plan genuinely is sublinear
+  (ml_quality_filter fits on a bounded sample; near_dup_incremental's
+  cost is ∝ batch, not corpus).  An e near 2 is meaningful at ANY
+  size: it means a pair surface grew quadratically.
+
+Usage: python tools/scaleprobe.py [--attempts 2] [--out SCALING.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kafka_bigdata_jobs_spark import suite  # noqa: E402
+from kafka_bigdata_jobs_spark.session import get_spark  # noqa: E402
+
+SCALES = {
+    "x1": "/root/testdata/sf0.1",
+    "x3": ".scaledata/x3",
+    "x10": ".scaledata/x10",
+}
+
+#: name -> why it is in the probe (shape being scale-tested)
+PROBE = {
+    "near_dup_pairs_minhash": "LSH banding funnel (bucketed equi-join)",
+    "near_dup_pairs_word_bigram": "shingle LSH funnel + exact Jaccard verify",
+    "simhash_near_dups": "hamming-band funnel",
+    "near_dup_clusters": "connected components over near-dup edges",
+    "near_dup_incremental": "batch-vs-index dedup (cost ∝ batch)",
+    "dedup_exact_summary": "exact hash-groupBy dedup",
+    "boilerplate_segments": "passage-grain explode + groupBy",
+    "similarity_topk_bruteforce": "broadcast-queries exact top-k scan",
+    "similarity_topk_ivf_kmeans": "IVF cell-probed ANN (fit + scan)",
+    "embedding_close_pairs": "blocked all-pairs cosine at threshold",
+    "customer_supplier_pagerank": "iterative join+agg (5 power steps)",
+    "correlated_user_spend_pairs": "block×block integer Gram product",
+    "bigram_coverage_quality": "corpus-count shuffle + probe join",
+    "tfidf_top_terms": "tokenized projection + idf join",
+    "winnow_fingerprint_stats": "rolling-hash winnowing",
+    "shipping_priority_q3": "3-way TPC-H join",
+    "waiting_suppliers_q21": "multi-join + conditional agg",
+    "big_orders_q18": "group-filter semi-join",
+    "user_sessions": "sessionization window over user timeline",
+    "weekly_retention_cohorts": "cohort explode + user shuffle",
+    "ml_quality_filter": "LR fit on bounded sample + JVM scoring",
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--attempts", type=int, default=2)
+    ap.add_argument("--out", default="SCALING.json")
+    ap.add_argument("--queries", nargs="*", default=None)
+    args = ap.parse_args()
+
+    for scale, d in SCALES.items():
+        if not os.path.exists(d):
+            raise SystemExit(
+                f"{scale} dataset missing at {d} — run tools/scaleup.py first"
+            )
+
+    reg = suite.registry()
+    names = args.queries or [n for n in PROBE if n in reg]
+    spark = get_spark("kbj-spark-scaleprobe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, dict] = {name: {} for name in names}
+    for scale, d in SCALES.items():
+        spark.catalog.clearCache()
+        for name in names:
+            fn = reg[name].fn
+            best, rows = math.inf, -1
+            for _ in range(args.attempts):
+                t0 = time.monotonic()
+                rows = fn(spark, d).count()
+                best = min(best, time.monotonic() - t0)
+            results[name][scale] = round(best, 3)
+            results[name][f"rows_{scale}"] = rows
+            print(f"{scale:4s} {name:34s} {best:8.2f}s rows={rows}",
+                  flush=True)
+    for name, row in results.items():
+        # exponent from the x3→x10 leg (x1 carries the most fixed
+        # overhead; the upper leg is closest to asymptotic behavior)
+        row["exp_x3_x10"] = round(
+            math.log(max(row["x10"], 1e-3) / max(row["x3"], 1e-3))
+            / math.log(10 / 3),
+            2,
+        )
+        row["exp_x1_x10"] = round(
+            math.log(max(row["x10"], 1e-3) / max(row["x1"], 1e-3))
+            / math.log(10),
+            2,
+        )
+
+    out = {
+        "scales": {k: os.path.abspath(v) for k, v in SCALES.items()},
+        "base": "sf0.1 replicated via tools/scaleup.py",
+        "attempts": args.attempts,
+        "queries": results,
+        "probe_rationale": PROBE,
+    }
+    with open(args.out, "w", encoding="utf-8") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(f"wrote {args.out}: {len(results)} queries x {len(SCALES)} scales")
+
+
+if __name__ == "__main__":
+    main()
