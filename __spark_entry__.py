@@ -75,9 +75,15 @@ _R1_VERIFIED = frozenset({
 
 def _ordered() -> list[str]:
     verified = _driver_verified()
-    names = list(suite.registry())
-    return ([n for n in names if n not in verified]
-            + [n for n in names if n in verified])
+    reg = suite.registry()
+    names = list(reg)
+    fresh = [n for n in names if n not in verified]
+    # Oracle-backed queries first within the never-checked group: the
+    # driver's fixed-size sample should spend its slots on full
+    # value-hash checks before rows-only ones (stable sort keeps
+    # registration order within each class).
+    fresh.sort(key=lambda n: reg[n].oracle is None)
+    return fresh + [n for n in names if n in verified]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

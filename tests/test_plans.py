@@ -133,6 +133,38 @@ def test_kll_quantile_accuracy(spark):
             assert abs(rank - target) <= 0.04, (r["week"], r["event_type"], target, rank)
 
 
+def test_sketch_accuracy_report_is_self_auditing(spark):
+    """The driver-facing accuracy artifact must carry every sketch family
+    with an exact twin, and each reported error must sit inside the same
+    tolerance the dedicated accuracy tests pin (HLL lgK=12 ~1.6% rse ->
+    5%; KLL k=200 ~1.7% rank err -> value within a few % for smooth
+    regions; theta exact-mode below k=4096)."""
+    from kafka_bigdata_jobs_spark import suite
+
+    rows = (
+        suite.registry()["sketch_accuracy_report"].fn(spark, SF).collect()
+    )
+    by_sketch: dict = {}
+    for r in rows:
+        by_sketch.setdefault(r["sketch"], []).append(r)
+        assert r["err_bp"] == abs(r["estimate"] - r["exact"]) * 10000 // max(
+            r["exact"], 1
+        )
+    assert set(by_sketch) == {
+        "hll_distinct_users", "kll_quantile", "theta_intersection",
+    }
+    assert len(by_sketch["kll_quantile"]) == 3
+    for r in by_sketch["hll_distinct_users"]:
+        assert r["err_bp"] <= 500, r
+    for r in by_sketch["theta_intersection"]:
+        assert r["err_bp"] <= 500, r
+    for r in by_sketch["kll_quantile"]:
+        # p99 of a heavy tail is rank-accurate but value-noisy; the
+        # report exists to SHOW that, so the bound is loose there
+        limit = 2000 if r["scope"] == "p99_value_cents" else 1000
+        assert r["err_bp"] <= limit, r
+
+
 def test_theta_overlap_accuracy(spark):
     """Theta-sketch intersection estimates must match exact distinct
     intersections (fixture cardinalities are far below the sketch's
