@@ -11,11 +11,15 @@ narrates them.
 
 Method notes:
 
-- Loop order is SCALES OUTER, QUERIES INNER — the same discipline as
-  bench.py, so the suite's deliberate shared projections (tokenized
-  documents, cached pair relations, memoized ANN fits) warm identically
-  at every scale; the cache clears between scales only.  Per-query
-  time is min of ``--attempts`` runs to shave host-stall noise.
+- Timing discipline is bench.py's, verbatim: ``clearCache`` after
+  EVERY run so each query is timed independently (first-touch
+  materialization of shared projections lands on every query equally,
+  not on whichever ran first — an earlier probe variant read e=2.3
+  for boilerplate_segments from exactly that attribution bug), and
+  min-of-attempts with extra spaced retries above a threshold, because
+  this host has documented multi-second stall windows (BASELINE.md:
+  identical plans swing 1 s ↔ 50 s; two back-to-back attempts can both
+  land inside one window).
 - Probe queries are the suite's heaviest + one representative of every
   scale-critical shape (LSH funnels, connected components, iterative
   pagerank, blocked Gram products, ANN, bigram shuffle-joins, TPC-H
@@ -96,16 +100,31 @@ def main() -> None:
     spark = get_spark("kbj-spark-scaleprobe")
     spark.sparkContext.setLogLevel("ERROR")
 
+    RETRY_OVER = 2.5  # seconds — same stall-escape policy as bench.py
+    MAX_ATTEMPTS = max(args.attempts + 1, 3)
+
+    def run_once(fn, d):
+        t0 = time.monotonic()
+        n = fn(spark, d).count()
+        dt = time.monotonic() - t0
+        spark.catalog.clearCache()  # time queries independently
+        return dt, n
+
     results: dict[str, dict] = {name: {} for name in names}
     for scale, d in SCALES.items():
         spark.catalog.clearCache()
+        reg["pricing_summary"].fn(spark, d).count()  # JIT/footer warm-up
         for name in names:
             fn = reg[name].fn
             best, rows = math.inf, -1
             for _ in range(args.attempts):
-                t0 = time.monotonic()
-                rows = fn(spark, d).count()
-                best = min(best, time.monotonic() - t0)
+                dt, rows = run_once(fn, d)
+                best = min(best, dt)
+            attempts = args.attempts
+            while best > RETRY_OVER and attempts < MAX_ATTEMPTS:
+                dt, rows = run_once(fn, d)
+                best = min(best, dt)
+                attempts += 1
             results[name][scale] = round(best, 3)
             results[name][f"rows_{scale}"] = rows
             print(f"{scale:4s} {name:34s} {best:8.2f}s rows={rows}",
