@@ -26,6 +26,12 @@ Design (training-data pipeline at 100 TB):
   ``extract_image_features`` (stride-padded rows, BGR ordering,
   BT.601 luma).  Non-BMP images fall back to the deterministic fake
   (or raise), same contract as audio.
+- VIDEO also has a REAL codec: YUV4MPEG2 (Y4M) streams — the
+  uncompressed interchange container real encoders emit — parse
+  through ``_parse_y4m`` (header fields, FRAME markers, planar 4:2:0
+  layout) inside ``extract_video_features`` and ``sample_frames``.
+  Every modality now has one genuine end-to-end codec path next to
+  the honestly-guarded fake.
 """
 
 from __future__ import annotations
@@ -366,6 +372,185 @@ def extract_audio_features(
     return df.select(id_col, payload_col).mapInPandas(batches, AUDIO_FEATURES)
 
 
+def _parse_y4m(payload: bytes):
+    """Minimal YUV4MPEG2 stream parser (real video codec path).
+
+    Y4M is the uncompressed interchange container every real encoder
+    speaks (ffmpeg -f yuv4mpeg): one ASCII header line
+    (``YUV4MPEG2 W<w> H<h> F<num>:<den> ... [C<fmt>]``) followed by
+    frames, each an ASCII ``FRAME`` line then a raw planar picture.
+    Only the C420 family (the overwhelmingly common case; also the
+    default when no C tag is present) is supported — the guard names
+    the constraint rather than mis-decoding.
+
+    Returns (width, height, fps_num, fps_den, [Y-plane bytes per
+    frame]).  Chroma planes are skipped, not decoded — luma carries
+    the features this module computes.
+    """
+    nl = payload.index(b"\n")
+    fields = payload[:nl].split(b" ")
+    if fields[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = num = den = None
+    cfmt = b"420"
+    for f in fields[1:]:
+        if f[:1] == b"W":
+            w = int(f[1:])
+        elif f[:1] == b"H":
+            h = int(f[1:])
+        elif f[:1] == b"F":
+            num, den = (int(x) for x in f[1:].split(b":"))
+        elif f[:1] == b"C":
+            cfmt = f[1:]
+    if not (w and h and num and den):
+        raise ValueError("YUV4MPEG2 header missing W/H/F")
+    if not cfmt.startswith(b"420"):
+        raise NotImplementedError(
+            f"only C420 YUV4MPEG2 supported (got C{cfmt.decode()})"
+        )
+    y_size = w * h
+    frame_size = y_size + 2 * ((w // 2) * (h // 2))
+    pos, frames = nl + 1, []
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        pos = fnl + 1
+        frames.append(payload[pos:pos + y_size])
+        pos += frame_size
+    return w, h, num, den, frames
+
+
+VIDEO_FEATURES = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("size_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("fps_num", T.IntegerType()),
+        T.StructField("fps_den", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("motion", T.DoubleType()),
+    ]
+)
+
+
+def extract_video_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Arrow-batched video feature extraction via ``mapInPandas``.
+
+    The codec is REAL for Y4M: ``YUV4MPEG2`` payloads decode through a
+    pure-numpy container parse (header fields, FRAME markers, planar
+    4:2:0 picture layout) — see :func:`_parse_y4m`.  Features are
+    physics-checkable: mean luma over all Y planes, and ``motion`` =
+    mean absolute Y difference between consecutive frames (both on the
+    0-1 scale).  Non-Y4M payloads fall back to the deterministic
+    digest-derived fake (or raise when ``deterministic_fake=False``),
+    the same contract as the BMP image and WAV audio paths.
+    """
+    fake = deterministic_fake
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure: workers must not need the engine package.
+        import hashlib as _hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        def _parse(payload: bytes):
+            nl = payload.index(b"\n")
+            fields = payload[:nl].split(b" ")
+            w = h = num = den = None
+            cfmt = b"420"
+            for f in fields[1:]:
+                if f[:1] == b"W":
+                    w = int(f[1:])
+                elif f[:1] == b"H":
+                    h = int(f[1:])
+                elif f[:1] == b"F":
+                    num, den = (int(x) for x in f[1:].split(b":"))
+                elif f[:1] == b"C":
+                    cfmt = f[1:]
+            if not (w and h and num and den):
+                raise ValueError("YUV4MPEG2 header missing W/H/F")
+            if not cfmt.startswith(b"420"):
+                raise NotImplementedError(
+                    f"only C420 YUV4MPEG2 supported (got C{cfmt.decode()})"
+                )
+            y_size = w * h
+            frame_size = y_size + 2 * ((w // 2) * (h // 2))
+            pos, frames = nl + 1, []
+            while pos < len(payload):
+                fnl = payload.index(b"\n", pos)
+                if payload[pos:pos + 5] != b"FRAME":
+                    raise ValueError(f"expected FRAME marker at byte {pos}")
+                pos = fnl + 1
+                frames.append(payload[pos:pos + y_size])
+                pos += frame_size
+            return w, h, num, den, frames
+
+        def _decode(payload: bytes):
+            if payload[:10] == b"YUV4MPEG2 ":
+                w, h, num, den, frames = _parse(payload)  # real codec path
+                ys = _np.stack(
+                    [_np.frombuffer(f, dtype=_np.uint8) for f in frames]
+                ).astype(_np.float64)
+                luma = float(ys.mean()) / 255.0
+                motion = (
+                    float(_np.abs(_np.diff(ys, axis=0)).mean()) / 255.0
+                    if len(frames) > 1
+                    else 0.0
+                )
+                n = len(frames)
+                return w, h, num, den, n, n * 1000 * den // num, luma, motion
+            if not fake:
+                raise NotImplementedError(
+                    "non-Y4M video codecs are not available in this "
+                    "environment; pass deterministic_fake=True for the "
+                    "test pipeline or supply YUV4MPEG2 payloads"
+                )
+            d = _hashlib.sha256(payload).digest()
+            n = 1 + d[3] % 8
+            num, den = (24, 25, 30, 60)[d[4] % 4], 1
+            return (
+                64 + d[0] % 192, 64 + d[1] % 192, num, den, n,
+                n * 1000 * den // num,
+                round(sum(d[2:10]) / 8 / 255.0, 6),
+                round(d[10] / 255.0 / 8, 6),
+            )
+
+        for pdf in it:
+            recs = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(p)
+                w, h, num, den, n, dur, luma, motion = _decode(payload)
+                recs.append(
+                    (
+                        int(mid),
+                        _hashlib.sha256(payload).hexdigest(),
+                        len(payload), w, h, num, den, n, dur,
+                        round(luma, 6), round(motion, 6),
+                    )
+                )
+            yield _pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id", "sha256", "size_bytes", "width", "height",
+                    "fps_num", "fps_den", "n_frames", "duration_ms",
+                    "mean_luma", "motion",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, VIDEO_FEATURES)
+
+
 def sample_frames(
     df: DataFrame,
     id_col: str = "media_id",
@@ -374,9 +559,14 @@ def sample_frames(
     deterministic_fake: bool = True,
 ) -> DataFrame:
     """Frame-sampling plumbing for video payloads: explodes each payload
-    into (media_id, frame_idx, frame_sha256) rows.  The frame decoder is
-    the stubbed codec boundary; the fake derives a deterministic frame
-    count from the digest."""
+    into (media_id, frame_idx, frame_sha256) rows.
+
+    REAL for Y4M payloads: frames are picked from the parsed stream at
+    ``every_ms`` intervals using the container's own frame rate, and
+    ``frame_sha256`` hashes the actual Y plane — so a row is
+    reproducible by any other Y4M decoder.  Non-Y4M payloads use the
+    deterministic digest-derived fake (or raise), matching the module's
+    codec contract."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -384,14 +574,30 @@ def sample_frames(
             T.StructField("frame_sha256", T.StringType()),
         ]
     )
+    fake = deterministic_fake
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, idxs, hashes = [], [], []
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
                 payload = bytes(p)
-                if not deterministic_fake:
-                    raise NotImplementedError("video codecs unavailable; use fake")
+                if payload[:10] == b"YUV4MPEG2 ":
+                    _w, _h, num, den, frames = _parse_y4m(payload)
+                    step = max(1, round(every_ms * num / (1000 * den)))
+                    for out_i, src_i in enumerate(
+                        range(0, len(frames), step)
+                    ):
+                        ids.append(int(mid))
+                        idxs.append(out_i)
+                        hashes.append(
+                            hashlib.sha256(frames[src_i]).hexdigest()
+                        )
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "non-Y4M video codecs unavailable; use fake or "
+                        "supply YUV4MPEG2 payloads"
+                    )
                 digest = hashlib.sha256(payload).digest()
                 n_frames = 1 + digest[3] % 8
                 for i in range(n_frames):

@@ -1467,6 +1467,69 @@ def q_bmp_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "y4m_codec_features",
+    None,  # frame synthesis + codec decode — not SQL-expressible
+    doc="REAL video codec end-to-end, completing the per-modality codec "
+    "trio (wav_codec_features, bmp_codec_features): genuine YUV4MPEG2 "
+    "streams are synthesized per media id — n solid-luma 4:2:0 frames "
+    "whose Y level ramps linearly frame-to-frame — then decoded by the "
+    "pure-numpy Y4M parser inside extract_video_features with "
+    "deterministic_fake=False.  The features land on arithmetic: a "
+    "ramp with step b has mean_luma = midpoint/255 and motion = b/255 "
+    "exactly, so the rows-only driver artifact is self-evidently a "
+    "real container parse (header fields, FRAME markers, planar "
+    "picture stride).  Same Arrow-batched mapInPandas plumbing as "
+    "every multimodal stage.",
+)
+def q_y4m_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal as M
+
+    ids = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("media_id"))
+    )
+
+    def synth(batches):
+        import pandas as _pd
+
+        def _y4m(w: int, h: int, num: int, den: int, lumas) -> bytes:
+            head = f"YUV4MPEG2 W{w} H{h} F{num}:{den} Ip A1:1 C420\n"
+            chroma = bytes([128]) * (2 * ((w // 2) * (h // 2)))
+            out = [head.encode()]
+            for y in lumas:
+                out.append(b"FRAME\n")
+                out.append(bytes([y]) * (w * h))
+                out.append(chroma)
+            return b"".join(out)
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w = 16 + 2 * (mid % 5)   # C420 needs even dims
+                h = 8 + 2 * (mid % 3)
+                num, den = (24, 25, 30, 60)[mid % 4], 1
+                n = 3 + mid % 5
+                base, step = 40 + 8 * mid, 10 + mid
+                lumas = [base + step * k for k in range(n)]
+                payloads.append(_y4m(w, h, num, den, lumas))
+            yield _pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = ids.mapInPandas(synth, "media_id long, payload binary")
+    return (
+        M.extract_video_features(media, deterministic_fake=False)
+        .select(
+            "media_id", "width", "height", "fps_num", "n_frames",
+            "duration_ms", "mean_luma", "motion",
+        )
+        .orderBy("media_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar-function surface + batch windows (SURVEY §2.9, §2.10-T2-as-batch)
 # ---------------------------------------------------------------------------
