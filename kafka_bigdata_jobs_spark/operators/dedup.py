@@ -204,6 +204,70 @@ def word_segment_rows(
     )
 
 
+def duplicate_span_rows(
+    df: DataFrame,
+    id_col: str,
+    words_col: str = "words",
+    n: int = 8,
+    min_docs: int = 2,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Maximal cross-document duplicated word-``n``-gram spans:
+    ``(id, carry..., span_start, span_len)`` where ``span_start`` is the
+    0-based word offset of the first duplicated ``n``-gram and
+    ``span_len`` counts consecutive duplicated ``n``-gram positions
+    (the covered word run is ``span_len + n - 1`` words).
+
+    Substring-grain dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" — public method): document- and
+    segment-grain fingerprints miss text that is duplicated *inside*
+    otherwise-distinct documents (licenses, templates, quoted blocks).
+    The suffix-array formulation of the paper is replaced by the
+    relational funnel Spark executes well:
+
+    1. posexplode the ``n``-gram positions (~1x corpus, one generate);
+    2. one shuffle on the shingle to count DISTINCT source documents
+       (partial aggregation map-side; the relation is shingle-
+       cardinality-bounded, never all-pairs);
+    3. left-semi join positions against the >=``min_docs`` shingles on
+       the same shuffle key;
+    4. gaps-and-islands per document (``pos - row_number``) to merge
+       consecutive duplicated positions into maximal spans — the
+       window repartitions on ``id_col`` and the following
+       ``groupBy(id, grp)`` reuses that partitioning (id is a prefix
+       of the grouping key), so the whole merge costs one shuffle.
+
+    Carry columns must be functionally dependent on ``id_col``
+    (e.g. lang/source) — they ride through the grouping unchanged.
+    """
+    from .quality import ngrams_zip
+
+    pos = df.select(
+        id_col,
+        *carry,
+        F.posexplode(ngrams_zip(F.col(words_col), n)).alias("pos", "shingle"),
+    )
+    dup_shingles = (
+        pos.groupBy("shingle")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("shingle")
+    )
+    from pyspark.sql.window import Window
+
+    marked = pos.join(dup_shingles, "shingle", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = marked.withColumn("__grp", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy(id_col, *carry, "__grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.count(F.lit(1)).alias("span_len"),
+        )
+        .drop("__grp")
+    )
+
+
 # -- MinHash + LSH ----------------------------------------------------------
 
 

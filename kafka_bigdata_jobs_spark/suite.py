@@ -85,6 +85,8 @@ _ORACLE_BIGINT_COLS: dict[str, tuple[str, ...]] = {
     "domain_quality_cap": ("sum_quality",),
     "bigram_coverage_quality": ("total_bigrams", "total_common", "coverage_pct"),
     "skewed_type_revenue_salted": ("value_cents", "weighted_cents"),
+    "dup_span_profile": ("total_positions", "dup_positions", "dup_bp"),
+    "dup_span_top_docs": ("dup_positions", "dup_bp"),
     "session_window_rollup": ("n_events",),
     "orders_quality_gate": ("n_violations",),
     "embedding_covariance_probe": ("sum_i", "sum_j", "sum_ij", "cov_num"),
@@ -6440,6 +6442,159 @@ def q_segment_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.sum(redundant) * 10000).cast("long") / F.count(F.lit(1)))
         .cast("long")
         .alias("redundant_bp"),
+    )
+
+
+_DUP_SPAN_ORACLE_CTES = r"""
+    WITH w AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS words
+      FROM documents
+    ), g AS (
+      SELECT doc_id, lang, i AS pos,
+             array_to_string(words[i+1:i+8], ' ') AS sh
+      FROM w, UNNEST(range(len(words) - 7)) AS t(i)
+    ), d AS (
+      SELECT sh FROM g GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
+    ), m AS (
+      SELECT g.doc_id, g.lang, g.pos FROM g JOIN d USING (sh)
+    ), isl AS (
+      SELECT doc_id, lang, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM m
+    ), s AS (
+      SELECT doc_id, lang, grp, COUNT(*) AS span_len
+      FROM isl GROUP BY doc_id, lang, grp
+    )
+"""
+
+
+@register(
+    "dup_span_profile",
+    _DUP_SPAN_ORACLE_CTES
+    + r"""
+    , sp AS (
+      SELECT lang, COUNT(DISTINCT doc_id) AS docs_with_dup,
+             COUNT(*) AS n_spans, SUM(span_len) AS dup_positions,
+             MAX(span_len) AS max_span_len
+      FROM s GROUP BY lang
+    ), tot AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             SUM(GREATEST(len(words) - 7, 0)) AS total_positions
+      FROM w GROUP BY lang
+    )
+    SELECT t.lang, t.n_docs, t.total_positions,
+           COALESCE(sp.docs_with_dup, 0) AS docs_with_dup,
+           COALESCE(sp.n_spans, 0) AS n_spans,
+           COALESCE(sp.dup_positions, 0) AS dup_positions,
+           COALESCE(sp.max_span_len, 0) AS max_span_len,
+           (COALESCE(sp.dup_positions, 0) * 10000) // t.total_positions
+             AS dup_bp
+    FROM tot t LEFT JOIN sp USING (lang)
+    """,
+    doc="Substring-grain dedup profile (Lee et al. 2022 public method, "
+    "relationally re-expressed): per language, how much text sits in "
+    "CROSS-document duplicated word 8-gram spans.  The engine runs "
+    "operators.dedup.duplicate_span_rows — posexplode the 8-gram "
+    "positions, one shingle shuffle to count distinct source docs, "
+    "left-semi back, gaps-and-islands span merge riding the doc_id "
+    "window partitioning — then rolls up spans per lang against the "
+    "position totals.  dup_bp is floor basis points (integer lattice); "
+    "the oracle is the same funnel in DuckDB window SQL, so the span "
+    "MERGE itself (not just the counts) is value-hash-checked.",
+)
+def q_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import duplicate_span_rows
+    from .operators.textproj import tokenized_documents
+
+    apply_runtime_conf(spark)
+    p = tokenized_documents(spark, sf_dir)
+    spans = duplicate_span_rows(
+        p.select("doc_id", "lang", "words"), "doc_id", "words",
+        n=8, min_docs=2, carry=("lang",),
+    )
+    sp = spans.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("docs_with_dup"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").alias("dup_positions"),
+        F.max("span_len").alias("max_span_len"),
+    )
+    tot = p.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.greatest(F.size("words") - 7, F.lit(0))).alias(
+            "total_positions"
+        ),
+    )
+    joined = tot.join(sp, "lang", "left")
+    zero = F.lit(0).cast("long")
+    return joined.select(
+        "lang",
+        "n_docs",
+        "total_positions",
+        F.coalesce("docs_with_dup", zero).alias("docs_with_dup"),
+        F.coalesce("n_spans", zero).alias("n_spans"),
+        F.coalesce("dup_positions", zero).alias("dup_positions"),
+        F.coalesce("max_span_len", zero).alias("max_span_len"),
+        F.expr(
+            "(coalesce(dup_positions, 0L) * 10000) div total_positions"
+        ).alias("dup_bp"),
+    )
+
+
+@register(
+    "dup_span_top_docs",
+    _DUP_SPAN_ORACLE_CTES
+    + r"""
+    , per_doc AS (
+      SELECT doc_id, lang, COUNT(*) AS n_spans,
+             SUM(span_len) AS dup_positions, MAX(span_len) AS max_span_len
+      FROM s GROUP BY doc_id, lang
+    )
+    SELECT p.doc_id, p.lang, p.n_spans, p.dup_positions, p.max_span_len,
+           GREATEST(len(w.words) - 7, 0) AS total_positions,
+           (p.dup_positions * 10000) // GREATEST(len(w.words) - 7, 0)
+             AS dup_bp
+    FROM per_doc p JOIN w USING (doc_id)
+    ORDER BY dup_bp DESC, doc_id
+    LIMIT 10
+    """,
+    doc="The documents most covered by cross-document duplicated "
+    "8-gram spans — the per-document face of dup_span_profile, the "
+    "list a curation pipeline would route to substring-level removal. "
+    "Deterministic top-10 (dup_bp DESC, doc_id tie-break); division "
+    "is safe because a doc can only carry a span if it has >= 1 "
+    "8-gram position.",
+)
+def q_dup_span_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import duplicate_span_rows
+    from .operators.textproj import tokenized_documents
+
+    apply_runtime_conf(spark)
+    p = tokenized_documents(spark, sf_dir)
+    spans = duplicate_span_rows(
+        p.select("doc_id", "lang", "words"), "doc_id", "words",
+        n=8, min_docs=2, carry=("lang",),
+    )
+    per_doc = spans.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").alias("dup_positions"),
+        F.max("span_len").alias("max_span_len"),
+    )
+    totals = p.select(
+        "doc_id",
+        F.greatest(F.size("words") - 7, F.lit(0)).alias("total_positions"),
+    )
+    return (
+        per_doc.join(totals, "doc_id")
+        .select(
+            "doc_id", "lang", "n_spans", "dup_positions", "max_span_len",
+            "total_positions",
+            F.expr("(dup_positions * 10000) div total_positions").alias(
+                "dup_bp"
+            ),
+        )
+        .orderBy(F.col("dup_bp").desc(), "doc_id")
+        .limit(10)
     )
 
 
