@@ -22,6 +22,10 @@ correctness-local:
 coverage:
 	$(PY) tools/refresh_coverage.py
 
+# Regenerate the QUERIES.md catalog from the live registry.
+queries-md:
+	$(PY) tools/refresh_queries.py
+
 # Materialize 3x/10x replicas of sf0.1 (key-shifted, similarity-
 # decorrelated — see tools/scaleup.py docstring) for the scaling probe.
 scaledata:

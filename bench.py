@@ -93,6 +93,7 @@ def main() -> None:
         "session_window_rollup", "orders_quality_gate",
         "ml_quality_filter", "customer_supplier_pagerank",
         "embedding_pca_variance", "term_cooccurrence_lift",
+        "dup_span_profile", "substring_dedup_retention",
     ]
     payload = {
         "metric": "suite_wall_sec",

@@ -268,6 +268,70 @@ def duplicate_span_rows(
     )
 
 
+def redundant_span_cuts(
+    df: DataFrame,
+    id_col: str,
+    words_col: str = "words",
+    n: int = 8,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """The REMOVAL step of substring-grain dedup (Lee et al. 2022):
+    word intervals a curation pass would cut from each document,
+    ``(id, carry..., cut_start, cut_words)``.
+
+    Survivor rule: an ``n``-gram occurrence is redundant iff the
+    smallest document id owning that shingle is smaller than this
+    document's — the deterministic min-id survivor of ``exact_dedup``
+    applied at substring grain.  Occurrences inside the canonical
+    (min-id) document are always kept, even when the shingle repeats
+    within it: intra-document repetition is the repetition-filter
+    family's job, not dedup's.
+
+    A redundant position ``p`` covers words ``[p, p+n)``; overlapping
+    covers must not be double-counted, so consecutive redundant
+    positions with gap <= ``n-1`` merge into one cut via
+    gaps-and-islands over ``lag`` (interval union, relationally).  The
+    cut length is ``max_pos - min_pos + n`` words.
+
+    Same funnel shape as :func:`duplicate_span_rows`: one shingle
+    shuffle (min-id owner per shingle), an equi-join back on the same
+    key, one ``id_col`` window partition that the final groupBy
+    reuses.  Nothing is all-pairs; the owner relation is shingle-
+    cardinality-bounded with map-side partial min.
+    """
+    from pyspark.sql.window import Window
+
+    from .quality import ngrams_zip
+
+    pos = df.select(
+        id_col,
+        *carry,
+        F.posexplode(ngrams_zip(F.col(words_col), n)).alias("pos", "shingle"),
+    )
+    owners = pos.groupBy("shingle").agg(F.min(id_col).alias("__canon"))
+    redundant = (
+        pos.join(owners, "shingle")
+        .where(F.col(id_col) > F.col("__canon"))
+        .select(id_col, *carry, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    gap = F.col("pos") - F.lag("pos").over(w)
+    flagged = redundant.withColumn(
+        "__new", F.when(gap.isNull() | (gap > n - 1), 1).otherwise(0)
+    )
+    islands = flagged.withColumn(
+        "__cut", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy(id_col, *carry, "__cut")
+        .agg(
+            F.min("pos").alias("cut_start"),
+            (F.max("pos") - F.min("pos") + n).alias("cut_words"),
+        )
+        .drop("__cut")
+    )
+
+
 # -- MinHash + LSH ----------------------------------------------------------
 
 

@@ -87,6 +87,11 @@ _ORACLE_BIGINT_COLS: dict[str, tuple[str, ...]] = {
     "skewed_type_revenue_salted": ("value_cents", "weighted_cents"),
     "dup_span_profile": ("total_positions", "dup_positions", "dup_bp"),
     "dup_span_top_docs": ("dup_positions", "dup_bp"),
+    "substring_dedup_retention": (
+        "total_words",
+        "words_removed",
+        "removed_bp",
+    ),
     "session_window_rollup": ("n_events",),
     "orders_quality_gate": ("n_violations",),
     "embedding_covariance_probe": ("sum_i", "sum_j", "sum_ij", "cov_num"),
@@ -6595,6 +6600,102 @@ def q_dup_span_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("dup_bp").desc(), "doc_id")
         .limit(10)
+    )
+
+
+@register(
+    "substring_dedup_retention",
+    r"""
+    WITH w AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS words
+      FROM documents
+    ), g AS (
+      SELECT doc_id, lang, i AS pos,
+             array_to_string(words[i+1:i+8], ' ') AS sh
+      FROM w, UNNEST(range(len(words) - 7)) AS t(i)
+    ), own AS (
+      SELECT sh, MIN(doc_id) AS canon FROM g GROUP BY sh
+    ), r AS (
+      SELECT g.doc_id, g.lang, g.pos
+      FROM g JOIN own USING (sh) WHERE g.doc_id > own.canon
+    ), fl AS (
+      SELECT doc_id, lang, pos,
+             CASE WHEN pos - LAG(pos) OVER (
+                    PARTITION BY doc_id ORDER BY pos) <= 7
+                  THEN 0 ELSE 1 END AS newf
+      FROM r
+    ), isl AS (
+      SELECT doc_id, lang, pos,
+             SUM(newf) OVER (PARTITION BY doc_id ORDER BY pos) AS cut
+      FROM fl
+    ), cuts AS (
+      SELECT doc_id, lang, cut,
+             MAX(pos) - MIN(pos) + 8 AS cut_words
+      FROM isl GROUP BY doc_id, lang, cut
+    ), cu AS (
+      SELECT lang, COUNT(DISTINCT doc_id) AS docs_cut, COUNT(*) AS n_cuts,
+             SUM(cut_words) AS words_removed,
+             MAX(cut_words) AS max_cut_words
+      FROM cuts GROUP BY lang
+    ), tot AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             SUM(CASE WHEN len(words) = 1 AND words[1] = '' THEN 0
+                      ELSE len(words) END) AS total_words
+      FROM w GROUP BY lang
+    )
+    SELECT t.lang, t.n_docs, t.total_words,
+           COALESCE(cu.docs_cut, 0) AS docs_cut,
+           COALESCE(cu.n_cuts, 0) AS n_cuts,
+           COALESCE(cu.words_removed, 0) AS words_removed,
+           COALESCE(cu.max_cut_words, 0) AS max_cut_words,
+           (COALESCE(cu.words_removed, 0) * 10000) // t.total_words
+             AS removed_bp
+    FROM tot t LEFT JOIN cu USING (lang)
+    """,
+    doc="The REMOVAL face of substring dedup (Lee et al. 2022): how "
+    "many words each language would lose under the min-doc-id survivor "
+    "rule — an 8-gram occurrence is cut iff a smaller-id document owns "
+    "the same shingle, and overlapping covers merge via interval union "
+    "(gaps-and-islands over lag, gap <= 7) so removed words are never "
+    "double-counted.  Engine runs operators.dedup.redundant_span_cuts "
+    "(one shingle shuffle for min-id owners, equi-join back, one "
+    "doc_id window the rollup reuses); the oracle replays the interval "
+    "union in DuckDB window SQL, so the survivor rule AND the union "
+    "arithmetic are value-hash-checked.  removed_bp = floor basis "
+    "points of words removed.",
+)
+def q_substring_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import redundant_span_cuts
+    from .operators.textproj import guarded_word_count, tokenized_documents
+
+    apply_runtime_conf(spark)
+    p = tokenized_documents(spark, sf_dir)
+    cuts = redundant_span_cuts(
+        p.select("doc_id", "lang", "words"), "doc_id", "words",
+        n=8, carry=("lang",),
+    )
+    cu = cuts.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("docs_cut"),
+        F.count(F.lit(1)).alias("n_cuts"),
+        F.sum("cut_words").alias("words_removed"),
+        F.max("cut_words").alias("max_cut_words"),
+    )
+    tot = p.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(guarded_word_count(F.col("words"))).alias("total_words"),
+    )
+    zero = F.lit(0).cast("long")
+    return tot.join(cu, "lang", "left").select(
+        "lang",
+        "n_docs",
+        "total_words",
+        F.coalesce("docs_cut", zero).alias("docs_cut"),
+        F.coalesce("n_cuts", zero).alias("n_cuts"),
+        F.coalesce("words_removed", zero).alias("words_removed"),
+        F.coalesce("max_cut_words", zero).alias("max_cut_words"),
+        F.expr(
+            "(coalesce(words_removed, 0L) * 10000) div total_words"
+        ).alias("removed_bp"),
     )
 
 

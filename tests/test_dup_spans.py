@@ -132,6 +132,89 @@ def test_suite_queries_match_oracle(spark):
 
     sf = "/root/testdata/sf0.001"
     con = duckdb_conn(sf)
-    for name in ("dup_span_profile", "dup_span_top_docs"):
+    for name in (
+        "dup_span_profile",
+        "dup_span_top_docs",
+        "substring_dedup_retention",
+    ):
         q = suite.registry()[name]
         assert compare(q.fn(spark, sf), con, q.oracle) == [], name
+
+
+# -- removal step (redundant_span_cuts) -------------------------------------
+
+
+def _brute_cuts(docs: dict[int, list[str]], n: int):
+    """Reference: dict id -> list of (cut_start, cut_words) under the
+    min-id survivor rule with interval union."""
+    grams = {
+        i: [" ".join(ws[p : p + n]) for p in range(max(len(ws) - n + 1, 0))]
+        for i, ws in docs.items()
+    }
+    canon: dict[str, int] = {}
+    for i in sorted(grams):
+        for g in grams[i]:
+            canon.setdefault(g, i)
+    cuts: dict[int, list[tuple[int, int]]] = {}
+    for i, gs in grams.items():
+        red = [p for p, g in enumerate(gs) if canon[g] < i]
+        runs, start, prev = [], None, None
+        for p in red:
+            if start is None:
+                start, prev = p, p
+            elif p - prev <= n - 1:
+                prev = p
+            else:
+                runs.append((start, prev - start + n))
+                start, prev = p, p
+        if start is not None:
+            runs.append((start, prev - start + n))
+        if runs:
+            cuts[i] = runs
+    return cuts
+
+
+def _collect_cuts(df):
+    out: dict[int, list[tuple[int, int]]] = {}
+    for r in df.collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["cut_start"], r["cut_words"])
+        )
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def test_cuts_match_bruteforce_twin(docs_df):
+    from kafka_bigdata_jobs_spark.operators.dedup import redundant_span_cuts
+
+    docs, df = docs_df
+    got = _collect_cuts(redundant_span_cuts(df, "doc_id", "words", n=8))
+    want = {k: sorted(v) for k, v in _brute_cuts(docs, 8).items()}
+    assert got == want
+    # The canonical (min-id) document keeps everything.
+    assert 1 not in got
+    # Doc 2's 8 redundant positions 0..7 union into ONE 15-word cut —
+    # exactly the shared block, no double counting.
+    assert got[2] == [(0, 15)]
+
+
+def test_gapped_redundant_positions_union_into_one_cut(spark):
+    from kafka_bigdata_jobs_spark.operators.dedup import redundant_span_cuts
+
+    # doc 3 = X8 + Z8.  doc 1 owns X8 (-> pos 0 redundant); doc 2 owns
+    # exactly doc 3's gram at pos 7 (words 7..14).  Positions 1..6 are
+    # unique, so redundant positions {0, 7} sit 7 apart — within the
+    # n-1 overlap window, so their covers [0,8) and [7,15) UNION into
+    # one 15-word cut, not two 8-word cuts (no double counting).
+    x8 = [f"x{i}" for i in range(8)]
+    z8 = [f"z{i}" for i in range(8)]
+    d3 = x8 + z8
+    docs = {1: x8, 2: d3[7:15], 3: d3}
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, words array<string>"
+    )
+    got = _collect_cuts(redundant_span_cuts(df, "doc_id", "words", n=8))
+    assert got == {k: sorted(v) for k, v in _brute_cuts(docs, 8).items()}
+    assert got[3] == [(0, 15)]
+    # doc 2's single gram is owned by itself (doc 3 has the larger id),
+    # so doc 2 keeps everything.
+    assert 2 not in got

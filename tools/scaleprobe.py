@@ -79,6 +79,8 @@ PROBE = {
     "user_sessions": "sessionization window over user timeline",
     "weekly_retention_cohorts": "cohort explode + user shuffle",
     "ml_quality_filter": "LR fit on bounded sample + JVM scoring",
+    "dup_span_profile": "8-gram posexplode + shingle shuffle + island merge",
+    "substring_dedup_retention": "min-id owner join + interval-union window",
 }
 
 
