@@ -141,6 +141,68 @@ def test_suite_queries_match_oracle(spark):
         assert compare(q.fn(spark, sf), con, q.oracle) == [], name
 
 
+# -- randomized property: both operators vs their pure-Python twins --------
+
+
+def test_random_corpora_match_twins(spark):
+    """Tiny-alphabet random corpora force heavy shingle collisions —
+    repeated shingles within a doc, adjacent islands, full-doc covers —
+    the edge cases hand fixtures under-sample.  Deterministic seed;
+    one Spark round-trip for all corpora (cheap)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kafka_bigdata_jobs_spark.operators.dedup import (
+        duplicate_span_rows,
+        redundant_span_cuts,
+    )
+
+    rng = random.Random(20260814)
+    n = 3  # small n so collisions are dense
+    corpora = []
+    for _ in range(6):
+        docs = {
+            i: [f"t{rng.randrange(4)}" for _ in range(rng.randrange(0, 25))]
+            for i in range(1, 1 + rng.randrange(2, 7))
+        }
+        corpora.append(docs)
+    # One DataFrame, corpus discriminator in the id's high bits so a
+    # single Spark job covers all corpora without cross-talk.
+    rows = [
+        (c_idx * 1000 + i, ws)
+        for c_idx, docs in enumerate(corpora)
+        for i, ws in docs.items()
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, words array<string>")
+    # NOTE: pooling corpora into one frame would let shingles collide
+    # ACROSS corpora; instead run per-corpus via the discriminator
+    # filter (still lazy, one session).
+    for c_idx, docs in enumerate(corpora):
+        sub = df.where(
+            (F.col("doc_id") >= c_idx * 1000)
+            & (F.col("doc_id") < (c_idx + 1) * 1000)
+        )
+        got_spans = {
+            k - c_idx * 1000: v
+            for k, v in _collect(
+                duplicate_span_rows(sub, "doc_id", "words", n=n)
+            ).items()
+        }
+        want_spans = {
+            k: sorted(v) for k, v in _brute_spans(docs, n, 2).items()
+        }
+        assert got_spans == want_spans, f"spans corpus {c_idx}"
+        got_cuts = {
+            k - c_idx * 1000: v
+            for k, v in _collect_cuts(
+                redundant_span_cuts(sub, "doc_id", "words", n=n)
+            ).items()
+        }
+        want_cuts = {k: sorted(v) for k, v in _brute_cuts(docs, n).items()}
+        assert got_cuts == want_cuts, f"cuts corpus {c_idx}"
+
+
 # -- removal step (redundant_span_cuts) -------------------------------------
 
 
