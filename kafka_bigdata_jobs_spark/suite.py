@@ -6493,8 +6493,8 @@ _DUP_SPAN_ORACLE_CTES = r"""
            COALESCE(sp.n_spans, 0) AS n_spans,
            COALESCE(sp.dup_positions, 0) AS dup_positions,
            COALESCE(sp.max_span_len, 0) AS max_span_len,
-           (COALESCE(sp.dup_positions, 0) * 10000) // t.total_positions
-             AS dup_bp
+           (COALESCE(sp.dup_positions, 0) * 10000)
+             // GREATEST(t.total_positions, 1) AS dup_bp
     FROM tot t LEFT JOIN sp USING (lang)
     """,
     doc="Substring-grain dedup profile (Lee et al. 2022 public method, "
@@ -6540,8 +6540,13 @@ def q_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_spans", zero).alias("n_spans"),
         F.coalesce("dup_positions", zero).alias("dup_positions"),
         F.coalesce("max_span_len", zero).alias("max_span_len"),
+        # GREATEST(.., 1): a lang whose docs are all shorter than n has
+        # zero positions AND zero duplicated positions — bp must be 0,
+        # not a Spark-NULL-vs-DuckDB-error divergence (the degenerate-
+        # denominator class the round-2 advisor flagged on trend slopes).
         F.expr(
-            "(coalesce(dup_positions, 0L) * 10000) div total_positions"
+            "(coalesce(dup_positions, 0L) * 10000)"
+            " div greatest(total_positions, 1L)"
         ).alias("dup_bp"),
     )
 
@@ -6648,8 +6653,8 @@ def q_dup_span_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(cu.n_cuts, 0) AS n_cuts,
            COALESCE(cu.words_removed, 0) AS words_removed,
            COALESCE(cu.max_cut_words, 0) AS max_cut_words,
-           (COALESCE(cu.words_removed, 0) * 10000) // t.total_words
-             AS removed_bp
+           (COALESCE(cu.words_removed, 0) * 10000)
+             // GREATEST(t.total_words, 1) AS removed_bp
     FROM tot t LEFT JOIN cu USING (lang)
     """,
     doc="The REMOVAL face of substring dedup (Lee et al. 2022): how "
@@ -6693,8 +6698,11 @@ def q_substring_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_cuts", zero).alias("n_cuts"),
         F.coalesce("words_removed", zero).alias("words_removed"),
         F.coalesce("max_cut_words", zero).alias("max_cut_words"),
+        # GREATEST guard: all-empty-docs language -> bp 0 on both
+        # engines, never NULL-vs-error divergence.
         F.expr(
-            "(coalesce(words_removed, 0L) * 10000) div total_words"
+            "(coalesce(words_removed, 0L) * 10000)"
+            " div greatest(total_words, 1L)"
         ).alias("removed_bp"),
     )
 

@@ -141,6 +141,49 @@ def test_suite_queries_match_oracle(spark):
         assert compare(q.fn(spark, sf), con, q.oracle) == [], name
 
 
+def test_degenerate_language_agrees_across_engines(spark, tmp_path):
+    """A language whose documents are ALL shorter than n (zero 8-gram
+    positions) and one with only empty texts: dup_bp/removed_bp must be
+    0 on BOTH engines — the GREATEST(denominator, 1) guard prevents the
+    Spark-NULL-vs-DuckDB-division-error divergence class the round-2
+    advisor flagged on trend slopes."""
+    import duckdb
+
+    from kafka_bigdata_jobs_spark import suite
+    from kafka_bigdata_jobs_spark.operators.textproj import clear_cache
+    from tests.oracle_harness import compare
+
+    rows = [
+        (1, "web", "xx", "tiny doc"),            # 2 words < 8
+        (2, "web", "xx", "three little words"),
+        (3, "web", "yy", "   "),                 # trimmed-empty
+        # one healthy lang so the dup machinery has real work
+        (4, "web", "en", " ".join(f"w{i}" for i in range(20))),
+        (5, "web", "en", " ".join(f"w{i}" for i in range(20))),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    clear_cache(spark)  # don't inherit another sf_dir's projection
+    try:
+        for name in ("dup_span_profile", "substring_dedup_retention"):
+            q = suite.registry()[name]
+            assert compare(q.fn(spark, sf), con, q.oracle) == [], name
+            got = {r["lang"]: r for r in q.fn(spark, sf).collect()}
+            bp = "dup_bp" if name == "dup_span_profile" else "removed_bp"
+            assert got["xx"][bp] == 0 and got["yy"][bp] == 0
+            assert got["en"][bp] > 0  # docs 4/5 are full duplicates
+    finally:
+        clear_cache(spark)
+
+
 # -- randomized property: both operators vs their pure-Python twins --------
 
 
