@@ -290,8 +290,7 @@ def redundant_span_cuts(
     A redundant position ``p`` covers words ``[p, p+n)``; overlapping
     covers must not be double-counted, so consecutive redundant
     positions with gap <= ``n-1`` merge into one cut via
-    gaps-and-islands over ``lag`` (interval union, relationally).  The
-    cut length is ``max_pos - min_pos + n`` words.
+    :func:`interval_union_cuts` (gaps-and-islands over ``lag``).
 
     Same funnel shape as :func:`duplicate_span_rows`: one shingle
     shuffle (min-id owner per shingle), an equi-join back on the same
@@ -299,8 +298,6 @@ def redundant_span_cuts(
     reuses.  Nothing is all-pairs; the owner relation is shingle-
     cardinality-bounded with map-side partial min.
     """
-    from pyspark.sql.window import Window
-
     from .quality import ngrams_zip
 
     pos = df.select(
@@ -314,9 +311,36 @@ def redundant_span_cuts(
         .where(F.col(id_col) > F.col("__canon"))
         .select(id_col, *carry, "pos")
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    gap = F.col("pos") - F.lag("pos").over(w)
-    flagged = redundant.withColumn(
+    return interval_union_cuts(redundant, id_col, n=n, carry=carry)
+
+
+def interval_union_cuts(
+    marked: DataFrame,
+    id_col: str,
+    n: int,
+    carry: tuple[str, ...] = (),
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Interval union of marked ``n``-gram positions, relationally:
+    each marked position covers words ``[pos, pos+n)``; consecutive
+    marked positions with gap <= ``n-1`` overlap, so gaps-and-islands
+    over ``lag`` merges them into maximal cuts ``(id, carry...,
+    cut_start, cut_words)`` with ``cut_words = max_pos - min_pos + n``
+    — covered words counted exactly once regardless of how many marks
+    overlap them.
+
+    Shared by :func:`redundant_span_cuts` (marks = non-canonical
+    duplicated shingles) and the decontamination cut plan (marks =
+    benchmark-colliding shingles).  One window partition on ``id_col``
+    whose partitioning the final groupBy reuses (id is a prefix of the
+    grouping key) — the whole union costs one shuffle of the marked
+    relation, which is contamination-sized, not corpus-sized.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(pos_col)
+    gap = F.col(pos_col) - F.lag(pos_col).over(w)
+    flagged = marked.withColumn(
         "__new", F.when(gap.isNull() | (gap > n - 1), 1).otherwise(0)
     )
     islands = flagged.withColumn(
@@ -325,8 +349,8 @@ def redundant_span_cuts(
     return (
         islands.groupBy(id_col, *carry, "__cut")
         .agg(
-            F.min("pos").alias("cut_start"),
-            (F.max("pos") - F.min("pos") + n).alias("cut_words"),
+            F.min(pos_col).alias("cut_start"),
+            (F.max(pos_col) - F.min(pos_col) + n).alias("cut_words"),
         )
         .drop("__cut")
     )

@@ -92,6 +92,11 @@ _ORACLE_BIGINT_COLS: dict[str, tuple[str, ...]] = {
         "words_removed",
         "removed_bp",
     ),
+    "decontamination_cut_plan": (
+        "total_words",
+        "words_excised",
+        "excised_bp",
+    ),
     "session_window_rollup": ("n_events",),
     "orders_quality_gate": ("n_violations",),
     "embedding_covariance_probe": ("sum_i", "sum_j", "sum_ij", "cov_num"),
@@ -6704,6 +6709,113 @@ def q_substring_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(coalesce(words_removed, 0L) * 10000)"
             " div greatest(total_words, 1L)"
         ).alias("removed_bp"),
+    )
+
+
+@register(
+    "decontamination_cut_plan",
+    r"""
+    WITH w AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS words
+      FROM documents
+    ), g AS (
+      SELECT doc_id, source, i AS pos,
+             array_to_string(words[i+1:i+5], ' ') AS gram
+      FROM w, UNNEST(range(len(words) - 4)) AS t(i)
+    ), bench AS (
+      SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0
+    ), m AS (
+      SELECT g.doc_id, g.source, g.pos
+      FROM g JOIN bench USING (gram)
+      WHERE g.doc_id % 17 <> 0
+    ), fl AS (
+      SELECT doc_id, source, pos,
+             CASE WHEN pos - LAG(pos) OVER (
+                    PARTITION BY doc_id ORDER BY pos) <= 4
+                  THEN 0 ELSE 1 END AS newf
+      FROM m
+    ), isl AS (
+      SELECT doc_id, source, pos,
+             SUM(newf) OVER (PARTITION BY doc_id ORDER BY pos) AS cut
+      FROM fl
+    ), cuts AS (
+      SELECT doc_id, source, cut, MAX(pos) - MIN(pos) + 5 AS cut_words
+      FROM isl GROUP BY doc_id, source, cut
+    ), cu AS (
+      SELECT source, COUNT(DISTINCT doc_id) AS docs_cut,
+             COUNT(*) AS n_cuts, SUM(cut_words) AS words_excised,
+             MAX(cut_words) AS max_cut_words
+      FROM cuts GROUP BY source
+    ), tot AS (
+      SELECT source, COUNT(*) AS n_train_docs,
+             SUM(CASE WHEN len(words) = 1 AND words[1] = '' THEN 0
+                      ELSE len(words) END) AS total_words
+      FROM w WHERE doc_id % 17 <> 0 GROUP BY source
+    )
+    SELECT t.source, t.n_train_docs, t.total_words,
+           COALESCE(cu.docs_cut, 0) AS docs_cut,
+           COALESCE(cu.n_cuts, 0) AS n_cuts,
+           COALESCE(cu.words_excised, 0) AS words_excised,
+           COALESCE(cu.max_cut_words, 0) AS max_cut_words,
+           (COALESCE(cu.words_excised, 0) * 10000)
+             // GREATEST(t.total_words, 1) AS excised_bp
+    FROM tot t LEFT JOIN cu USING (source)
+    """,
+    doc="SPAN-level benchmark decontamination — the surgical complement "
+    "of train_contamination_5gram's doc-level counts: the exact word "
+    "intervals a curation pass would excise from each training doc "
+    "(doc_id%17<>0) because a benchmark (doc_id%17=0) 5-gram occurs "
+    "there, merged by interval union so overlapping hits never double-"
+    "count (operators.dedup.interval_union_cuts, shared with the "
+    "substring-dedup removal step).  The benchmark gram set is "
+    "BROADCAST to the train-side probe — the 100 TB train relation "
+    "never shuffles for the match; only the contamination-sized marked "
+    "relation pays the doc_id window shuffle.  Oracle replays the "
+    "union in DuckDB window SQL; excised_bp = floor basis points of "
+    "training words lost, GREATEST-guarded for degenerate sources.",
+)
+def q_decontamination_cut_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import interval_union_cuts
+    from .operators.quality import ngrams_zip
+    from .operators.textproj import guarded_word_count, tokenized_documents
+
+    apply_runtime_conf(spark)
+    p = tokenized_documents(spark, sf_dir)
+    train = p.where(F.col("doc_id") % 17 != 0)
+    bench_grams = (
+        p.where(F.col("doc_id") % 17 == 0)
+        .select(F.explode(ngrams_zip(F.col("words"), 5)).alias("gram"))
+        .distinct()
+    )
+    pos = train.select(
+        "doc_id", "source",
+        F.posexplode(ngrams_zip(F.col("words"), 5)).alias("pos", "gram"),
+    )
+    marked = pos.join(F.broadcast(bench_grams), "gram", "left_semi")
+    cuts = interval_union_cuts(marked, "doc_id", n=5, carry=("source",))
+    cu = cuts.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("docs_cut"),
+        F.count(F.lit(1)).alias("n_cuts"),
+        F.sum("cut_words").alias("words_excised"),
+        F.max("cut_words").alias("max_cut_words"),
+    )
+    tot = train.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_train_docs"),
+        F.sum(guarded_word_count(F.col("words"))).alias("total_words"),
+    )
+    zero = F.lit(0).cast("long")
+    return tot.join(cu, "source", "left").select(
+        "source",
+        "n_train_docs",
+        "total_words",
+        F.coalesce("docs_cut", zero).alias("docs_cut"),
+        F.coalesce("n_cuts", zero).alias("n_cuts"),
+        F.coalesce("words_excised", zero).alias("words_excised"),
+        F.coalesce("max_cut_words", zero).alias("max_cut_words"),
+        F.expr(
+            "(coalesce(words_excised, 0L) * 10000)"
+            " div greatest(total_words, 1L)"
+        ).alias("excised_bp"),
     )
 
 
