@@ -193,6 +193,41 @@ def test_profile_is_single_scan(spark):
     assert "Expand" in tree, "multi-column distincts should plan as one expand"
 
 
+def test_decontamination_probe_broadcasts_bench_grams(spark):
+    """The 100 TB contract of the span-level decontamination plan: the
+    benchmark gram set ships as a broadcast, so the train-side n-gram
+    probe never shuffles for the match."""
+    plan = _plan(spark, "decontamination_cut_plan")
+    assert "BroadcastHashJoin" in plan, "bench-gram probe lost its broadcast"
+    assert "LeftSemi" in plan, "probe should be a semi join (no dup rows)"
+
+
+def test_dup_span_groupby_reuses_window_partitioning(spark):
+    """The gaps-and-islands merge costs ONE shuffle: the
+    groupBy(doc_id, grp) after the doc_id-partitioned window must not
+    add its own Exchange (doc_id is a prefix of the grouping key).
+    Counted structurally: no Exchange may sit between the Window and
+    its downstream HashAggregate."""
+    for name in ("substring_dedup_retention", "dup_span_profile"):
+        plan = _plan(spark, name)
+        lines = plan.splitlines()
+        win_idx = [i for i, l in enumerate(lines) if "Window" in l]
+        assert win_idx, f"{name}: window missing from plan"
+        # Tree text above the Window operator (children print BELOW
+        # their parent in formatted explain's tree section, so scan
+        # upward to the consuming aggregate).
+        above = lines[: win_idx[0]]
+        seen_exchange_before_agg = False
+        for l in reversed(above):
+            if "HashAggregate" in l:
+                break
+            if "Exchange" in l and "Reused" not in l:
+                seen_exchange_before_agg = True
+        assert not seen_exchange_before_agg, (
+            f"{name}: extra shuffle between window and island groupBy"
+        )
+
+
 def test_no_accidental_cartesian_products(spark):
     """Global net: NO oracle query may plan a CartesianProduct.  The
     single-row-aggregate cross joins (vocab coverage) and the broadcast
