@@ -1542,6 +1542,103 @@ def q_y4m_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "codec_parity_report",
+    r"""
+    WITH ids AS (
+      SELECT vec_id AS media_id FROM embeddings WHERE vec_id < 8
+    ), img AS (
+      SELECT media_id, 'image' AS modality,
+             CAST(17 + media_id % 7 AS BIGINT) AS dim_a,
+             CAST(6 + media_id % 5 AS BIGINT) AS dim_b,
+             CAST(1 AS BIGINT) AS n_units,
+             CAST(0 AS BIGINT) AS duration_ms,
+             CAST(ROUND((32 + 24 * media_id) * 10000.0 / 255.0) AS BIGINT)
+               AS level_x10000,
+             CAST(0 AS BIGINT) AS motion_x10000
+      FROM ids
+    ), aud AS (
+      SELECT media_id, 'audio' AS modality,
+             CAST(list_extract([8000, 16000, 22050, 44100],
+                               CAST(media_id % 4 AS INT) + 1) AS BIGINT)
+               AS dim_a,
+             CAST(1 AS BIGINT) AS dim_b,
+             CAST(0 AS BIGINT) AS n_units,
+             CAST(200 AS BIGINT) AS duration_ms,
+             CAST(0 AS BIGINT) AS level_x10000,
+             CAST(0 AS BIGINT) AS motion_x10000
+      FROM ids
+    ), vid AS (
+      SELECT media_id, 'video' AS modality,
+             CAST(16 + 2 * (media_id % 5) AS BIGINT) AS dim_a,
+             CAST(8 + 2 * (media_id % 3) AS BIGINT) AS dim_b,
+             CAST(3 + media_id % 5 AS BIGINT) AS n_units,
+             CAST((3 + media_id % 5) * 1000
+                  // list_extract([24, 25, 30, 60],
+                                  CAST(media_id % 4 AS INT) + 1) AS BIGINT)
+               AS duration_ms,
+             CAST(ROUND(((40 + 8 * media_id)
+                         + (10 + media_id) * (3 + media_id % 5 - 1) / 2.0)
+                        * 10000.0 / 255.0) AS BIGINT) AS level_x10000,
+             CAST(ROUND((10 + media_id) * 10000.0 / 255.0) AS BIGINT)
+               AS motion_x10000
+      FROM ids
+    )
+    SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL
+    SELECT * FROM vid
+    """,
+    doc="The real-codec trio, VALUE-HASH-CHECKED: every feature the "
+    "BMP/WAV/Y4M decoders emit that is an exact arithmetic function "
+    "of the synthesis parameters — dimensions, sample rate, frame "
+    "count, duration, solid/ramp luma and motion scaled to integer "
+    "x10000 — is recomputed by the oracle in closed form from "
+    "media_id alone.  A hash MATCH therefore proves the container "
+    "parses (header fields, stride padding, FRAME walk, PCM framing) "
+    "decoded correctly, upgrading the codec evidence from rows-only "
+    "to machine-checked.  The x10000 grid is divergence-safe: every "
+    "value is k*2000/51 for integer k, whose distance from a rounding "
+    "boundary is >= 1/102 — far above both engines' float error and "
+    "the 6-decimal pre-rounding.  Audio RMS/ZCR are physics "
+    "approximations, not exact arithmetic, so they stay in "
+    "wav_codec_features (rows-only) rather than weakening this gate.",
+)
+def q_codec_parity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_conf(spark)
+    long0 = F.lit(0).cast("long")
+    x10k = lambda c: F.round(F.col(c) * 10000).cast("long")  # noqa: E731
+    img = q_bmp_codec_features(spark, sf_dir).select(
+        "media_id",
+        F.lit("image").alias("modality"),
+        F.col("width").cast("long").alias("dim_a"),
+        F.col("height").cast("long").alias("dim_b"),
+        F.lit(1).cast("long").alias("n_units"),
+        long0.alias("duration_ms"),
+        x10k("mean_luma").alias("level_x10000"),
+        long0.alias("motion_x10000"),
+    )
+    aud = q_wav_codec_features(spark, sf_dir).select(
+        "media_id",
+        F.lit("audio").alias("modality"),
+        F.col("sample_rate").cast("long").alias("dim_a"),
+        F.lit(1).cast("long").alias("dim_b"),
+        long0.alias("n_units"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        long0.alias("level_x10000"),
+        long0.alias("motion_x10000"),
+    )
+    vid = q_y4m_codec_features(spark, sf_dir).select(
+        "media_id",
+        F.lit("video").alias("modality"),
+        F.col("width").cast("long").alias("dim_a"),
+        F.col("height").cast("long").alias("dim_b"),
+        F.col("n_frames").cast("long").alias("n_units"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        x10k("mean_luma").alias("level_x10000"),
+        x10k("motion").alias("motion_x10000"),
+    )
+    return img.unionByName(aud).unionByName(vid)
+
+
 # ---------------------------------------------------------------------------
 # Scalar-function surface + batch windows (SURVEY §2.9, §2.10-T2-as-batch)
 # ---------------------------------------------------------------------------
