@@ -94,6 +94,7 @@ def main() -> None:
         "ml_quality_filter", "customer_supplier_pagerank",
         "embedding_pca_variance", "term_cooccurrence_lift",
         "dup_span_profile", "substring_dedup_retention",
+        "decontamination_cut_plan", "codec_parity_report",
     ]
     payload = {
         "metric": "suite_wall_sec",
