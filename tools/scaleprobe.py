@@ -81,6 +81,7 @@ PROBE = {
     "ml_quality_filter": "LR fit on bounded sample + JVM scoring",
     "dup_span_profile": "8-gram posexplode + shingle shuffle + island merge",
     "substring_dedup_retention": "min-id owner join + interval-union window",
+    "decontamination_cut_plan": "broadcast bench-gram probe + marked-only window",
 }
 
 
