@@ -112,3 +112,128 @@ def pagerank_bp(
     nodes.unpersist()
     ed.unpersist()
     return ranks
+
+
+def oriented_triangles(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Per-node triangle counts over an undirected graph.
+
+    ``edges`` must be distinct canonical pairs with ``u < v`` (one row
+    per undirected edge, no self-loops).  Returns ``(node, degree,
+    n_tri)`` for every node, where ``n_tri`` is the number of triangles
+    the node participates in.
+
+    Scale design (Suri & Vassilvitskii, WWW'11 — "the curse of the last
+    reducer", public method): edges are ORIENTED from the lower-ranked
+    endpoint to the higher under the total order ``(degree, node)``.
+    Every wedge is then generated at its lowest-ranked apex, whose
+    out-degree under this orientation is O(sqrt(m)) — so the wedge
+    relation is bounded by m^1.5 regardless of hub skew, where the
+    naive per-node neighbor-pair fan-out is quadratic in the hub
+    degree.  Wedge closure is one equi-join back against the oriented
+    edge relation: three shuffles total (degree agg, wedge self-join,
+    closure join), no iteration, all on edge keys.
+    """
+    deg = (
+        edges.select(F.col(u).alias("node"))
+        .unionAll(edges.select(F.col(v).alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # Annotate both endpoints with their degree, then orient low -> high
+    # under (degree, node).  The degree relation is one row per node —
+    # broadcast at sf, a co-partitioned join at 100 TB.
+    ann = (
+        edges.join(deg.select(F.col("node").alias(u), F.col("degree").alias("__du")), u)
+        .join(deg.select(F.col("node").alias(v), F.col("degree").alias("__dv")), v)
+    )
+    lo_is_u = (F.col("__du") < F.col("__dv")) | (
+        (F.col("__du") == F.col("__dv")) & (F.col(u) < F.col(v))
+    )
+    oriented = ann.select(
+        F.when(lo_is_u, F.col(u)).otherwise(F.col(v)).alias("lo"),
+        F.when(lo_is_u, F.col(v)).otherwise(F.col(u)).alias("hi"),
+        F.when(lo_is_u, F.col("__dv")).otherwise(F.col("__du")).alias("__dhi"),
+    ).persist()
+
+    # Wedges at their lowest-ranked apex: out-neighbor pairs (b, c) of a,
+    # themselves ordered by the SAME (degree, node) rank so each wedge
+    # appears exactly once and the closure probe is directly against the
+    # oriented edge (b, c).
+    a1 = oriented.select(F.col("lo").alias("apex"), F.col("hi").alias("b"), F.col("__dhi").alias("__db"))
+    a2 = oriented.select(F.col("lo").alias("apex"), F.col("hi").alias("c"), F.col("__dhi").alias("__dc"))
+    wedges = a1.join(a2, "apex").where(
+        (F.col("__db") < F.col("__dc"))
+        | ((F.col("__db") == F.col("__dc")) & (F.col("b") < F.col("c")))
+    )
+    tri = wedges.join(
+        oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c")),
+        ["b", "c"],
+    ).select("apex", "b", "c")
+
+    # Every triangle credits all three corners.
+    corners = (
+        tri.select(F.col("apex").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    out = deg.join(corners, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+    )
+    out = out.localCheckpoint(eager=True)
+    oriented.unpersist()
+    return out
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Minimum hop distance from a seed set, bounded at ``max_hops``.
+
+    ``edges`` is a DIRECTED relation (feed both directions for an
+    undirected graph); ``seeds`` has one column ``node``.  Returns
+    ``(node, dist)`` for every node reachable within ``max_hops``,
+    ``dist`` being the minimum number of hops (seeds themselves at 0).
+
+    Scale design: classic frontier-expansion BFS — each hop is one
+    equi-join (frontier ⋈ edges on src) plus one left-anti join against
+    the visited set, both on the node key space, so a bucketed edge
+    table makes every hop co-located.  The frontier relation only ever
+    holds NEW nodes (anti-join against visited), so total work across
+    all hops is O(edges touched), not O(hops × nodes) — the
+    path-enumeration blowup of a naive recursive expansion never
+    materializes.  Lineage is cut with ``localCheckpoint`` every
+    ``CHECKPOINT_EVERY`` hops, same discipline as :func:`pagerank_bp`.
+    """
+    # Each hop's frontier is materialized (localCheckpoint eager) before
+    # it joins into `visited`, so the visited relation is a shallow
+    # union of already-computed pieces — the anti-join never re-derives
+    # earlier hops and the plan depth stays constant per hop.
+    frontier = (
+        seeds.select(F.col("node"), F.lit(0).cast("int").alias("dist"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.select("node")
+            .join(edges, F.col("node") == edges[src])
+            .select(F.col(dst).alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(hop).cast("int").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(nxt)
+        frontier = nxt
+    return visited

@@ -7996,3 +7996,280 @@ def q_conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("latency_ms", 0.5).alias("median_latency_ms"),
         F.percentile("latency_ms", 0.9).alias("p90_latency_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics beyond link rank: triangle structure and reachability
+# (beyond-reference; rounds out operators/graph.py for the host/domain
+# graph shapes crawl curation runs — community density and crawl-frontier
+# distance — with the same integer-exact, oracle-gated discipline as
+# customer_supplier_pagerank).
+# ---------------------------------------------------------------------------
+
+#: (applicationId, sf_dir) -> canonical supplier co-purchase edge
+#: relation (supp_u < supp_v sharing >= 3 customers).  Two queries
+#: (supplier_graph_triangles, supplier_graph_clustering) analyze the
+#: SAME projected graph; in production the projection is a materialized
+#: intermediate, so the suite shares one cached relation per session —
+#: the near-dup-pairs pattern applied to the graph family.
+_COPURCHASE_EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+_COPURCHASE_EDGES_SQL = """
+      SELECT a.supp AS u, b.supp AS v
+      FROM cs a JOIN cs b ON a.cust = b.cust AND a.supp < b.supp
+      GROUP BY a.supp, b.supp
+      HAVING COUNT(*) >= 3
+"""
+
+
+#: (applicationId, sf_dir) -> per-node (node, degree, n_tri) relation.
+#: The triangle census is ALSO shared: both graph-structure queries
+#: consume it, and oriented_triangles eagerly checkpoints its (one row
+#: per node, supplier-bounded) output, so the handle stays valid with
+#: no live lineage.
+_TRIANGLES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shared_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import oriented_triangles
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _TRIANGLES_CACHE:
+        _TRIANGLES_CACHE[key] = oriented_triangles(
+            _shared_copurchase_edges(spark, sf_dir), "u", "v"
+        )
+    return _TRIANGLES_CACHE[key]
+
+
+def _shared_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _COPURCHASE_EDGES_CACHE:
+        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        cs = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .select(
+                F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+            )
+            .distinct()
+        )
+        a, b = cs.alias("a"), cs.alias("b")
+        edges = (
+            a.join(
+                b,
+                (F.col("a.cust") == F.col("b.cust"))
+                & (F.col("a.supp") < F.col("b.supp")),
+            )
+            .groupBy(F.col("a.supp").alias("u"), F.col("b.supp").alias("v"))
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .where(F.col("n_shared") >= 3)
+            .select("u", "v")
+        )
+        _COPURCHASE_EDGES_CACHE[key] = edges.cache()
+    df = _COPURCHASE_EDGES_CACHE[key]
+    lvl = df.storageLevel
+    if not (lvl.useMemory or lvl.useDisk):
+        df = df.cache()
+    return df
+
+
+@register(
+    "supplier_graph_triangles",
+    f"""
+    WITH cs AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), e AS (
+{_COPURCHASE_EDGES_SQL}
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+      ) GROUP BY node
+    ), tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), cnt AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b AS node FROM tri
+        UNION ALL SELECT c AS node FROM tri
+      ) GROUP BY node
+    )
+    SELECT d.node AS supp, d.degree,
+           CAST(COALESCE(c.n_tri, 0) AS BIGINT) AS n_tri,
+           CAST(CASE WHEN d.degree >= 2
+                THEN (20000 * COALESCE(c.n_tri, 0)) // (d.degree * (d.degree - 1))
+                ELSE 0 END AS BIGINT) AS lcc_bp
+    FROM deg d LEFT JOIN cnt c ON c.node = d.node
+    ORDER BY n_tri DESC, supp
+    LIMIT 25
+    """,
+    doc="Per-node triangle counts + local clustering coefficient over "
+    "the supplier co-purchase projection (suppliers sharing >= 3 "
+    "customers).  Degree-ORIENTED wedge generation (Suri & "
+    "Vassilvitskii WWW'11, public method): edges point low->high under "
+    "the (degree, id) total order, so every wedge materializes at its "
+    "lowest-ranked apex whose oriented out-degree is O(sqrt(m)) — the "
+    "hub-skew-proof shape; closure is one equi-join back on the edge "
+    "relation (operators/graph.py:oriented_triangles).  The DuckDB "
+    "oracle counts the SAME triangles via an unoriented triple-join "
+    "(u<v<w canonical), proving orientation changes the plan, not the "
+    "answer.  lcc_bp = 2*tri/(d*(d-1)) in integer basis points; "
+    "deterministic top-25 by (n_tri, supp).",
+)
+def q_supplier_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_node = _shared_triangle_counts(spark, sf_dir)
+    out = per_node.select(
+        F.col("node").alias("supp"),
+        F.col("degree").cast("long").alias("degree"),
+        F.col("n_tri"),
+        F.when(
+            F.col("degree") >= 2,
+            F.expr("(20000 * n_tri) div (degree * (degree - 1))"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("lcc_bp"),
+    )
+    return R.top_k(out, [F.desc("n_tri")], 25, tie_breakers=[F.col("supp")])
+
+
+@register(
+    "supplier_graph_clustering",
+    f"""
+    WITH cs AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), e AS (
+{_COPURCHASE_EDGES_SQL}
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+      ) GROUP BY node
+    ), tri AS (
+      SELECT e1.u AS a
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT SUM((degree * (degree - 1)) // 2) FROM deg) AS BIGINT)
+             AS n_wedges,
+           CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles,
+           CAST((30000 * (SELECT COUNT(*) FROM tri))
+                // GREATEST((SELECT SUM((degree * (degree - 1)) // 2) FROM deg), 1)
+             AS BIGINT) AS global_cc_bp
+    """,
+    doc="Global transitivity summary of the supplier co-purchase graph: "
+    "node/edge/wedge/triangle census and the global clustering "
+    "coefficient 3T/wedges in basis points (GREATEST guard for the "
+    "degenerate wedge-free graph, applied identically on both "
+    "engines).  Shares the cached edge projection with "
+    "supplier_graph_triangles; total triangle count is "
+    "sum(per-node)/3 — exact because each triangle credits all three "
+    "corners.  All values are pure integers so the strict hash holds.",
+)
+def q_supplier_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_node = _shared_triangle_counts(spark, sf_dir)
+    n_edges = _shared_copurchase_edges(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_edges"))
+    summary = per_node.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.expr("(degree * (degree - 1)) div 2")).cast("long").alias("n_wedges"),
+        F.expr("sum(n_tri) div 3").cast("long").alias("n_triangles"),
+    )
+    return (
+        summary.crossJoin(F.broadcast(n_edges))
+        .select(
+            "n_nodes",
+            F.col("n_edges").cast("long").alias("n_edges"),
+            "n_wedges",
+            "n_triangles",
+            F.expr("(30000 * n_triangles) div greatest(n_wedges, 1)")
+            .cast("long")
+            .alias("global_cc_bp"),
+        )
+    )
+
+
+@register(
+    "bfs_reachability_profile",
+    """
+    WITH RECURSIVE cs AS (
+      SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), edges AS (
+      SELECT c AS src, s AS dst FROM cs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM cs
+    ), seeds AS (
+      SELECT s_suppkey * 2 + 1 AS node FROM supplier WHERE s_suppkey <= 3
+    ), walk(node, dist) AS (
+      SELECT node, 0 FROM seeds
+      UNION
+      SELECT e.dst, w.dist + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.dist < 4
+    ), md AS (
+      SELECT node, MIN(dist) AS dist FROM walk GROUP BY node
+    )
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           dist,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(node // 2) AS BIGINT) AS sum_node_id
+    FROM md
+    GROUP BY 1, 2
+    ORDER BY node_type, dist
+    """,
+    doc="Bounded-depth BFS from a seed set over the customer<->supplier "
+    "bipartite graph (suppliers 1-3 as seeds, 4 hops) — the "
+    "crawl-frontier / blast-radius shape.  Frontier expansion "
+    "(operators/graph.py:bfs_distances): each hop is one equi-join on "
+    "src plus one left-anti join against the visited set, every "
+    "frontier checkpointed so total work is O(edges touched), never "
+    "the path-enumeration blowup.  The DuckDB oracle is a recursive "
+    "CTE with UNION-dedup whose (node, dist) universe is bounded by "
+    "nodes x hops, then MIN(dist) — exactly min-hop distance.  "
+    "Profile rows (node_type, dist, n_nodes, sum of raw ids) are all "
+    "integers; full deterministic ordering.",
+)
+def q_bfs_reachability_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import bfs_distances
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cs = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = cs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        cs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    seeds = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") <= 3)
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+    )
+    dists = bfs_distances(edges, seeds, max_hops=4)
+    return (
+        dists.select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            "dist",
+            F.expr("node div 2").alias("node_id"),
+        )
+        .groupBy("node_type", "dist")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("node_id").cast("long").alias("sum_node_id"),
+        )
+        .orderBy("node_type", "dist")
+    )

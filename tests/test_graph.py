@@ -122,3 +122,157 @@ def test_pagerank_asymmetric_random_graphs_match_twin(spark):
             edges.update((a, b) for b in targets)
         edges = sorted(edges)
         assert _ranks(spark, edges) == _reference_pagerank(edges), f"seed {seed}"
+
+
+# ---------------------------------------------------------------------------
+# oriented_triangles: hand cases + pure-Python twin fuzz
+# ---------------------------------------------------------------------------
+
+from kafka_bigdata_jobs_spark.operators.graph import (  # noqa: E402
+    bfs_distances,
+    oriented_triangles,
+)
+
+
+def _tri(spark, canon_edges):
+    edges = spark.createDataFrame(canon_edges, "u long, v long")
+    rows = oriented_triangles(edges, "u", "v").collect()
+    return {r["node"]: (r["degree"], r["n_tri"]) for r in rows}
+
+
+def _reference_triangles(canon_edges):
+    """Brute-force twin: degree + per-node triangle membership."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    es = set(canon_edges)
+    nodes = sorted({n for e in es for n in e})
+    deg: dict = defaultdict(int)
+    adj: dict = defaultdict(set)
+    for a, b in es:
+        deg[a] += 1
+        deg[b] += 1
+        adj[a].add(b)
+        adj[b].add(a)
+    tri: dict = defaultdict(int)
+    for a, b, c in combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    return {n: (deg[n], tri[n]) for n in nodes}
+
+
+def test_single_triangle(spark):
+    got = _tri(spark, [(1, 2), (1, 3), (2, 3)])
+    assert got == {1: (2, 1), 2: (2, 1), 3: (2, 1)}
+
+
+def test_star_has_no_triangles(spark):
+    got = _tri(spark, [(0, 1), (0, 2), (0, 3), (0, 4)])
+    assert got[0] == (4, 0)
+    assert all(got[leaf] == (1, 0) for leaf in (1, 2, 3, 4))
+
+
+def test_k4_every_node_in_three_triangles(spark):
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got = _tri(spark, edges)
+    assert got == {n: (3, 3) for n in range(4)}
+
+
+def test_hub_skew_graph_matches_twin(spark):
+    # One hub wired to everything plus a sparse periphery — the shape
+    # degree-orientation exists for (wedges generate at the LOW-degree
+    # apex, never fanning out quadratically at the hub).
+    periphery = [(a, a + 1) for a in range(1, 10)]
+    hub = [(0, b) for b in range(1, 11)]
+    edges = sorted(set(periphery + hub))
+    assert _tri(spark, edges) == _reference_triangles(edges)
+
+
+def test_triangles_random_graphs_match_twin(spark):
+    import random
+
+    for seed in (3, 5, 9):
+        rng = random.Random(seed)
+        n = rng.randint(5, 14)
+        edges = sorted(
+            {(a, b) for a in range(n) for b in range(a + 1, n)
+             if rng.random() < 0.45}
+        )
+        if not edges:
+            edges = [(0, 1)]
+        assert _tri(spark, edges) == _reference_triangles(edges), f"seed {seed}"
+
+
+# ---------------------------------------------------------------------------
+# bfs_distances: hand cases + pure-Python twin fuzz
+# ---------------------------------------------------------------------------
+
+
+def _bfs(spark, edge_list, seed_nodes, k):
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    seeds = spark.createDataFrame([(s,) for s in seed_nodes], "node long")
+    rows = bfs_distances(edges, seeds, max_hops=k).collect()
+    return {r["node"]: r["dist"] for r in rows}
+
+
+def _reference_bfs(edge_list, seed_nodes, k):
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    for s, d in edge_list:
+        adj[s].append(d)
+    dist = {s: 0 for s in seed_nodes}
+    dq = deque(seed_nodes)
+    while dq:
+        n = dq.popleft()
+        if dist[n] >= k:
+            continue
+        for m in adj[n]:
+            if m not in dist:
+                dist[m] = dist[n] + 1
+                dq.append(m)
+    return dist
+
+
+def test_bfs_path_graph(spark):
+    edges = [(i, i + 1) for i in range(6)]
+    assert _bfs(spark, edges, [0], 3) == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_unreachable_component_absent(spark):
+    edges = [(0, 1), (2, 3)]
+    got = _bfs(spark, edges, [0], 4)
+    assert got == {0: 0, 1: 1}
+
+
+def test_bfs_multi_seed_takes_min_distance(spark):
+    edges = [(0, 1), (1, 2), (2, 3), (5, 3)]
+    got = _bfs(spark, edges, [0, 5], 4)
+    assert got == {0: 0, 5: 0, 1: 1, 3: 1, 2: 2}
+
+
+def test_bfs_early_stop_on_exhausted_frontier(spark):
+    # Frontier drains at hop 2; the loop must exit, not run 9 empty jobs.
+    edges = [(0, 1), (1, 2)]
+    assert _bfs(spark, edges, [0], 9) == {0: 0, 1: 1, 2: 2}
+
+
+def test_bfs_random_digraphs_match_twin(spark):
+    import random
+
+    for seed in (2, 4, 8):
+        rng = random.Random(seed)
+        n = rng.randint(5, 12)
+        edges = sorted(
+            {(a, b) for a in range(n) for b in range(n)
+             if a != b and rng.random() < 0.25}
+        )
+        if not edges:
+            edges = [(0, 1)]
+        seeds = [0, n - 1]
+        k = rng.randint(1, 4)
+        assert _bfs(spark, edges, seeds, k) == _reference_bfs(edges, seeds, k), (
+            f"seed {seed}"
+        )

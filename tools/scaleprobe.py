@@ -82,6 +82,8 @@ PROBE = {
     "dup_span_profile": "8-gram posexplode + shingle shuffle + island merge",
     "substring_dedup_retention": "min-id owner join + interval-union window",
     "decontamination_cut_plan": "broadcast bench-gram probe + marked-only window",
+    "supplier_graph_triangles": "degree-oriented wedge gen + closure join",
+    "bfs_reachability_profile": "checkpointed frontier expansion (4 hops)",
 }
 
 
