@@ -67,3 +67,77 @@ def serve_daily_volume(state: DataFrame) -> DataFrame:
         F.sum("value_cents").alias("value_cents"),
         F.sum("n_purchases").alias("n_purchases"),
     )
+
+
+def delta_join(
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_old: DataFrame,
+    delta_b: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Incremental maintenance of an inner join under INSERTS:
+    Δ(A ⋈ B) = (ΔA ⋈ B_old) ∪ (A_old ⋈ ΔB) ∪ (ΔA ⋈ ΔB).
+
+    The join-IVM algebra (classic differential/DBSP result, public):
+    with the old join result materialized, appending ΔA and ΔB costs
+    three joins whose LEFT sides are deltas — each probe is sized by
+    the delta, and when the big relations are bucketed on the join key
+    the two delta-against-old joins are co-located, shuffle-free on the
+    old side.  Appending the returned rows to the stored ``A_old ⋈
+    B_old`` yields exactly ``A_new ⋈ B_new``; downstream additive
+    aggregates fold the delta via :func:`merge_partials`-style re-agg.
+    Deletes/updates need signed multiplicities (retractions) — out of
+    scope here; the append-only case IS the streaming-ingest shape.
+    """
+    return (
+        delta_a.join(b_old, on)
+        .unionByName(a_old.join(delta_b, on))
+        .unionByName(delta_a.join(delta_b, on))
+    )
+
+
+def delta_join_signed(
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_old: DataFrame,
+    delta_b: DataFrame,
+    on: list[str],
+    weight_col: str = "__w",
+) -> DataFrame:
+    """Join IVM under inserts AND deletes: signed-multiset differential.
+
+    ``delta_a`` / ``delta_b`` carry a ``weight_col`` of +1 (insert) or
+    -1 (retraction).  Returns the signed delta of the join,
+
+        Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB,
+
+    with the output weight = product of input weights (old rows weigh
+    +1).  Folding into a stored aggregate is then a SIGNED sum: counts
+    add ``w``, sums add ``w * x`` — the Z-set/DBSP algebra (public
+    differential-dataflow result) in plain columns.  A retraction of an
+    A-row cancels every joined pair it contributed, including pairs
+    against rows ΔB retracts in the same batch: that pair is subtracted
+    twice by the two outer terms and added back once by ΔA ⋈ ΔB
+    ((-1)·(-1) = +1), landing at net -1 — the cross-term is what makes
+    the algebra exact, not an optimization.  Same cost shape as
+    :func:`delta_join`: every probe side is delta-sized.
+    """
+    w = F.col(weight_col)
+    a_plus = a_old.withColumn(weight_col, F.lit(1))
+    b_plus = b_old.withColumn(weight_col, F.lit(1))
+
+    def _term(left: DataFrame, right: DataFrame) -> DataFrame:
+        lw = left.withColumnRenamed(weight_col, "__wl")
+        rw = right.withColumnRenamed(weight_col, "__wr")
+        return (
+            lw.join(rw, on)
+            .withColumn(weight_col, (F.col("__wl") * F.col("__wr")).cast("int"))
+            .drop("__wl", "__wr")
+        )
+
+    return (
+        _term(delta_a, b_plus)
+        .unionByName(_term(a_plus, delta_b))
+        .unionByName(_term(delta_a, delta_b))
+    )

@@ -211,3 +211,89 @@ class IncrementalViewSink:
             shutil.rmtree(old)
         else:
             shutil.move(tmp, self.state_dir)
+
+
+@dataclass
+class CdcApplySink:
+    """Streaming MERGE: each micro-batch is a changelog slice applied
+    onto a keyed parquet snapshot (the row-level counterpart of
+    :class:`IncrementalViewSink`'s additive fold) — a Debezium-style
+    change stream becomes a continuously-current table with no table
+    format.
+
+    The state carries a per-key ``__seq`` high-water mark, so the apply
+    is ordered by the LOG SEQUENCE, not by arrival: a batch's per-key
+    winner (``max_by`` on seq, as in operators/cdc.py) only lands if
+    its seq exceeds the state's — cross-batch replays, out-of-order
+    redeliveries, and checkpoint re-runs all degrade to no-ops rather
+    than regressing rows (the ``_last_batch`` marker still short-
+    circuits whole replayed batches).  Both probes against the state
+    (stale-filter join + left-anti) are delta-keyed; a snapshot
+    partitioned on the key bucket rewrites touched buckets only at
+    scale.
+    """
+
+    state_dir: str
+    keys: Sequence[str]
+    seq_col: str = "seq"
+    op_col: str = "op"
+
+    _MARKER = "_last_batch"
+
+    def _last_applied(self) -> int | None:
+        import pathlib
+
+        marker = pathlib.Path(self.state_dir) / self._MARKER
+        try:
+            return int(marker.read_text().strip())
+        except (OSError, ValueError):
+            return None
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        import pathlib
+        import shutil
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        last = self._last_applied()
+        if last is not None and batch_id <= last:
+            return
+        spark = batch.sparkSession
+        keys = list(self.keys)
+        payload = [c for c in batch.columns if c not in (*keys, self.seq_col)]
+        win = (
+            batch.groupBy(*keys)
+            .agg(
+                F.max_by(F.struct(*payload), F.col(self.seq_col)).alias("__w"),
+                F.max(F.col(self.seq_col)).alias("__seq"),
+            )
+            .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in payload], "__seq")
+        )
+        state_path = pathlib.Path(self.state_dir)
+        if state_path.exists():
+            state = spark.read.parquet(self.state_dir)
+        else:
+            state = win.where(F.lit(False)).drop(self.op_col)
+        fresh = (
+            win.join(
+                state.select(*keys, F.col("__seq").alias("__seq_old")),
+                keys,
+                "left",
+            )
+            .where(F.col("__seq_old").isNull() | (F.col("__seq") > F.col("__seq_old")))
+            .drop("__seq_old")
+        )
+        kept = state.join(fresh.select(*keys), keys, "left_anti")
+        upserts = fresh.where(F.col(self.op_col) == "U").drop(self.op_col)
+        merged = kept.unionByName(upserts.select(*state.columns))
+        tmp = f"{self.state_dir.rstrip('/')}__next_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        (pathlib.Path(tmp) / self._MARKER).write_text(str(batch_id))
+        if state_path.exists():
+            old = f"{self.state_dir.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+            shutil.move(self.state_dir, old)
+            shutil.move(tmp, self.state_dir)
+            shutil.rmtree(old)
+        else:
+            shutil.move(tmp, self.state_dir)

@@ -1,0 +1,98 @@
+"""Streaming CDC apply: change stream → continuously-current snapshot.
+
+Drains a file-source changelog with ``availableNow`` through
+``CdcApplySink`` (one file per micro-batch) and checks the final
+parquet snapshot equals the sequential replay — including a stale
+redelivery (lower seq than the state's high-water mark for its key)
+that must be ignored, and a replayed batch_id that must no-op.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_bigdata_jobs_spark.streaming.runner import CdcApplySink
+
+LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("val", T.LongType()),
+    ]
+)
+
+BATCH_1 = [(k, k, "U", "new", 10 * k) for k in range(1, 6)]  # seq 1..5
+BATCH_2 = [
+    (2, 6, "U", "upd", 99),     # update existing
+    (3, 7, "D", None, None),    # tombstone
+    (6, 8, "U", "new", 60),     # insert
+    (1, 0, "U", "stale", -1),   # STALE: seq 0 < state high-water 1 → ignored
+]
+
+FINAL = {
+    1: ("new", 10, 1),
+    2: ("upd", 99, 6),
+    4: ("new", 40, 4),
+    5: ("new", 50, 5),
+    6: ("new", 60, 8),
+}
+
+
+@pytest.fixture()
+def changelog_dir(spark):
+    d = tempfile.mkdtemp(prefix="cdc_stream_")
+    for rows in (BATCH_1, BATCH_2):
+        spark.createDataFrame(rows, LOG_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        time.sleep(1.1)  # distinct mod-times → deterministic batch order
+    return d
+
+
+def _read_state(spark, state_dir):
+    return {
+        r.k: (r.status, r.val, r["__seq"])
+        for r in spark.read.parquet(state_dir).collect()
+    }
+
+
+def test_stream_apply_matches_sequential_replay(spark, changelog_dir):
+    state_dir = tempfile.mkdtemp(prefix="cdc_state_") + "/snap"
+    ckpt = tempfile.mkdtemp(prefix="cdc_ckpt_")
+    sink = CdcApplySink(state_dir=state_dir, keys=["k"])
+    (
+        spark.readStream.schema(LOG_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changelog_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    assert _read_state(spark, state_dir) == FINAL
+
+
+def test_replayed_batch_and_stale_row_are_noops(spark):
+    state_dir = tempfile.mkdtemp(prefix="cdc_state2_") + "/snap"
+    b1 = spark.createDataFrame(BATCH_1, LOG_SCHEMA)
+    b2 = spark.createDataFrame(BATCH_2, LOG_SCHEMA)
+    sink = CdcApplySink(state_dir=state_dir, keys=["k"])
+    sink(b1, 0)
+    sink(b2, 1)
+    after = _read_state(spark, state_dir)
+    assert after == FINAL
+    # foreachBatch is at-least-once: the same batch_id must short-circuit.
+    sink(b2, 1)
+    assert _read_state(spark, state_dir) == after
+    # And even with a FRESH batch_id, re-delivered rows are all stale
+    # (seq <= high-water) — the per-key guard alone keeps state fixed.
+    sink(b2.withColumn("seq", F.col("seq")), 2)
+    assert _read_state(spark, state_dir) == after
