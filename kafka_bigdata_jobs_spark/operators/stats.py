@@ -31,6 +31,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .relational import cents
 
@@ -402,3 +403,112 @@ def series_corr_pairs_gram(
 
     sums = pairs_df.mapInPandas(gen, out_schema)
     return _corr_topk_from_sums(sums, top_k)
+
+
+def auc_rank_sum(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC-AUC of an integer score against a binary label, as the
+    Mann-Whitney pair statistic — one row ``(n_pos, n_neg, auc_num2,
+    auc_bp)`` where ``auc_bp = 10000 * AUC`` rounded down and
+    ``auc_num2 = 2*#(pos>neg) + #(pos==neg)`` (ties at half weight), so
+    ``AUC = auc_num2 / (2 * n_pos * n_neg)`` exactly in integers.
+
+    Scale design: never ranks rows globally (an unpartitioned window
+    over the corpus) and never enumerates pos×neg pairs.  Rows first
+    aggregate to one row PER DISTINCT SCORE (one map-side-combinable
+    shuffle); the pair count then needs only a running sum of negatives
+    below each score — a window over the distinct-score relation, whose
+    cardinality is the score's resolution (quality scores here are
+    bounded integer bands), not the corpus.  The classifier-evaluation
+    op a filtering pipeline runs after distilling a quality model.
+    """
+    s = F.col(score_col).cast("long")
+    y = F.col(label_col).cast("long")
+    per_score = df.groupBy(s.alias("score")).agg(
+        F.sum(y).alias("n_pos_s"),
+        F.sum(F.lit(1) - y).alias("n_neg_s"),
+    )
+    w = (
+        Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    # cum_neg_below: negatives with STRICTLY smaller score.  The window
+    # is over the distinct-score relation (bounded by score resolution —
+    # see docstring), flagged in the unpartitioned-window allowlist.
+    contrib = per_score.withColumn(
+        "cum_neg_below", F.coalesce(F.sum("n_neg_s").over(w), F.lit(0))
+    ).select(
+        "n_pos_s",
+        "n_neg_s",
+        (F.col("n_pos_s") * (2 * F.col("cum_neg_below") + F.col("n_neg_s"))).alias(
+            "num2_s"
+        ),
+    )
+    return contrib.agg(
+        F.sum("n_pos_s").cast("long").alias("n_pos"),
+        F.sum("n_neg_s").cast("long").alias("n_neg"),
+        F.sum("num2_s").cast("long").alias("auc_num2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "auc_num2",
+        F.expr("(10000 * auc_num2) div (2 * n_pos * n_neg)")
+        .cast("long")
+        .alias("auc_bp"),
+    )
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Precision/recall at every achievable threshold, integer-exact:
+    one row per distinct score ``t`` describing the classifier
+    ``predict positive iff score >= t`` — ``(threshold, n_pred_pos,
+    tp, precision_bp, recall_bp, f1_bp)``.
+
+    Same two-level shape as :func:`auc_rank_sum`: the only corpus-wide
+    pass is the per-distinct-score aggregation; the curve itself is a
+    descending running sum over the distinct-score relation (bounded by
+    score resolution).  ``f1_bp`` uses the harmonic mean of the bp
+    values with a GREATEST guard so the degenerate all-negative
+    threshold is 0 on both engines.
+    """
+    s = F.col(score_col).cast("long")
+    y = F.col(label_col).cast("long")
+    per_score = df.groupBy(s.alias("threshold")).agg(
+        F.sum(y).alias("n_pos_s"),
+        F.count(F.lit(1)).alias("n_s"),
+    )
+    w = Window.orderBy(F.col("threshold").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wa = Window.orderBy(F.col("threshold").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per_score.select(
+        "threshold",
+        F.sum("n_s").over(w).alias("n_pred_pos"),
+        F.sum("n_pos_s").over(w).alias("tp"),
+        F.sum("n_pos_s").over(wa).alias("n_pos"),
+    )
+    return cum.select(
+        "threshold",
+        F.col("n_pred_pos").cast("long").alias("n_pred_pos"),
+        F.col("tp").cast("long").alias("tp"),
+        F.expr("(10000 * tp) div n_pred_pos").cast("long").alias("precision_bp"),
+        F.expr("(10000 * tp) div greatest(n_pos, 1)")
+        .cast("long")
+        .alias("recall_bp"),
+    ).select(
+        "*",
+        F.expr(
+            "(2 * precision_bp * recall_bp) div greatest(precision_bp + recall_bp, 1)"
+        )
+        .cast("long")
+        .alias("f1_bp"),
+    )

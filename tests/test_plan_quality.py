@@ -331,6 +331,13 @@ def test_global_windows_are_consciously_allowlisted():
             "weekly_volume_wow LAG (weeks axis); "
             "user_activity_skew_profile rank (aggregated key counts)",
         ),
+        "operators/stats.py": (
+            3,
+            "auc_rank_sum (1) and pr_curve (2) windows run over the "
+            "DISTINCT-SCORE relation (one row per score value, "
+            "cardinality = score resolution <= ~101 bands here), never "
+            "the corpus — the corpus pass is the per-score agg",
+        ),
     }
     found: dict[str, int] = {}
     for f in pkg.rglob("*.py"):
