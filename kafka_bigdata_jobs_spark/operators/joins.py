@@ -93,3 +93,30 @@ def star_join(
         d = F.broadcast(dim) if broadcast_dims else dim
         out = out.join(d, on=on, how="inner")
     return out
+
+
+#: Runtime bloom-filter join pruning (Catalyst's InjectRuntimeFilter
+#: rule): when a shuffle join's small side carries a selective filter,
+#: the optimizer can build a bloom filter over its join keys and push a
+#: ``might_contain`` probe into the BIG side's scan — rows that cannot
+#: match are dropped before the shuffle, the dominant cost at 100 TB.
+#: Spark's defaults only engage past large scan-size thresholds (the
+#: application side must exceed 10 GB), so the effect is invisible —
+#: and untestable — at local fixture scale.  These settings make the
+#: rule fire at any size; production keeps the size guards but raises
+#: creationSideThreshold so dimension-filtered fact joins qualify.
+RUNTIME_FILTER_CONF: dict[str, str] = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+}
+
+
+def with_runtime_filter(spark) -> None:
+    """Enable runtime bloom-filter pruning for subsequent plans built on
+    this session (idempotent; plan-asserted by
+    tests/test_runtime_filter.py).  Call before composing a
+    selective-dim x big-fact shuffle join; broadcast joins don't need
+    it (dynamic partition/file pruning covers those)."""
+    for k, v in RUNTIME_FILTER_CONF.items():
+        spark.conf.set(k, v)
