@@ -8273,3 +8273,476 @@ def q_bfs_reachability_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node_type", "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Lakehouse change-apply, join-IVM, and classifier evaluation
+# (beyond-reference: the reference recomputes its daily analytics from
+# full CSVs each run, batch/job2_historico.py:96-118; these are the
+# incremental/mergeable counterparts plus the model-evaluation op a
+# quality-filtering pipeline needs).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_snapshot_apply",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents
+      FROM orders
+    ), snap AS (
+      SELECT * FROM base WHERE k % 13 <> 4
+    ), log AS (
+      SELECT k, 1 AS seq, 'U' AS op, status, price_cents + 500 AS price_cents
+      FROM base WHERE k % 5 = 0
+      UNION ALL
+      SELECT k, 2, 'U', 'X', price_cents + 700 FROM base WHERE k % 7 = 0
+      UNION ALL
+      SELECT k, 3, 'D', NULL, NULL FROM base WHERE k % 11 = 0
+      UNION ALL
+      SELECT k, 0, 'U', status, price_cents FROM base WHERE k % 13 = 4
+    ), win AS (
+      SELECT k, op, status, price_cents FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        FROM log) WHERE rn = 1
+    ), applied AS (
+      SELECT s.k, s.status, s.price_cents
+      FROM snap s LEFT JOIN win w ON w.k = s.k WHERE w.k IS NULL
+      UNION ALL
+      SELECT k, status, price_cents FROM win WHERE op = 'U'
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT)         AS n_rows,
+           CAST(SUM(price_cents) AS BIGINT) AS sum_price_cents,
+           CAST(MIN(k) AS BIGINT)           AS min_key,
+           CAST(MAX(k) AS BIGINT)           AS max_key
+    FROM applied GROUP BY status
+    """,
+    doc="MERGE-INTO semantics as DataFrame algebra "
+    "(operators/cdc.py::apply_changelog): a deterministic synthetic "
+    "changelog over orders — seq-0 inserts for the keys the snapshot "
+    "lacks (%13=4), seq-1 price bumps (%5=0), seq-2 full-row status "
+    "rewrites (%7=0), seq-3 delete tombstones (%11=0) — applied onto "
+    "the snapshot.  Per-key winner via max_by on the log sequence (one "
+    "agg over the CHANGELOG only, no window over the table), then one "
+    "left-anti + union; a bucketed snapshot runs the apply "
+    "shuffle-free.  Overlapping key classes (e.g. %35=0 takes the "
+    "seq-2 image, %11 wins over everything) exercise last-wins; the "
+    "oracle replays the same log with ROW_NUMBER.  Output is the "
+    "post-apply per-status census, all integers.",
+)
+def q_cdc_snapshot_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cdc import apply_changelog
+    from .operators.relational import cents
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        cents("o_totalprice").alias("price_cents"),
+    )
+    snap = base.where(F.col("k") % 13 != 4)
+    log = (
+        base.where(F.col("k") % 5 == 0)
+        .select(
+            "k",
+            F.lit(1).alias("seq"),
+            F.lit("U").alias("op"),
+            "status",
+            (F.col("price_cents") + 500).alias("price_cents"),
+        )
+        .unionByName(
+            base.where(F.col("k") % 7 == 0).select(
+                "k",
+                F.lit(2).alias("seq"),
+                F.lit("U").alias("op"),
+                F.lit("X").alias("status"),
+                (F.col("price_cents") + 700).alias("price_cents"),
+            )
+        )
+        .unionByName(
+            base.where(F.col("k") % 11 == 0).select(
+                "k",
+                F.lit(3).alias("seq"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("string").alias("status"),
+                F.lit(None).cast("long").alias("price_cents"),
+            )
+        )
+        .unionByName(
+            base.where(F.col("k") % 13 == 4).select(
+                "k",
+                F.lit(0).alias("seq"),
+                F.lit("U").alias("op"),
+                "status",
+                "price_cents",
+            )
+        )
+    )
+    applied = apply_changelog(snap, log, keys=["k"], seq_col="seq", op_col="op")
+    return applied.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price_cents").cast("long").alias("sum_price_cents"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+    )
+
+
+@register(
+    "incremental_join_revenue",
+    """
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Join incremental-view-maintenance (operators/incremental.py::"
+    "delta_join): customers and orders are each split into an 'old' "
+    "partition and an append delta (c_custkey%23=1, o_orderkey%17=2); "
+    "the maintained view = old⋈old (the stored result) plus the three "
+    "IVM delta terms ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB — every delta term's "
+    "probe side is sized by the DELTA, co-located when the stored "
+    "relations are bucketed on the join key.  The oracle is the "
+    "from-scratch join over the full tables: a value-hash MATCH proves "
+    "the algebra reconstitutes A_new⋈B_new exactly (no lost, no "
+    "double-counted pairs).  Per-segment revenue census, exact cents.",
+)
+def q_incremental_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.incremental import delta_join
+    from .operators.relational import cents
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        cents("o_totalprice").alias("price_cents"),
+        "o_orderkey",
+    )
+    c_old = c.where(F.col("c_custkey") % 23 != 1)
+    c_delta = c.where(F.col("c_custkey") % 23 == 1)
+    o_old = o.where(F.col("o_orderkey") % 17 != 2)
+    o_delta = o.where(F.col("o_orderkey") % 17 == 2)
+    stored = c_old.join(o_old, "c_custkey")
+    delta = delta_join(c_old, c_delta, o_old, o_delta, on=["c_custkey"])
+    return (
+        stored.unionByName(delta)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "quality_filter_auc",
+    """
+    WITH scored AS (
+      SELECT
+        (CASE WHEN length(text) BETWEEN 100 AND 400 THEN 25
+              WHEN length(text) BETWEEN 50 AND 99 THEN 15
+              WHEN length(text) > 400 THEN 10 ELSE 0 END)
+      + (CASE WHEN length(trim(text)) = 0 THEN 0
+              WHEN (length(text) * 10) / len(string_split_regex(trim(text), '\\s+'))
+                   BETWEEN 35 AND 80 THEN 25
+              WHEN (length(text) * 10) / len(string_split_regex(trim(text), '\\s+')) > 0
+                   THEN 10 ELSE 0 END)
+      + (CASE WHEN length(trim(text)) = 0 THEN 5
+              WHEN (len(list_distinct(string_split_regex(trim(text), '\\s+'))) * 100)
+                   / len(string_split_regex(trim(text), '\\s+')) >= 50 THEN 25
+              WHEN (len(list_distinct(string_split_regex(trim(text), '\\s+'))) * 100)
+                   / len(string_split_regex(trim(text), '\\s+')) >= 20 THEN 15
+              ELSE 5 END)
+      + (CASE WHEN length(text) = 0 THEN 0
+              WHEN (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 100)
+                   / length(text) >= 70 THEN 25
+              WHEN (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 100)
+                   / length(text) >= 40 THEN 15 ELSE 0 END)
+        AS score,
+        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ), per_score AS (
+      SELECT score, SUM(y) AS n_pos_s, SUM(1 - y) AS n_neg_s
+      FROM scored GROUP BY score
+    ), cum AS (
+      SELECT n_pos_s, n_neg_s,
+             COALESCE(SUM(n_neg_s) OVER (
+               ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_neg_below
+      FROM per_score
+    )
+    SELECT CAST(SUM(n_pos_s) AS BIGINT) AS n_pos,
+           CAST(SUM(n_neg_s) AS BIGINT) AS n_neg,
+           CAST(SUM(n_pos_s * (2*cum_neg_below + n_neg_s)) AS BIGINT)
+             AS auc_num2,
+           CAST((10000 * SUM(n_pos_s * (2*cum_neg_below + n_neg_s)))
+                // (2 * SUM(n_pos_s) * SUM(n_neg_s)) AS BIGINT) AS auc_bp
+    FROM cum
+    """,
+    doc="Exact ROC-AUC of the heuristic quality score against the "
+    "lang='en' label — Mann-Whitney pair statistic, integer-exact "
+    "(operators/stats.py::auc_rank_sum): does the generic quality "
+    "heuristic encode an English-centric bias?  Never ranks the corpus "
+    "globally and never enumerates pos x neg pairs: rows aggregate to "
+    "one row per distinct score (map-side-combinable), then a running "
+    "negatives-below sum over the distinct-score relation (cardinality "
+    "= score resolution, here <= 101 bands) yields 2*#(pos>neg) + "
+    "#(ties); auc_bp = 10000*num2/(2*n_pos*n_neg) by integer "
+    "division.  The classifier-evaluation op every distilled quality "
+    "filter needs before it gates a corpus.",
+)
+def q_quality_filter_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textstats as TS
+    from .operators.stats import auc_rank_sum
+    from .operators.textproj import guarded_word_count, tokenized_documents
+
+    apply_runtime_conf(spark)
+    p = tokenized_documents(spark, sf_dir)
+    score = TS.quality_score_from_parts(
+        F.col("n_chars"),
+        guarded_word_count(F.col("words")),
+        F.size(F.array_distinct(F.col("words"))),
+        F.col("n_alpha"),
+    )
+    scored = p.select(
+        score.alias("score"), (F.col("lang") == "en").cast("long").alias("y")
+    )
+    return auc_rank_sum(scored, "score", "y")
+
+
+@register(
+    "incremental_join_revenue_signed",
+    """
+    WITH c_new AS (
+      SELECT c_custkey, c_mktsegment FROM customer
+      WHERE c_custkey % 23 = 1
+         OR (c_custkey % 23 <> 1 AND c_custkey % 29 <> 5)
+    ), o_new AS (
+      SELECT o_custkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents
+      FROM orders
+      WHERE o_orderkey % 17 = 2
+         OR (o_orderkey % 17 <> 2 AND o_orderkey % 13 <> 6)
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT)           AS n_orders,
+           CAST(SUM(o.price_cents) AS BIGINT) AS revenue_cents
+    FROM c_new c JOIN o_new o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Join IVM with RETRACTIONS (operators/incremental.py::"
+    "delta_join_signed, the Z-set/DBSP signed-multiset algebra): both "
+    "sides take inserts (+1: new customers %23=1, new orders %17=2) "
+    "AND deletes (-1: existing customers %29=5, existing orders "
+    "%13=6) in one batch; the stored old⋈old result folds the signed "
+    "join delta via weighted sums (counts add w, cents add "
+    "w*price).  The ΔA⋈ΔB cross term is what nets a doubly-retracted "
+    "pair to exactly -1 — and the oracle, the from-scratch join over "
+    "the post-change tables, verifies the whole algebra by value "
+    "hash.  Zero-multiplicity groups are dropped, matching inner-join "
+    "semantics.",
+)
+def q_incremental_join_revenue_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.incremental import delta_join_signed
+    from .operators.relational import cents
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        cents("o_totalprice").alias("price_cents"),
+        "o_orderkey",
+    )
+    c_old = c.where(F.col("c_custkey") % 23 != 1)
+    dc = (
+        c.where(F.col("c_custkey") % 23 == 1)
+        .withColumn("__w", F.lit(1))
+        .unionByName(
+            c_old.where(F.col("c_custkey") % 29 == 5).withColumn("__w", F.lit(-1))
+        )
+    )
+    o_old = o.where(F.col("o_orderkey") % 17 != 2)
+    do = (
+        o.where(F.col("o_orderkey") % 17 == 2)
+        .withColumn("__w", F.lit(1))
+        .unionByName(
+            o_old.where(F.col("o_orderkey") % 13 == 6).withColumn("__w", F.lit(-1))
+        )
+    )
+    stored = c_old.join(o_old, "c_custkey").withColumn("__w", F.lit(1))
+    delta = delta_join_signed(c_old, dc, o_old, do, on=["c_custkey"])
+    return (
+        stored.unionByName(delta)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("__w").cast("long").alias("n_orders"),
+            F.sum(F.col("__w") * F.col("price_cents"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .where(F.col("n_orders") != 0)
+    )
+
+
+@register(
+    "quality_filter_pr_curve",
+    """
+    WITH scored AS (
+      SELECT
+        (CASE WHEN length(text) BETWEEN 100 AND 400 THEN 25
+              WHEN length(text) BETWEEN 50 AND 99 THEN 15
+              WHEN length(text) > 400 THEN 10 ELSE 0 END)
+      + (CASE WHEN length(trim(text)) = 0 THEN 0
+              WHEN (length(text) * 10) / len(string_split_regex(trim(text), '\\s+'))
+                   BETWEEN 35 AND 80 THEN 25
+              WHEN (length(text) * 10) / len(string_split_regex(trim(text), '\\s+')) > 0
+                   THEN 10 ELSE 0 END)
+      + (CASE WHEN length(trim(text)) = 0 THEN 5
+              WHEN (len(list_distinct(string_split_regex(trim(text), '\\s+'))) * 100)
+                   / len(string_split_regex(trim(text), '\\s+')) >= 50 THEN 25
+              WHEN (len(list_distinct(string_split_regex(trim(text), '\\s+'))) * 100)
+                   / len(string_split_regex(trim(text), '\\s+')) >= 20 THEN 15
+              ELSE 5 END)
+      + (CASE WHEN length(text) = 0 THEN 0
+              WHEN (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 100)
+                   / length(text) >= 70 THEN 25
+              WHEN (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 100)
+                   / length(text) >= 40 THEN 15 ELSE 0 END)
+        AS threshold,
+        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ), per_score AS (
+      SELECT threshold, SUM(y) AS n_pos_s, COUNT(*) AS n_s
+      FROM scored GROUP BY threshold
+    ), cum AS (
+      SELECT threshold,
+             SUM(n_s) OVER (ORDER BY threshold DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_pred_pos,
+             SUM(n_pos_s) OVER (ORDER BY threshold DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             SUM(n_pos_s) OVER () AS n_pos
+      FROM per_score
+    ), bp AS (
+      SELECT threshold,
+             CAST(n_pred_pos AS BIGINT) AS n_pred_pos,
+             CAST(tp AS BIGINT) AS tp,
+             CAST((10000 * tp) // n_pred_pos AS BIGINT) AS precision_bp,
+             CAST((10000 * tp) // GREATEST(n_pos, 1) AS BIGINT) AS recall_bp
+      FROM cum
+    )
+    SELECT *, CAST((2 * precision_bp * recall_bp)
+                   // GREATEST(precision_bp + recall_bp, 1) AS BIGINT) AS f1_bp
+    FROM bp
+    """,
+    doc="Operating-point sweep for the heuristic quality filter "
+    "(operators/stats.py::pr_curve): one row per achievable threshold "
+    "t with n_pred_pos/tp/precision/recall/F1 for 'keep iff score >= "
+    "t', all integer basis points.  Same scale shape as the AUC op — "
+    "the corpus pass is one per-distinct-score aggregation; the sweep "
+    "is a descending running sum over the score-resolution-bounded "
+    "distinct relation.  Together with quality_filter_auc this is the "
+    "evaluate-then-pick-threshold loop run before gating a corpus on "
+    "a distilled classifier.",
+)
+def q_quality_filter_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textstats as TS
+    from .operators.stats import pr_curve
+    from .operators.textproj import guarded_word_count, tokenized_documents
+
+    apply_runtime_conf(spark)
+    p = tokenized_documents(spark, sf_dir)
+    score = TS.quality_score_from_parts(
+        F.col("n_chars"),
+        guarded_word_count(F.col("words")),
+        F.size(F.array_distinct(F.col("words"))),
+        F.col("n_alpha"),
+    )
+    scored = p.select(
+        score.alias("score"), (F.col("lang") == "en").cast("long").alias("y")
+    )
+    return pr_curve(scored, "score", "y")
+
+
+@register(
+    "dsir_selection_report",
+    r"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(text), '\s+') AS words
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(len(words)-1),
+                i -> list_extract(words, i+1) || ' ' || list_extract(words, i+2)))
+               AS g
+      FROM w
+    ), cb AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_target,
+             CAST('0x' || substr(md5(g), 1, 4) AS INTEGER) % 64 AS bucket,
+             COUNT(*) AS c
+      FROM bg GROUP BY 1, 2, 3
+    ), pb AS (
+      SELECT bucket, SUM(c * is_target) AS t_b, SUM(c) AS r_b
+      FROM cb GROUP BY bucket
+    ), tot AS (
+      SELECT SUM(t_b) AS t_tot, SUM(r_b) AS r_tot FROM pb
+    ), lr AS (
+      SELECT bucket,
+             CAST(ROUND(1000000 * ln(
+               CAST((t_b+1) * (r_tot+64) AS DOUBLE)
+               / CAST((r_b+1) * (t_tot+64) AS DOUBLE))) AS BIGINT) AS lr
+      FROM pb CROSS JOIN tot
+    ), dw AS (
+      SELECT cb.doc_id, CAST(SUM(cb.c * lr.lr) AS BIGINT) AS weight
+      FROM cb JOIN lr USING (bucket) GROUP BY cb.doc_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(dw.weight) AS BIGINT) AS n_scored,
+           CAST(COUNT(*) FILTER (WHERE dw.weight > 0) AS BIGINT) AS n_selected,
+           CAST(COALESCE(SUM(dw.weight) FILTER (WHERE dw.weight > 0), 0)
+                AS BIGINT) AS selected_weight_unats,
+           CAST((10000 * COUNT(*) FILTER (WHERE dw.weight > 0)) // COUNT(*)
+                AS BIGINT) AS selected_bp
+    FROM documents d LEFT JOIN dw ON dw.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+    doc="DSIR pretraining-data selection (Xie et al. NeurIPS'23, public "
+    "method; operators/dsir.py): hashed word-bigram features (64 "
+    "md5-prefix buckets, the cross-engine hash_bucket idiom), add-one-"
+    "smoothed target-vs-raw bucket distributions (target = lang='en'), "
+    "per-doc importance weight = sum of c_b x integer MICRO-NAT log "
+    "ratios — the fixed-point quantization that makes a log-based "
+    "method value-hashable across engines (divergence-safety margin "
+    "pinned by tests/test_dsir.py).  Per-source selection census at "
+    "the weight>0 operating point.  Scale shape: one corpus shuffle "
+    "(doc x bucket counts), a 64-row broadcast ratio table, no global "
+    "sort.",
+)
+def q_dsir_selection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dsir import dsir_weights
+    from .operators.textproj import tokenized_documents
+
+    apply_runtime_conf(spark)
+    p = tokenized_documents(spark, sf_dir)
+    w = dsir_weights(
+        p, "doc_id", "words", F.col("lang") == "en", n_buckets=64
+    ).withColumnRenamed("id", "doc_id")
+    joined = p.select("doc_id", "source").join(w, "doc_id", "left")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("weight").alias("n_scored"),
+        F.sum((F.col("weight") > 0).cast("long")).alias("n_selected"),
+        F.coalesce(
+            F.sum(F.when(F.col("weight") > 0, F.col("weight"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("selected_weight_unats"),
+        F.expr("(10000 * sum(case when weight > 0 then 1 else 0 end)) div count(1)")
+        .cast("long")
+        .alias("selected_bp"),
+    )

@@ -84,6 +84,9 @@ PROBE = {
     "decontamination_cut_plan": "broadcast bench-gram probe + marked-only window",
     "supplier_graph_triangles": "degree-oriented wedge gen + closure join",
     "bfs_reachability_profile": "checkpointed frontier expansion (4 hops)",
+    "cdc_snapshot_apply": "changelog winner agg + anti-join apply",
+    "incremental_join_revenue_signed": "signed delta-join IVM fold",
+    "quality_filter_auc": "per-distinct-score agg + bounded window",
 }
 
 
