@@ -8746,3 +8746,145 @@ def q_dsir_selection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("selected_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval: BM25 lexical scoring + hybrid (lexical x embedding) RRF fusion
+# (beyond-reference: the curation-side retrieval surface over the same
+# inverted-index family as term_posting_lists / tfidf_top_terms).
+# ---------------------------------------------------------------------------
+
+#: The fixed lexical probe for the retrieval queries; margins of its IDF
+#: quantization at the fixture are pinned by tests/test_bm25.py.
+_BM25_TERMS = ("spark", "vector", "hash")
+
+_BM25_ORACLE_CTE = r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+      FROM documents
+    ), d AS (
+      SELECT doc_id, len(words) AS dl, words FROM w
+    ), c AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS total_words FROM d
+    ), hits AS (
+      SELECT doc_id, dl, u.word AS term, COUNT(*) AS tf
+      FROM d, unnest(words) AS u(word)
+      WHERE u.word IN ('spark', 'vector', 'hash')
+      GROUP BY doc_id, dl, u.word
+    ), dft AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY term
+    ), contrib AS (
+      SELECT h.doc_id,
+             (CAST(ROUND(1000000 * ln((2*c.n_docs + 2)::DOUBLE
+                                      / (2*f.df + 1)::DOUBLE)) AS BIGINT)
+              * 44000 * h.tf)
+             // (20000*h.tf + 6000
+                 + 18*((1000*h.dl*c.n_docs) // c.total_words)) AS cm
+      FROM hits h JOIN dft f USING (term) CROSS JOIN c
+    ), bm25 AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+             CAST(SUM(cm) AS BIGINT) AS score_micro
+      FROM contrib GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "bm25_top_docs",
+    _BM25_ORACLE_CTE
+    + """
+    SELECT doc_id, n_terms_hit, score_micro
+    FROM bm25 ORDER BY score_micro DESC, doc_id LIMIT 10
+    """,
+    doc="Okapi BM25 retrieval (Lucene IDF variant) for a fixed 3-term "
+    "probe, integer-exact on the micro-nat/per-mille lattice "
+    "(operators/bm25.py — k1=1.2, b=0.75 folded onto x20000 integers; "
+    "boundary margins pinned by tests/test_bm25.py).  One corpus pass "
+    "builds (doc, term, tf) for the PROBE TERMS ONLY (arrays_overlap "
+    "prefilter before the explode), document frequencies are a 3-row "
+    "broadcast, and top-10 is TakeOrderedAndProject — no global sort, "
+    "no window.  The lexical half of hybrid search.",
+)
+def q_bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bm25 import bm25_scores
+    from .operators.textproj import tokenized_documents
+
+    p = tokenized_documents(spark, sf_dir)
+    return (
+        bm25_scores(p, _BM25_TERMS)
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(10)
+    )
+
+
+@register(
+    "hybrid_rrf_search",
+    _BM25_ORACLE_CTE
+    + """
+    , lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS rank
+      FROM bm25 ORDER BY rank LIMIT 20
+    ), e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), q AS (
+      SELECT emb AS qv FROM e WHERE vec_id = 0
+    ), sem AS (
+      SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY ROUND(list_dot_product(qv, emb) /
+                              sqrt(list_dot_product(qv, qv)
+                                   * list_dot_product(emb, emb)), 6) DESC,
+                        vec_id) AS rank
+      FROM e CROSS JOIN q WHERE vec_id <> 0
+      ORDER BY rank LIMIT 20
+    ), fused AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+             CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_micro
+      FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_lists, rrf_micro
+    FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 10
+    """,
+    doc="Hybrid search: BM25 top-20 (lexical) fused with exact-cosine "
+    "top-20 to query vector 0 (semantic; doc_id and vec_id share the "
+    "synthetic id space) by reciprocal-rank fusion, "
+    "rrf_micro = sum(1000000 div (60 + rank)) — the public "
+    "Cormack et al. constant, integer-exact (operators/bm25.py::"
+    "rrf_fuse).  Both candidate lists are top-k relations (<=20 rows) "
+    "before any window touches them: the lexical rank window runs over "
+    "the LIMITed 20-row frame (global-window allowlist), the semantic "
+    "rank comes from topk_neighbors' per-query partitioned window.  "
+    "Fusion itself is broadcast-sized algebra.",
+)
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.bm25 import bm25_scores, rrf_fuse
+    from .operators.similarity import topk_neighbors
+    from .operators.textproj import tokenized_documents
+
+    p = tokenized_documents(spark, sf_dir)
+    lex20 = (
+        bm25_scores(p, _BM25_TERMS)
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(20)
+    )
+    # rank over the already-LIMITed 20-row relation (allowlisted global
+    # window: input is top-k-bounded, never the corpus)
+    lex = lex20.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_micro"), "doc_id"))
+        .cast("long")
+        .alias("rank"),
+    )
+    e = _t(spark, sf_dir, "embeddings")
+    sem = topk_neighbors(e, e.where(F.col("vec_id") == 0), "vec_id", "embedding", k=20)
+    sem = sem.select(F.col("neighbor_id").alias("doc_id"), F.col("rank").cast("long").alias("rank"))
+    return (
+        rrf_fuse(lex, sem)
+        .orderBy(F.desc("rrf_micro"), "doc_id")
+        .limit(10)
+    )

@@ -325,11 +325,13 @@ def test_global_windows_are_consciously_allowlisted():
     # file -> (count, why each global window is bounded)
     ALLOWED = {
         "suite.py": (
-            4,
+            5,
             "purchase_value_ranks (filtered subset, documented); "
             "distinctive-terms word frequencies (vocab-bounded); "
             "weekly_volume_wow LAG (weeks axis); "
-            "user_activity_skew_profile rank (aggregated key counts)",
+            "user_activity_skew_profile rank (aggregated key counts); "
+            "hybrid_rrf_search lexical rank (input already LIMITed to "
+            "the top-20 candidate relation)",
         ),
         "operators/stats.py": (
             3,
