@@ -2,7 +2,7 @@
 
 PY ?= python
 
-.PHONY: test bench correctness-local coverage scaledata scaleprobe
+.PHONY: test bench correctness-local correctness-local-incr coverage scaledata scaleprobe
 
 test:
 	$(PY) -m pytest tests/ -x -q
@@ -16,6 +16,12 @@ bench:
 # against the registry, so rerun this target whenever queries change.
 correctness-local:
 	$(PY) -m kafka_bigdata_jobs_spark matrix --out CORRECTNESS_local.json
+
+# Incremental variant: carry over existing green rows, run only queries
+# that are new or recorded non-green — the cheap path when a few
+# queries land between full regenerations.
+correctness-local-incr:
+	$(PY) -m kafka_bigdata_jobs_spark matrix --out CORRECTNESS_local.json --only-missing
 
 # Refresh COVERAGE.md's verified-by column from the union of committed
 # CORRECTNESS artifacts (driver rounds + the local matrix).

@@ -42,6 +42,11 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--sf-dir", action="append", dest="sf_dirs",
                    help="repeatable; default sf0.001 and sf0.01")
     m.add_argument("--out", default="CORRECTNESS_local.json")
+    m.add_argument("--only-missing", action="store_true",
+                   help="incremental refresh: keep existing green rows in "
+                   "--out, (re)run only queries that are new, dropped from "
+                   "the registry, or recorded non-green — the cheap path "
+                   "when a few queries land between full regenerations")
     args = p.parse_args(argv)
 
     from . import suite
@@ -59,7 +64,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "matrix":
         return _matrix(reg, args.sf_dirs or
                        ["/root/testdata/sf0.001", "/root/testdata/sf0.01"],
-                       args.out)
+                       args.out, only_missing=args.only_missing)
 
     if args.query not in reg:
         print(f"unknown query: {args.query}", file=sys.stderr)
@@ -145,25 +150,43 @@ def _oracle_compare(name: str, q, df, sf_dir: str) -> int:
     return 0
 
 
-def _matrix(reg, sf_dirs: list[str], out_path: str) -> int:
+def _matrix(reg, sf_dirs: list[str], out_path: str,
+            only_missing: bool = False) -> int:
     """The complete auditable correctness signal: every registered query
     strict-checked against its DuckDB oracle at every given SF.  The
     driver samples 50 queries/round; this publishes the full matrix
     (round-2 verdict 'Next round' item 3).  Regenerate via
     ``make correctness-local`` whenever the registry changes —
-    tests/test_correctness_matrix.py pins freshness."""
+    tests/test_correctness_matrix.py pins freshness.  With
+    ``only_missing`` existing green rows (MATCH/ROWS_ONLY at every SF,
+    matching oracle kind) are carried over and only the rest re-run."""
     import json
     import time
 
     from .session import get_spark
 
+    queries: dict = {}
+    if only_missing:
+        try:
+            with open(out_path, encoding="utf-8") as fh:
+                prev = json.load(fh).get("queries", {})
+        except (OSError, ValueError):
+            prev = {}
+        for name, row in prev.items():
+            if (name in reg
+                    and row.get("oracle") == (reg[name].oracle is not None)
+                    and all(row.get(sf, {}).get("status")
+                            in ("MATCH", "ROWS_ONLY") for sf in sf_dirs)):
+                queries[name] = row
+        print(f"carrying over {len(queries)} green rows; "
+              f"running {len(reg) - len(queries)}")
+
     spark = get_spark("kbj-matrix")
     spark.sparkContext.setLogLevel("ERROR")
     cons = {sf: _duckdb_views(sf) for sf in sf_dirs}
-    queries: dict = {}
     n_bad = 0
     t0 = time.time()
-    for name in sorted(reg):
+    for name in sorted(set(reg) - set(queries)):
         q = reg[name]
         row: dict = {"oracle": q.oracle is not None}
         for sf in sf_dirs:

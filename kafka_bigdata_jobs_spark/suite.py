@@ -8888,3 +8888,59 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_micro"), "doc_id")
         .limit(10)
     )
+
+
+@register(
+    "heavy_hitters_census",
+    r"""
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS word
+      FROM documents
+    ), counts AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n
+      FROM toks GROUP BY source, word
+    ), ranked AS (
+      SELECT source, word, n,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n DESC, word) AS rnk
+      FROM counts
+    )
+    SELECT source, CAST(rnk AS BIGINT) AS rnk, word, n
+    FROM ranked WHERE rnk <= 5
+    """,
+    doc="Mergeable frequent-items heavy hitters: per-source top-5 words "
+    "via approx_top_k (the DataSketches frequent-items aggregate — the "
+    "partial-sketch shape that merges across partitions/days, "
+    "completing the HLL/KLL/theta mergeable family).  The sketch's "
+    "counts are EXACT while the distinct-item count stays under its "
+    "tracked capacity (Misra-Gries only decrements on overflow) — the "
+    "fixture vocabulary is ~30 words vs 10000 tracked, and "
+    "tests/test_heavy_hitters.py pins that precondition plus a "
+    "capacity-overflow case showing where exactness honestly ends.  "
+    "Both engines rank the COMPLETE census with the same (count desc, "
+    "word) tie-break, so the top-5 boundary is deterministic.  At "
+    "100 TB the capacity bound is per-KEY distinct items, and the "
+    "output is k rows per key — the continuous-aggregate shape.",
+)
+def q_heavy_hitters_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.textproj import tokenized_documents
+
+    p = tokenized_documents(spark, sf_dir)
+    sk = (
+        p.select("source", F.explode("words").alias("word"))
+        .groupBy("source")
+        .agg(F.expr("approx_top_k(word, 10000, 10000)").alias("tk"))
+    )
+    ex = sk.select("source", F.explode("tk").alias("e")).select(
+        "source",
+        F.col("e.item").alias("word"),
+        F.col("e.count").cast("long").alias("n"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n"), "word")
+    return (
+        ex.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 5)
+        .select("source", "rnk", "word", "n")
+    )
