@@ -95,6 +95,9 @@ def main() -> None:
         "embedding_pca_variance", "term_cooccurrence_lift",
         "dup_span_profile", "substring_dedup_retention",
         "decontamination_cut_plan", "codec_parity_report",
+        "cdc_snapshot_apply", "quality_filter_auc", "dsir_selection_report",
+        "bm25_top_docs", "hybrid_rrf_search", "heavy_hitters_census",
+        "daily_spend_gapfilled", "weighted_sample_report",
     ]
     payload = {
         "metric": "suite_wall_sec",

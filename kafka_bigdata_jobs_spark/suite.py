@@ -7483,19 +7483,7 @@ def q_term_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_customer_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import pagerank_bp
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cs = (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(
-            (F.col("o_custkey") * 2).alias("c"),
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
-        )
-        .distinct()
-    )
-    edges = cs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
-        cs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
+    edges = _shared_bipartite_edges(spark, sf_dir)
     ranks = pagerank_bp(edges, n_iter=5)
     decoded = ranks.select(
         F.when(F.col("node") % 2 == 0, F.lit("customer"))
@@ -8013,6 +8001,36 @@ def q_conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: intermediate, so the suite shares one cached relation per session —
 #: the near-dup-pairs pattern applied to the graph family.
 _COPURCHASE_EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
+_BIPARTITE_EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shared_bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached customer<->supplier bipartite edge relation
+    (both directions, ids interleaved: customer = 2k, supplier = 2k+1)
+    — shared by customer_supplier_pagerank and supplier_affinity_ppr,
+    whose dominant upstream cost is the same lineitem x orders distinct
+    join.  At 100 TB this is a write-once bucketed edge artifact."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BIPARTITE_EDGES_CACHE:
+        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        cs = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .select(
+                (F.col("o_custkey") * 2).alias("c"),
+                (F.col("l_suppkey") * 2 + 1).alias("s"),
+            )
+            .distinct()
+        )
+        edges = cs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+            cs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        )
+        _BIPARTITE_EDGES_CACHE[key] = edges.cache()
+    df = _BIPARTITE_EDGES_CACHE[key]
+    lvl = df.storageLevel
+    if not (lvl.useMemory or lvl.useDisk):
+        df = df.cache()
+    return df
 
 _COPURCHASE_EDGES_SQL = """
       SELECT a.supp AS u, b.supp AS v
@@ -8943,4 +8961,361 @@ def q_heavy_hitters_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         ex.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= 5)
         .select("source", "rnk", "word", "n")
+    )
+
+
+@register(
+    "daily_spend_gapfilled",
+    """
+    WITH obs AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, CAST(ts AS DATE)
+    ), rng AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM obs GROUP BY user_id
+    ), spine AS (
+      SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM rng
+    ), j AS (
+      SELECT s.user_id, s.day, o.cents,
+             last_value(CASE WHEN o.cents IS NOT NULL
+                             THEN struct_pack(d := s.day, v := o.cents) END
+                        IGNORE NULLS)
+               OVER (PARTITION BY s.user_id ORDER BY s.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+             last_value(CASE WHEN o.cents IS NOT NULL
+                             THEN struct_pack(d := s.day, v := o.cents) END
+                        IGNORE NULLS)
+               OVER (PARTITION BY s.user_id ORDER BY s.day DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+      FROM spine s LEFT JOIN obs o USING (user_id, day)
+    ), filled AS (
+      SELECT user_id, day, cents IS NOT NULL AS observed,
+             p.v AS locf_value,
+             CASE WHEN cents IS NOT NULL THEN cents
+                  ELSE (p.v * date_diff('day', day, n.d)
+                        + n.v * date_diff('day', p.d, day))
+                       // date_diff('day', p.d, n.d) END AS interp_value
+      FROM j
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT)                       AS n_series,
+           CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+                                                          AS n_observed,
+           CAST(SUM(locf_value) AS BIGINT)                AS locf_cents,
+           CAST(SUM(interp_value) AS BIGINT)              AS interp_cents
+    FROM filled GROUP BY day ORDER BY day
+    """,
+    doc="Time-series regularization (operators/resample.py): per-user "
+    "daily purchase cents joined onto a per-user calendar spine "
+    "(sequence explode between first and last active day), gaps filled "
+    "two ways — LOCF via a backward ignorenulls carry, and integer "
+    "linear interpolation combining backward+forward (day, value) "
+    "struct carries on the cents lattice, (pv*(nd-d)+nv*(d-pd)) div "
+    "(nd-pd).  Every window partitioned BY USER — embarrassingly "
+    "parallel, bounded per-key state (calendar days), no global sort.  "
+    "Output: per-day census of series density and both fills "
+    "(TimescaleDB time_bucket_gapfill / QuestDB FILL semantics, "
+    "relationally).",
+)
+def q_daily_spend_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.resample import gap_fill_daily
+
+    e = _t(spark, sf_dir, "events")
+    obs = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id",
+            F.col("ts").cast("timestamp").cast("date").alias("day"),
+        )
+        .agg(F.sum(R.cents("value")).cast("long").alias("cents"))
+    )
+    filled = gap_fill_daily(obs, "user_id", "day", "cents")
+    return (
+        filled.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_series"),
+            F.sum(F.col("observed").cast("long")).cast("long").alias("n_observed"),
+            F.sum("locf_value").cast("long").alias("locf_cents"),
+            F.sum("interp_value").cast("long").alias("interp_cents"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "weighted_sample_report",
+    r"""
+    WITH w AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(text), '\s+')) AS wt
+      FROM documents
+    ), c AS (
+      SELECT source, doc_id,
+             CAST(ROUND(1000000 * -ln(
+               (CAST(('0x' || substr(md5('aes-v1' || CAST(doc_id AS VARCHAR)),
+                                     1, 12)) AS BIGINT) + 1)
+               / 281474976710656.0) / wt) AS BIGINT) AS priority_micro
+      FROM w WHERE wt > 0
+    ), r AS (
+      SELECT source, doc_id, priority_micro,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY priority_micro, doc_id) AS rnk
+      FROM c
+    )
+    SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, priority_micro
+    FROM r WHERE rnk <= 10
+    """,
+    doc="Deterministic weighted sampling without replacement "
+    "(Efraimidis-Spirakis A-ES, operators/sampling.py): 10 docs per "
+    "source with probability proportional to word count, via quantized "
+    "exponential clocks round(1e6*ln(1/u)/w) where u derives from "
+    "md5(seed||id) — replayable across runs and engines (no runtime "
+    "randomness), seed-switchable.  Per-group top-k is a partitioned "
+    "window (bounded state); this is the sampling shape that replaces "
+    "'ORDER BY random() LIMIT k' — a full-corpus global sort — at "
+    "100 TB.  Boundary margins pinned by tests/test_sampling.py.",
+)
+def q_weighted_sample_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import weighted_sample_per_group
+    from .operators.textproj import tokenized_documents
+
+    p = tokenized_documents(spark, sf_dir)
+    d = p.select("doc_id", "source", F.size("words").cast("long").alias("wt"))
+    return weighted_sample_per_group(
+        d, ["source"], "doc_id", "wt", k=10, seed="aes-v1"
+    ).select("source", F.col("rank").alias("rnk"), "doc_id", "priority_micro")
+
+
+@register(
+    "quality_quantile_calibration",
+    """
+    WITH scored AS (
+      SELECT source,
+        (CASE WHEN length(text) BETWEEN 100 AND 400 THEN 25
+              WHEN length(text) BETWEEN 50 AND 99 THEN 15
+              WHEN length(text) > 400 THEN 10 ELSE 0 END)
+      + (CASE WHEN length(trim(text)) = 0 THEN 0
+              WHEN (length(text) * 10) / len(string_split_regex(trim(text), '\\s+'))
+                   BETWEEN 35 AND 80 THEN 25
+              WHEN (length(text) * 10) / len(string_split_regex(trim(text), '\\s+')) > 0
+                   THEN 10 ELSE 0 END)
+      + (CASE WHEN length(trim(text)) = 0 THEN 5
+              WHEN (len(list_distinct(string_split_regex(trim(text), '\\s+'))) * 100)
+                   / len(string_split_regex(trim(text), '\\s+')) >= 50 THEN 25
+              WHEN (len(list_distinct(string_split_regex(trim(text), '\\s+'))) * 100)
+                   / len(string_split_regex(trim(text), '\\s+')) >= 20 THEN 15
+              ELSE 5 END)
+      + (CASE WHEN length(text) = 0 THEN 0
+              WHEN (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 100)
+                   / length(text) >= 70 THEN 25
+              WHEN (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 100)
+                   / length(text) >= 40 THEN 15 ELSE 0 END)
+        AS q
+      FROM documents
+    ), ranked AS (
+      SELECT source, q,
+             RANK() OVER (PARTITION BY source ORDER BY q) AS rnk,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM scored
+    ), deciled AS (
+      SELECT source, q,
+             LEAST(((rnk - 1) * 10000) // GREATEST(n - 1, 1) // 1000, 9)
+               AS decile
+      FROM ranked
+    )
+    SELECT source, CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(q) AS BIGINT)   AS min_score,
+           CAST(MAX(q) AS BIGINT)   AS max_score
+    FROM deciled GROUP BY source, decile
+    """,
+    doc="Cross-source quality-score calibration: rank-based quantile "
+    "normalization (the curation step before GLOBAL thresholding — a "
+    "raw score of 60 means different things in different crawl "
+    "sources).  Integer lattice throughout: pct_bp = "
+    "((rank-1)*10000) div (n-1) with RANK ties, decile = min(pct_bp "
+    "div 1000, 9).  Both windows are partitioned BY SOURCE (bounded "
+    "state, parallel across sources); output is the per-(source, "
+    "decile) census with score bounds, showing how differently the "
+    "same deciles map to raw scores per source.",
+)
+def q_quality_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators import textstats as TS
+    from .operators.textproj import guarded_word_count, tokenized_documents
+
+    apply_runtime_conf(spark)
+    p = tokenized_documents(spark, sf_dir)
+    score = TS.quality_score_from_parts(
+        F.col("n_chars"),
+        guarded_word_count(F.col("words")),
+        F.size(F.array_distinct(F.col("words"))),
+        F.col("n_alpha"),
+    )
+    scored = p.select("source", score.cast("long").alias("q"))
+    w = Window.partitionBy("source").orderBy("q")
+    wn = Window.partitionBy("source")
+    ranked = scored.select(
+        "source",
+        "q",
+        F.rank().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    deciled = ranked.select(
+        "source",
+        "q",
+        F.least(
+            F.expr("((rnk - 1) * 10000) div greatest(n - 1, 1) div 1000"),
+            F.lit(9),
+        )
+        .cast("long")
+        .alias("decile"),
+    )
+    return deciled.groupBy("source", "decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("q").cast("long").alias("min_score"),
+        F.max("q").cast("long").alias("max_score"),
+    )
+
+
+@register(
+    "supplier_affinity_ppr",
+    """
+    WITH RECURSIVE cs AS (
+      SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), edges AS (
+      SELECT c AS src, s AS dst FROM cs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM cs
+    ), deg AS (
+      SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+    ), ed AS (
+      SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON d.src = e.src
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+    ), seeds AS (
+      SELECT c_custkey * 2 AS node, CAST(10000 AS BIGINT) AS restart_bp
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), nt AS (
+      SELECT n.node, COALESCE(s.restart_bp, 0) AS restart_bp,
+             (1500 * COALESCE(s.restart_bp, 0)) // 10000 AS tele
+      FROM nodes n LEFT JOIN seeds s USING (node)
+    ), ranks(node, score_bp, it) AS (
+      SELECT node, restart_bp, 0 FROM nt
+      UNION ALL
+      SELECT ed.dst,
+             MAX(nt2.tele) + SUM((r.score_bp * 8500) // (10000 * ed.outdeg)),
+             r.it + 1
+      FROM ranks r
+      JOIN ed ON ed.src = r.node
+      JOIN nt nt2 ON nt2.node = ed.dst
+      WHERE r.it < 5
+      GROUP BY ed.dst, r.it
+    )
+    SELECT node // 2 AS supplier_id, score_bp
+    FROM ranks WHERE it = 5 AND node % 2 = 1
+    ORDER BY score_bp DESC, node
+    LIMIT 20
+    """,
+    doc="Personalized PageRank (topic-sensitive PageRank, Haveliwala "
+    "2002) over the customer<->supplier bipartite graph with the "
+    "BUILDING-segment customers as the restart distribution: 'which "
+    "suppliers matter to THIS segment' — the affinity/recommendation "
+    "twin of customer_supplier_pagerank's global ranking.  Same "
+    "integer-exact iteration (operators/graph.py::"
+    "personalized_pagerank_bp — per-node teleport (1500*restart_bp) "
+    "div 10000, floor contributions, persisted degree-annotated edge "
+    "relation, checkpointed lineage), reproduced bit-for-bit by the "
+    "DuckDB recursive CTE.  Top-20 suppliers, deterministic "
+    "tie-break.",
+)
+def q_supplier_affinity_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import personalized_pagerank_bp
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    edges = _shared_bipartite_edges(spark, sf_dir)
+    seeds = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        (F.col("c_custkey") * 2).alias("node"),
+        F.lit(10000).cast("long").alias("restart_bp"),
+    )
+    ranks = personalized_pagerank_bp(edges, seeds, n_iter=5)
+    return (
+        ranks.where(F.col("node") % 2 == 1)
+        .select((F.col("node") / 2).cast("long").alias("supplier_id"),
+                "score_bp",
+                F.col("node").alias("__n"))
+        .orderBy(F.desc("score_bp"), "__n")
+        .limit(20)
+        .drop("__n")
+    )
+
+
+@register(
+    "daily_count_spike_flags",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), hist AS (
+      SELECT event_type, day, x,
+             COUNT(*)  OVER w AS n_hist,
+             SUM(x)    OVER w AS s1,
+             SUM(x*x)  OVER w AS s2
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, x,
+           CAST(s1 AS BIGINT) AS trailing_sum,
+           ((7*x - s1) > 0 AND
+            (7*x - s1)*(7*x - s1) > 9*(7*s2 - s1*s1)) AS spike
+    FROM hist WHERE n_hist = 7
+    """,
+    doc="Integer-exact 3-sigma spike detection on per-type daily event "
+    "counts: a day is a spike when it exceeds the trailing-7-day mean "
+    "by 3 population standard deviations — tested WITHOUT floats by "
+    "cross-multiplication, (7x - s1)^2 > 9*(7*s2 - s1^2) with s1/s2 "
+    "the trailing sum and sum of squares.  One groupBy to the "
+    "(type, day) grain, then windows partitioned BY TYPE over the "
+    "bounded day axis — the monitoring/alerting shape that rides any "
+    "regularized series (compose with operators/resample.py for "
+    "gap-dense inputs).",
+)
+def q_daily_count_spike_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    hist = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.count("x").over(w).alias("n_hist"),
+        F.sum("x").over(w).alias("s1"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("s2"),
+    )
+    return hist.where(F.col("n_hist") == 7).select(
+        "event_type",
+        "day",
+        "x",
+        F.col("s1").cast("long").alias("trailing_sum"),
+        (
+            ((7 * F.col("x") - F.col("s1")) > 0)
+            & (
+                (7 * F.col("x") - F.col("s1")) * (7 * F.col("x") - F.col("s1"))
+                > 9 * (7 * F.col("s2") - F.col("s1") * F.col("s1"))
+            )
+        ).alias("spike"),
     )

@@ -8,7 +8,7 @@ small enough to verify by hand.
 
 from __future__ import annotations
 
-from kafka_bigdata_jobs_spark.operators.graph import pagerank_bp
+from kafka_bigdata_jobs_spark.operators.graph import pagerank_bp, personalized_pagerank_bp
 
 
 def _ranks(spark, edge_list, n_iter=5):
@@ -276,3 +276,82 @@ def test_bfs_random_digraphs_match_twin(spark):
         assert _bfs(spark, edges, seeds, k) == _reference_bfs(edges, seeds, k), (
             f"seed {seed}"
         )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank
+# ---------------------------------------------------------------------------
+
+
+def _ppr(spark, edge_list, seeds: dict, n_iter=5):
+    edges = spark.createDataFrame(edge_list, "src: long, dst: long")
+    restart = spark.createDataFrame(
+        [(n, bp) for n, bp in seeds.items()], "node: long, restart_bp: long"
+    )
+    rows = personalized_pagerank_bp(edges, restart, n_iter=n_iter).collect()
+    return {r.node: r.score_bp for r in rows}
+
+
+def _reference_ppr(edge_list, seeds: dict, n_iter=5, damping_bp=8500):
+    from collections import defaultdict
+
+    outdeg: dict = defaultdict(int)
+    for s, _ in edge_list:
+        outdeg[s] += 1
+    nodes = {s for s, _ in edge_list}  # operator contract: src side = node set
+    restart = {n: seeds.get(n, 0) for n in nodes}
+    tele = {n: (10000 - damping_bp) * restart[n] // 10000 for n in nodes}
+    score = {n: restart[n] for n in nodes}
+    for _ in range(n_iter):
+        nxt = {n: tele[n] for n in nodes}
+        for s, d in edge_list:
+            if d in nxt:
+                nxt[d] += score[s] * damping_bp // (10000 * outdeg[s])
+        score = nxt
+    return score
+
+
+def test_ppr_matches_python_twin_on_random_graphs(spark):
+    import random
+
+    for seed in (7, 21, 63):
+        rng = random.Random(seed)
+        n = 14
+        edges = set()
+        for _ in range(40):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((a, b))
+                edges.add((b, a))  # undirected -> every node has out-edges
+        edges = sorted(edges)
+        seed_nodes = {v: 10000 for v in rng.sample(range(n), 3)}
+        assert _ppr(spark, edges, seed_nodes) == _reference_ppr(
+            edges, seed_nodes
+        ), f"seed {seed}"
+
+
+def test_ppr_mass_localizes_at_seed(spark):
+    # 6-cycle (both directions), single seed at node 0.  Finite power
+    # iteration oscillates ring-by-ring, so scores aren't monotone in
+    # distance yet — but the seed's symmetry must hold exactly
+    # (dist-1 pair equal, dist-2 pair equal) and every node within two
+    # hops outranks the antipode.
+    n = 6
+    edges = []
+    for i in range(n):
+        edges += [(i, (i + 1) % n), ((i + 1) % n, i)]
+    got = _ppr(spark, edges, {0: 10000})
+    assert got == _reference_ppr(edges, {0: 10000})
+    assert got[1] == got[5] and got[2] == got[4]
+    # near convergence (20 rounds) the ring oscillation has damped out
+    # and locality holds: seed > dist-1 > dist-2 > antipode.
+    conv = _ppr(spark, edges, {0: 10000}, n_iter=20)
+    assert conv == _reference_ppr(edges, {0: 10000}, n_iter=20)
+    assert conv[0] > conv[1] > conv[2] > conv[3]
+
+
+def test_ppr_zero_restart_and_outside_seed(spark):
+    edges = [(1, 2), (2, 1)]
+    # seed 99 is not in the graph: ignored, everything decays to zero
+    got = _ppr(spark, edges, {99: 10000})
+    assert got == {1: 0, 2: 0}

@@ -87,6 +87,15 @@ PROBE = {
     "cdc_snapshot_apply": "changelog winner agg + anti-join apply",
     "incremental_join_revenue_signed": "signed delta-join IVM fold",
     "quality_filter_auc": "per-distinct-score agg + bounded window",
+    "dsir_selection_report": "doc x bucket shuffle + broadcast ratio join",
+    "bm25_top_docs": "probe-term prefiltered explode + broadcast df",
+    "hybrid_rrf_search": "BM25 + cosine top-k fusion (broadcast algebra)",
+    "heavy_hitters_census": "mergeable frequent-items sketch per key",
+    "daily_spend_gapfilled": "calendar-spine explode + per-key fill windows",
+    "weighted_sample_report": "A-ES clocks + per-group top-k window",
+    "supplier_affinity_ppr": "seeded teleport power iteration (5 rounds)",
+    "quality_quantile_calibration": "per-source rank windows on textproj",
+    "daily_count_spike_flags": "grain agg + trailing integer-variance window",
 }
 
 
