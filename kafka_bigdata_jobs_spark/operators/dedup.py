@@ -907,3 +907,55 @@ def connected_components(
     if not caller_cached:
         edges.unpersist()
     return labels
+
+
+def segment_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    words_col: str = "words",
+    seg_len: int = 20,
+    min_containment_bp: int = 5000,
+) -> DataFrame:
+    """Directed containment pairs at the segment grain: for documents
+    a ≠ b, the fraction of a's fixed-length word segments that appear
+    VERBATIM among b's segments — ``(id_a, id_b, n_seg_a,
+    shared_segments, containment_bp)`` with ``containment_bp =
+    (10000·shared) div n_seg_a ≥ min_containment_bp``.
+
+    Jaccard near-dup misses the asymmetric case (a short document
+    quoted inside a long one: high containment, low Jaccard — the
+    quote/subset shape crawl dedup cares about).  True set containment
+    over all n-grams is pair-explosive; the segment grain keeps it
+    relational: one distinct (doc, segment) relation (~1x corpus), a
+    self-equi-join on the segment key, one pair aggregation.
+
+    Scale note: the join fan-out is Σ_seg df², so run this AFTER
+    boilerplate removal (:func:`word_segment_rows` census →
+    :func:`redundant_span_cuts` family) — a segment shared by
+    thousands of docs is boilerplate, not quotation, and should not
+    reach this operator.  Alignment-sensitive by construction (both
+    sides segment at multiples of ``seg_len``): a verbatim copy at an
+    unaligned offset needs the span-grain operator
+    (:func:`duplicate_span_rows`) instead.
+    """
+    segs = word_segment_rows(df, id_col, words_col, seg_len).select(
+        id_col, "segment"
+    ).distinct()
+    tot = segs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_seg_a"))
+    a = segs.select(F.col(id_col).alias("id_a"), "segment")
+    b = segs.select(F.col(id_col).alias("id_b"), "segment")
+    shared = (
+        a.join(b, "segment")
+        .where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_segments"))
+    )
+    return (
+        shared.join(tot.withColumnRenamed(id_col, "id_a"), "id_a")
+        .withColumn(
+            "containment_bp",
+            F.expr("(10000 * shared_segments) div n_seg_a"),
+        )
+        .where(F.col("containment_bp") >= min_containment_bp)
+        .select("id_a", "id_b", "n_seg_a", "shared_segments", "containment_bp")
+    )

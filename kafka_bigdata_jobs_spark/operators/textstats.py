@@ -185,3 +185,59 @@ def winnow_fingerprints(
         .distinct()
     )
     return fps
+
+
+def char_entropy_micro(text: Column) -> Column:
+    """Quantized Shannon entropy (micro-nats) of the LETTER distribution
+    of ``text`` — the gibberish/keyboard-mash detector: natural prose
+    sits near the language's letter entropy, repeated-character junk
+    collapses toward 0, uniform noise pushes toward ln(26) ≈ 3.258.
+
+    Scale + exactness design: NO explode and NO shuffle — per-letter
+    counts come from 26 ``length(text) - length(replace(text, ch))``
+    expressions, so the whole feature is one projection.  True entropy
+    ``ln n − (Σ c·ln c)/n`` sums doubles in engine-dependent order; the
+    quantized estimator instead rounds each term first::
+
+        H_micro = round(1e6·ln n) − (Σ_ch round(1e6·c_ch·ln c_ch)) div n
+
+    Every addend is an integer, so the sum is order-independent and
+    cross-engine value-hashable (same double ``ln`` of the same
+    integer in both engines; boundary margins pinned by
+    tests/test_entropy.py).  Bias vs true entropy is ≤ ~13 micro-nats
+    (26 half-up roundings / n plus one floor division) — documented,
+    far below any quality-threshold granularity.  Letterless text →
+    NULL.
+    """
+    lowered = F.lower(text)
+
+    def count(ch: str) -> Column:
+        return (
+            F.length(lowered) - F.length(F.replace(lowered, F.lit(ch), F.lit("")))
+        ).cast("long")
+
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    n = count(letters[0])
+    for ch in letters[1:]:
+        n = n + count(ch)
+
+    def term(ch: str) -> Column:
+        c = count(ch)
+        return F.when(
+            c > 1,
+            F.round(F.lit(1000000.0) * c.cast("double") * F.log(c.cast("double")))
+            .cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    total = term(letters[0])
+    for ch in letters[1:]:
+        total = total + term(ch)
+
+    ln_n = F.round(F.lit(1000000.0) * F.log(n.cast("double"))).cast("long")
+    # floor(double-division) here IS exact integer division: total ≤
+    # ~3.3e12 < 2^53 is an exact double, and a non-integer quotient
+    # sits ≥ 1/n ≥ 1e-6 from any integer while the division error is
+    # ~4e-10 — so floor can't misround (the DuckDB twin uses BIGINT //).
+    return F.when(n > 0, ln_n - F.floor(total / n).cast("long")).otherwise(
+        F.lit(None).cast("long")
+    )

@@ -9319,3 +9319,100 @@ def q_daily_count_spike_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("spike"),
     )
+
+
+@register(
+    "doc_containment_pairs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ), idx AS (
+      SELECT doc_id, w, unnest(range(1, len(w)-19+1, 20)) AS g
+      FROM toks WHERE len(w) >= 20
+    ), seg AS (
+      SELECT DISTINCT doc_id, array_to_string(w[g:g+19], ' ') AS segment
+      FROM idx
+    ), tot AS (
+      SELECT doc_id, COUNT(*) AS n_seg FROM seg GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_segments
+      FROM seg a JOIN seg b ON a.segment = b.segment
+                           AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT s.id_a, s.id_b,
+           CAST(t.n_seg AS BIGINT)            AS n_seg_a,
+           CAST(s.shared_segments AS BIGINT)  AS shared_segments,
+           CAST((10000 * s.shared_segments) // t.n_seg AS BIGINT)
+                                              AS containment_bp
+    FROM shared s JOIN tot t ON t.doc_id = s.id_a
+    WHERE (10000 * s.shared_segments) // t.n_seg >= 5000
+    """,
+    doc="Directed containment dedup at the segment grain "
+    "(operators/dedup.py::segment_containment_pairs): pairs where "
+    ">=50% of document a's 20-word segments appear verbatim among b's "
+    "— the asymmetric quote/subset shape Jaccard near-dup misses (a "
+    "short doc inside a long one has high containment but low "
+    "Jaccard).  One distinct (doc, segment) relation, one equi-join on "
+    "the segment key, one pair aggregation — never all-pairs; compose "
+    "AFTER boilerplate removal so high-df segments don't reach the "
+    "join (documented fan-out bound).  Integer basis points.",
+)
+def q_doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import segment_containment_pairs
+    from .operators.textproj import tokenized_documents
+
+    apply_runtime_conf(spark)
+    p = tokenized_documents(spark, sf_dir).select("doc_id", "words")
+    return segment_containment_pairs(
+        p, "doc_id", "words", seg_len=20, min_containment_bp=5000
+    )
+
+
+@register(
+    "char_entropy_report",
+    """
+    WITH lowered AS (
+      SELECT doc_id, source, lower(text) AS lt FROM documents
+    ), ent AS (
+      SELECT source,
+             CASE WHEN ((length(lt) - length(replace(lt, 'a', ''))) + (length(lt) - length(replace(lt, 'b', ''))) + (length(lt) - length(replace(lt, 'c', ''))) + (length(lt) - length(replace(lt, 'd', ''))) + (length(lt) - length(replace(lt, 'e', ''))) + (length(lt) - length(replace(lt, 'f', ''))) + (length(lt) - length(replace(lt, 'g', ''))) + (length(lt) - length(replace(lt, 'h', ''))) + (length(lt) - length(replace(lt, 'i', ''))) + (length(lt) - length(replace(lt, 'j', ''))) + (length(lt) - length(replace(lt, 'k', ''))) + (length(lt) - length(replace(lt, 'l', ''))) + (length(lt) - length(replace(lt, 'm', ''))) + (length(lt) - length(replace(lt, 'n', ''))) + (length(lt) - length(replace(lt, 'o', ''))) + (length(lt) - length(replace(lt, 'p', ''))) + (length(lt) - length(replace(lt, 'q', ''))) + (length(lt) - length(replace(lt, 'r', ''))) + (length(lt) - length(replace(lt, 's', ''))) + (length(lt) - length(replace(lt, 't', ''))) + (length(lt) - length(replace(lt, 'u', ''))) + (length(lt) - length(replace(lt, 'v', ''))) + (length(lt) - length(replace(lt, 'w', ''))) + (length(lt) - length(replace(lt, 'x', ''))) + (length(lt) - length(replace(lt, 'y', ''))) + (length(lt) - length(replace(lt, 'z', '')))) > 0
+                  THEN CAST(ROUND(1000000.0 * ln(((length(lt) - length(replace(lt, 'a', ''))) + (length(lt) - length(replace(lt, 'b', ''))) + (length(lt) - length(replace(lt, 'c', ''))) + (length(lt) - length(replace(lt, 'd', ''))) + (length(lt) - length(replace(lt, 'e', ''))) + (length(lt) - length(replace(lt, 'f', ''))) + (length(lt) - length(replace(lt, 'g', ''))) + (length(lt) - length(replace(lt, 'h', ''))) + (length(lt) - length(replace(lt, 'i', ''))) + (length(lt) - length(replace(lt, 'j', ''))) + (length(lt) - length(replace(lt, 'k', ''))) + (length(lt) - length(replace(lt, 'l', ''))) + (length(lt) - length(replace(lt, 'm', ''))) + (length(lt) - length(replace(lt, 'n', ''))) + (length(lt) - length(replace(lt, 'o', ''))) + (length(lt) - length(replace(lt, 'p', ''))) + (length(lt) - length(replace(lt, 'q', ''))) + (length(lt) - length(replace(lt, 'r', ''))) + (length(lt) - length(replace(lt, 's', ''))) + (length(lt) - length(replace(lt, 't', ''))) + (length(lt) - length(replace(lt, 'u', ''))) + (length(lt) - length(replace(lt, 'v', ''))) + (length(lt) - length(replace(lt, 'w', ''))) + (length(lt) - length(replace(lt, 'x', ''))) + (length(lt) - length(replace(lt, 'y', ''))) + (length(lt) - length(replace(lt, 'z', '')))))) AS BIGINT)
+                       - (CASE WHEN (length(lt) - length(replace(lt, 'a', ''))) > 1 THEN CAST(ROUND(1000000.0 * (length(lt) - length(replace(lt, 'a', ''))) * ln((length(lt) - length(replace(lt, 'a', ''))))) AS BIGINT) ELSE 0 END + CASE WHEN (length(lt) - length(replace(lt, 'b', ''))) > 1 THEN CAST(ROUND(1000000.0 * (length(lt) - length(replace(lt, 'b', ''))) * ln((length(lt) - length(replace(lt, 'b', ''))))) AS BIGINT) ELSE 0 END + CASE WHEN (length(lt) - length(replace(lt, 'c', ''))) > 1 THEN CAST(ROUND(1000000.0 * (length(lt) - length(replace(lt, 'c', ''))) * ln((length(lt) - length(replace(lt, 'c', ''))))) AS BIGINT) ELSE 0 END + CASE WHEN (length(lt) - length(replace(lt, 'd', ''))) > 1 THEN CAST(ROUND(1000000.0 * (length(lt) - length(replace(lt, 'd', ''))) * ln((length(lt) - length(replace(lt, 'd', ''))))) AS BIGINT) ELSE 0 END + CASE WHEN (length(lt) - length(replace(lt, 'e', ''))) > 1 THEN CAST(ROUND(1000000.0 * (length(lt) - length(replace(lt, 'e', ''))) * ln((length(lt) - length(replace(lt, 'e', ''))))) AS BIGINT) ELSE 0 END + CASE WHEN (length(lt) - length(replace(lt, 'f', ''))) > 1 THEN CAST(ROUND(1000000.0 * (length(lt) - length(replace(lt, 'f', ''))) * ln((length(lt) - length(replace(lt, 'f', ''))))) AS BIGINT) ELSE 0 END + CASE WHEN (length(lt) - length(replace(lt, 'g', ''))) > 1 THEN CAST(ROUND(1000000.0 * (length(lt) - length(replace(lt, 'g', ''))) * ln((length(lt) - length(replace(lt, 'g', ''))))) AS BIGINT) ELSE 0 END + CASE WHEN (length(lt) - length(replace(lt, 'h', ''))) > 1 THEN CAST(ROUND(1000000.0 * (length(lt) - length(replace(lt, 'h', ''))) * ln((length(lt) - length(replace(lt, 'h', ''))))) AS BIGINT) ELSE 0 END + CASE WHEN (length(lt) - length(replace(lt, 'i', ''))) > 1 THEN CAST(ROUND(1000000.0 * (length(lt) - length(replace(lt, 'i', ''))) * ln((length(lt) - length(replace(lt, 'i', ''))))) AS BIGINT) ELSE 0 END + CASE WHEN (length(lt) - length(replace(lt, 'j', ''))) > 1 THEN CAST(ROUND(1000000.0 * (length(lt) - length(replace(lt, 'j', ''))) * ln((length(lt) - length(replace(lt, 'j', ''))))) AS BIGINT) ELSE 0 END + CASE WHEN (length(lt) - length(replace(lt, 'k', ''))) > 1 THEN CAST(ROUND(1000000.0 * (length(lt) - length(replace(lt, 'k', ''))) * ln((length(lt) - length(replace(lt, 'k', ''))))) AS BIGINT) ELSE 0 END + CASE WHEN (length(lt) - length(replace(lt, 'l', ''))) > 1 THEN CAST(ROUND(1000000.0 * (length(lt) - length(replace(lt, 'l', ''))) * ln((length(lt) - length(replace(lt, 'l', ''))))) AS BIGINT) ELSE 0 END + CASE WHEN (length(lt) - length(replace(lt, 'm', ''))) > 1 THEN CAST(ROUND(1000000.0 * (length(lt) - length(replace(lt, 'm', ''))) * ln((length(lt) - length(replace(lt, 'm', ''))))) AS BIGINT) ELSE 0 END + CASE WHEN (length(lt) - length(replace(lt, 'n', ''))) > 1 THEN CAST(ROUND(1000000.0 * (length(lt) - length(replace(lt, 'n', ''))) * ln((length(lt) - length(replace(lt, 'n', ''))))) AS BIGINT) ELSE 0 END + CASE WHEN (length(lt) - length(replace(lt, 'o', ''))) > 1 THEN CAST(ROUND(1000000.0 * (length(lt) - length(replace(lt, 'o', ''))) * ln((length(lt) - length(replace(lt, 'o', ''))))) AS BIGINT) ELSE 0 END + CASE WHEN (length(lt) - length(replace(lt, 'p', ''))) > 1 THEN CAST(ROUND(1000000.0 * (length(lt) - length(replace(lt, 'p', ''))) * ln((length(lt) - length(replace(lt, 'p', ''))))) AS BIGINT) ELSE 0 END + CASE WHEN (length(lt) - length(replace(lt, 'q', ''))) > 1 THEN CAST(ROUND(1000000.0 * (length(lt) - length(replace(lt, 'q', ''))) * ln((length(lt) - length(replace(lt, 'q', ''))))) AS BIGINT) ELSE 0 END + CASE WHEN (length(lt) - length(replace(lt, 'r', ''))) > 1 THEN CAST(ROUND(1000000.0 * (length(lt) - length(replace(lt, 'r', ''))) * ln((length(lt) - length(replace(lt, 'r', ''))))) AS BIGINT) ELSE 0 END + CASE WHEN (length(lt) - length(replace(lt, 's', ''))) > 1 THEN CAST(ROUND(1000000.0 * (length(lt) - length(replace(lt, 's', ''))) * ln((length(lt) - length(replace(lt, 's', ''))))) AS BIGINT) ELSE 0 END + CASE WHEN (length(lt) - length(replace(lt, 't', ''))) > 1 THEN CAST(ROUND(1000000.0 * (length(lt) - length(replace(lt, 't', ''))) * ln((length(lt) - length(replace(lt, 't', ''))))) AS BIGINT) ELSE 0 END + CASE WHEN (length(lt) - length(replace(lt, 'u', ''))) > 1 THEN CAST(ROUND(1000000.0 * (length(lt) - length(replace(lt, 'u', ''))) * ln((length(lt) - length(replace(lt, 'u', ''))))) AS BIGINT) ELSE 0 END + CASE WHEN (length(lt) - length(replace(lt, 'v', ''))) > 1 THEN CAST(ROUND(1000000.0 * (length(lt) - length(replace(lt, 'v', ''))) * ln((length(lt) - length(replace(lt, 'v', ''))))) AS BIGINT) ELSE 0 END + CASE WHEN (length(lt) - length(replace(lt, 'w', ''))) > 1 THEN CAST(ROUND(1000000.0 * (length(lt) - length(replace(lt, 'w', ''))) * ln((length(lt) - length(replace(lt, 'w', ''))))) AS BIGINT) ELSE 0 END + CASE WHEN (length(lt) - length(replace(lt, 'x', ''))) > 1 THEN CAST(ROUND(1000000.0 * (length(lt) - length(replace(lt, 'x', ''))) * ln((length(lt) - length(replace(lt, 'x', ''))))) AS BIGINT) ELSE 0 END + CASE WHEN (length(lt) - length(replace(lt, 'y', ''))) > 1 THEN CAST(ROUND(1000000.0 * (length(lt) - length(replace(lt, 'y', ''))) * ln((length(lt) - length(replace(lt, 'y', ''))))) AS BIGINT) ELSE 0 END + CASE WHEN (length(lt) - length(replace(lt, 'z', ''))) > 1 THEN CAST(ROUND(1000000.0 * (length(lt) - length(replace(lt, 'z', ''))) * ln((length(lt) - length(replace(lt, 'z', ''))))) AS BIGINT) ELSE 0 END) // ((length(lt) - length(replace(lt, 'a', ''))) + (length(lt) - length(replace(lt, 'b', ''))) + (length(lt) - length(replace(lt, 'c', ''))) + (length(lt) - length(replace(lt, 'd', ''))) + (length(lt) - length(replace(lt, 'e', ''))) + (length(lt) - length(replace(lt, 'f', ''))) + (length(lt) - length(replace(lt, 'g', ''))) + (length(lt) - length(replace(lt, 'h', ''))) + (length(lt) - length(replace(lt, 'i', ''))) + (length(lt) - length(replace(lt, 'j', ''))) + (length(lt) - length(replace(lt, 'k', ''))) + (length(lt) - length(replace(lt, 'l', ''))) + (length(lt) - length(replace(lt, 'm', ''))) + (length(lt) - length(replace(lt, 'n', ''))) + (length(lt) - length(replace(lt, 'o', ''))) + (length(lt) - length(replace(lt, 'p', ''))) + (length(lt) - length(replace(lt, 'q', ''))) + (length(lt) - length(replace(lt, 'r', ''))) + (length(lt) - length(replace(lt, 's', ''))) + (length(lt) - length(replace(lt, 't', ''))) + (length(lt) - length(replace(lt, 'u', ''))) + (length(lt) - length(replace(lt, 'v', ''))) + (length(lt) - length(replace(lt, 'w', ''))) + (length(lt) - length(replace(lt, 'x', ''))) + (length(lt) - length(replace(lt, 'y', ''))) + (length(lt) - length(replace(lt, 'z', ''))))
+                  END AS h_micro
+      FROM lowered
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)        AS n_docs,
+           CAST(COUNT(h_micro) AS BIGINT)  AS n_scored,
+           CAST(MIN(h_micro) AS BIGINT)    AS min_h_micro,
+           CAST(MAX(h_micro) AS BIGINT)    AS max_h_micro,
+           CAST(SUM(h_micro) // COUNT(h_micro) AS BIGINT) AS avg_h_micro
+    FROM ent GROUP BY source
+""",
+    doc="Letter-distribution Shannon entropy per document, censused per "
+    "source (operators/textstats.py::char_entropy_micro): the "
+    "gibberish/keyboard-mash detector — repeated-character junk "
+    "collapses toward 0 nats, uniform noise toward ln(26)=3.258.  NO "
+    "explode and NO shuffle for the feature itself: 26 "
+    "length-after-replace counting expressions per row, each c*ln(c) "
+    "term quantized to integer micro-nats BEFORE summation so the "
+    "estimator is order-independent and cross-engine hashable (true "
+    "entropy sums doubles in engine-dependent order).  Bias <= ~13 "
+    "micro-nats, boundary margins pinned by tests/test_entropy.py.",
+)
+def q_char_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import char_entropy_micro
+
+    d = _t(spark, sf_dir, "documents")
+    ent = d.select(
+        "source", char_entropy_micro(F.col("text")).alias("h_micro")
+    )
+    return ent.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count("h_micro").cast("long").alias("n_scored"),
+        F.min("h_micro").cast("long").alias("min_h_micro"),
+        F.max("h_micro").cast("long").alias("max_h_micro"),
+        F.expr("sum(h_micro) div count(h_micro)").cast("long").alias("avg_h_micro"),
+    )

@@ -96,6 +96,8 @@ PROBE = {
     "supplier_affinity_ppr": "seeded teleport power iteration (5 rounds)",
     "quality_quantile_calibration": "per-source rank windows on textproj",
     "daily_count_spike_flags": "grain agg + trailing integer-variance window",
+    "doc_containment_pairs": "distinct segment relation + segment equi-join",
+    "char_entropy_report": "26 counting expressions, zero-shuffle feature",
 }
 
 
