@@ -9416,3 +9416,73 @@ def q_char_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("h_micro").cast("long").alias("max_h_micro"),
         F.expr("sum(h_micro) div count(h_micro)").cast("long").alias("avg_h_micro"),
     )
+
+
+@register(
+    "nation_revenue_gini",
+    """
+    WITH spend AS (
+      SELECT c.c_nationkey AS nationkey, c.c_custkey,
+             SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS cents
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey, c.c_custkey
+    ), ranked AS (
+      SELECT nationkey, cents,
+             ROW_NUMBER() OVER (PARTITION BY nationkey
+                                ORDER BY cents, c_custkey) AS i,
+             COUNT(*) OVER (PARTITION BY nationkey) AS n,
+             SUM(cents) OVER (PARTITION BY nationkey) AS tot
+      FROM spend
+    ), g AS (
+      SELECT nationkey, MAX(n) AS n_customers,
+             SUM(2*i*cents) - (MAX(n)+1)*MAX(tot) AS num,
+             MAX(n)*MAX(tot) AS den
+      FROM ranked GROUP BY nationkey
+    )
+    SELECT n.n_name AS nation,
+           CAST(g.n_customers AS BIGINT) AS n_customers,
+           CAST((10000 * g.num) // g.den AS BIGINT) AS gini_bp
+    FROM g JOIN nation n ON n.n_nationkey = g.nationkey
+    """,
+    doc="Revenue-concentration census: exact Gini coefficient of "
+    "per-customer spend within each nation, on the integer-cents "
+    "lattice — gini_bp = 10000*(2*sum(i*x_i) - (n+1)*sum(x)) div "
+    "(n*sum(x)) with x ascending and row_number ties broken by "
+    "customer key (tie order cannot change the sum: permuting equal "
+    "x's preserves sum(i)*x per tied block).  One spend aggregation, "
+    "then windows partitioned BY NATION — parallel across nations, no "
+    "global sort.  The inequality/concentration metric behind 'is one "
+    "customer/domain dominating this partition' in corpus and revenue "
+    "triage alike.",
+)
+def q_nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    spend = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_nationkey").alias("nationkey"), "c_custkey")
+        .agg(F.sum(R.cents("o_totalprice")).alias("cents"))
+    )
+    w = Window.partitionBy("nationkey").orderBy("cents", "c_custkey")
+    wn = Window.partitionBy("nationkey")
+    ranked = spend.select(
+        "nationkey",
+        "cents",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.sum("cents").over(wn).alias("tot"),
+    )
+    g = ranked.groupBy("nationkey").agg(
+        F.max("n").alias("n_customers"),
+        (F.sum(2 * F.col("i") * F.col("cents"))
+         - (F.max("n") + 1) * F.max("tot")).alias("num"),
+        (F.max("n") * F.max("tot")).alias("den"),
+    )
+    return g.join(F.broadcast(n), F.col("n_nationkey") == F.col("nationkey")).select(
+        F.col("n_name").alias("nation"),
+        F.col("n_customers").cast("long").alias("n_customers"),
+        F.expr("(10000 * num) div den").cast("long").alias("gini_bp"),
+    )
