@@ -9032,15 +9032,13 @@ def q_daily_spend_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(R.cents("value")).cast("long").alias("cents"))
     )
     filled = gap_fill_daily(obs, "user_id", "day", "cents")
-    return (
-        filled.groupBy("day")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_series"),
-            F.sum(F.col("observed").cast("long")).cast("long").alias("n_observed"),
-            F.sum("locf_value").cast("long").alias("locf_cents"),
-            F.sum("interp_value").cast("long").alias("interp_cents"),
-        )
-        .orderBy("day")
+    # no ORDER BY: the driver compare is order-insensitive, and a global
+    # sort would add a rangepartitioning exchange the plan test forbids.
+    return filled.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_series"),
+        F.sum(F.col("observed").cast("long")).cast("long").alias("n_observed"),
+        F.sum("locf_value").cast("long").alias("locf_cents"),
+        F.sum("interp_value").cast("long").alias("interp_cents"),
     )
 
 

@@ -354,3 +354,56 @@ def test_global_windows_are_consciously_allowlisted():
         f"unallowlisted global windows: {unexpected} — partition them or "
         "extend ALLOWED with why the input is small by construction"
     )
+
+
+def test_bm25_is_broadcast_and_take_ordered(spark):
+    plan = _plan(spark, "bm25_top_docs")
+    assert "TakeOrderedAndProject" in plan, "top-k planned as global sort"
+    assert "BroadcastHashJoin" in plan, "df stats not broadcast"
+    assert "rangepartitioning" not in plan, "unexpected global sort exchange"
+
+
+def test_char_entropy_feature_is_zero_shuffle(spark):
+    # one projection computes the feature; the ONLY exchange allowed is
+    # the final per-source census aggregation (plus nothing else).
+    import re
+
+    plan = _plan(spark, "char_entropy_report")
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges <= 1, (
+        "entropy feature should add no shuffle beyond the census agg"
+    )
+    assert "Generate" not in plan, "entropy must not explode characters"
+
+
+def test_gap_fill_windows_stay_key_partitioned(spark):
+    plan = _plan(spark, "daily_spend_gapfilled")
+    assert "rangepartitioning" not in plan, (
+        "gap-fill must not globally sort; windows are per-key"
+    )
+
+
+def test_weighted_sample_has_no_global_sort(spark):
+    plan = _plan(spark, "weighted_sample_report")
+    assert "rangepartitioning" not in plan, (
+        "A-ES sampling exists to avoid ORDER BY random(): no global sort"
+    )
+
+
+def test_cdc_apply_is_anti_join_not_window(spark):
+    plan = _plan(spark, "cdc_snapshot_apply")
+    assert "LeftAnti" in plan, "apply must anti-join touched keys"
+    assert "max_by" in plan or "partial_max_by" in plan, (
+        "changelog winner must be one agg, not a window"
+    )
+    assert "Window" not in plan, (
+        "no window over the snapshot or changelog in the apply path"
+    )
+
+
+def test_containment_join_is_equi_not_cartesian(spark):
+    plan = _plan(spark, "doc_containment_pairs")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    ), "segment self-join must be an equi-join"
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
