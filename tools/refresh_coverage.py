@@ -96,11 +96,22 @@ def build_ledger() -> str:
     return "\n".join(lines)
 
 
+def latest_round() -> str:
+    rounds = sorted(
+        os.path.basename(p)[len("CORRECTNESS_"):-len(".json")]
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    return rounds[-1].lstrip("r0") if rounds else "?"
+
+
 def main() -> int:
     path = os.path.join(REPO, "COVERAGE.md")
     with open(path, encoding="utf-8") as fh:
         text = fh.read()
     ledger = build_ledger()
+    text = re.sub(
+        r"^(# COVERAGE[^\n(]*)\(updated round \d+\)",
+        lambda m: f"{m.group(1)}(updated round {latest_round()})",
+        text, count=1, flags=re.M)
     if BEGIN in text:
         text = re.sub(
             re.escape(BEGIN) + r".*?" + re.escape(END),
