@@ -150,6 +150,24 @@ def _oracle_compare(name: str, q, df, sf_dir: str) -> int:
     return 0
 
 
+def _query_sig(q) -> str:
+    """Content signature of a registered query: hash of its oracle SQL
+    and its function source, so ``--only-missing`` carry-over
+    invalidates when either changes (ADVICE r3).  Queries whose body is
+    built by shared helpers hash the helper indirectly only if the
+    registered function's own source changed — edits to deep helpers
+    still warrant a full ``make correctness-local``."""
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(q.fn)
+    except (OSError, TypeError):
+        src = repr(q.fn)
+    return hashlib.sha256(
+        ((q.oracle or "") + "\x00" + src).encode()).hexdigest()[:16]
+
+
 def _matrix(reg, sf_dirs: list[str], out_path: str,
             only_missing: bool = False) -> int:
     """The complete auditable correctness signal: every registered query
@@ -159,7 +177,9 @@ def _matrix(reg, sf_dirs: list[str], out_path: str,
     ``make correctness-local`` whenever the registry changes —
     tests/test_correctness_matrix.py pins freshness.  With
     ``only_missing`` existing green rows (MATCH/ROWS_ONLY at every SF,
-    matching oracle kind) are carried over and only the rest re-run."""
+    matching oracle kind AND matching body/oracle signature — a stale
+    green row from before an edit is never republished unverified,
+    ADVICE r3) are carried over and only the rest re-run."""
     import json
     import time
 
@@ -175,6 +195,7 @@ def _matrix(reg, sf_dirs: list[str], out_path: str,
         for name, row in prev.items():
             if (name in reg
                     and row.get("oracle") == (reg[name].oracle is not None)
+                    and row.get("sig") == _query_sig(reg[name])
                     and all(row.get(sf, {}).get("status")
                             in ("MATCH", "ROWS_ONLY") for sf in sf_dirs)):
                 queries[name] = row
@@ -188,7 +209,7 @@ def _matrix(reg, sf_dirs: list[str], out_path: str,
     t0 = time.time()
     for name in sorted(set(reg) - set(queries)):
         q = reg[name]
-        row: dict = {"oracle": q.oracle is not None}
+        row: dict = {"oracle": q.oracle is not None, "sig": _query_sig(q)}
         for sf in sf_dirs:
             t = time.time()
             try:

@@ -36,7 +36,10 @@ lattice both engines can reproduce bit-for-bit:
 Overflow envelope: ``idf_mn ≤ 1e6·ln(2N+2)`` (≈ 2.4e7 at N = 1e10
 docs) and the numerator ``idf_mn · 44000 · tf`` stays inside int64 for
 ``tf ≤ 8e6`` occurrences of one term in one document — far past any
-real document.  Documented, not silent.
+real document.  ``r_permille``'s ``1000·dl·N`` term is computed in
+BIGINT (``dl`` is cast up from ``F.size``'s int32 before the multiply,
+ADVICE r3) and stays inside int64 for ``dl·N ≤ 9.2e15`` — e.g. a 1e10-doc
+corpus with every document under 9e5 words.  Documented, not silent.
 
 Scale design: one corpus-sized explode/agg builds (doc, term, tf) for
 the probe terms ONLY (the `array_contains`-style prefilter keeps the
@@ -123,7 +126,13 @@ def bm25_scores(
             .cast("long")
             .alias("idf_mn"),
             F.col("tf").cast("long").alias("tf"),
-            F.expr("(1000 * dl * n_docs) div total_words").alias("r_permille"),
+            # dl comes from F.size (int32); cast BEFORE the multiply so
+            # 1000·dl can't wrap for documents beyond ~2.1M words
+            # (non-ANSI Spark would wrap silently; DuckDB would error —
+            # a cross-engine parity break, ADVICE r3).
+            F.expr(
+                "(1000 * cast(dl as bigint) * n_docs) div total_words"
+            ).alias("r_permille"),
         )
         .select(
             "doc_id",

@@ -440,6 +440,11 @@ def kmeans_ivf_cells(
             fit_sample_rows,
             spark.sparkContext.applicationId,
         )
+        # Evict models tied to stopped sessions — JVM handles are dead
+        # once their application is gone (ADVICE r3 hygiene).
+        app = spark.sparkContext.applicationId
+        for dead in [k for k in _KMEANS_MODEL_CACHE if k[-1] != app]:
+            del _KMEANS_MODEL_CACHE[dead]
         hit = _KMEANS_MODEL_CACHE.get(memo_key)
         if hit is not None:
             assigned = hit.transform(ml_df).select(id_col, vec_col, "__cell")

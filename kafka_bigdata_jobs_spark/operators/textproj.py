@@ -52,6 +52,10 @@ def tokenized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``textstats.word_count``'s empty-text → 0 special case.
     """
     key = _key(spark, sf_dir)
+    # Evict handles bound to stopped sessions (same hygiene as
+    # suite._evict_dead_sessions, ADVICE r3).
+    for dead in [k for k in _CACHE if k[0] != key[0]]:
+        del _CACHE[dead]
     if key not in _CACHE:
         from ..schemas import load_table
 
@@ -68,10 +72,12 @@ def tokenized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _CACHE[key]
     # catalog.clearCache() (bench isolation) drops the CacheManager entry
     # but not this handle — re-mark so downstream actions don't silently
-    # re-split the corpus on every action.
+    # re-split the corpus on every action, and store the re-marked
+    # handle back so later calls see it (ADVICE r3).
     lvl = df.storageLevel
     if not (lvl.useMemory or lvl.useDisk):
         df = df.cache()
+        _CACHE[key] = df
     return df
 
 

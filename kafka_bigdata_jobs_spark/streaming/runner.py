@@ -20,6 +20,37 @@ from pyspark.storagelevel import StorageLevel
 Sink = Callable[[DataFrame, int], None]
 
 
+def _recover_swap(state_dir: str) -> None:
+    """Crash-recovery sweep for the write-tmp-then-swap state protocol
+    shared by :class:`IncrementalViewSink` and :class:`CdcApplySink`.
+
+    The swap is two non-atomic moves (``state → __old_*`` then
+    ``__next_* → state``); a crash between them leaves NO ``state_dir``
+    and, previously, the next invocation took the first-run branch and
+    silently rebuilt from an empty snapshot — silent loss of every
+    prior key.  Now, run at the top of every ``__call__``:
+
+    - ``state_dir`` missing but an ``__old_*`` sibling exists → the
+      sibling IS the last complete state (its ``_last_batch`` marker
+      included); restore it.  The interrupted batch is redelivered by
+      the streaming checkpoint and reapplies on top.
+    - any remaining ``__next_*`` (written but never swapped in — its
+      batch redelivers) or ``__old_*`` (superseded state whose cleanup
+      was interrupted after a completed swap) is deleted.
+    """
+    import glob
+    import os
+    import shutil
+
+    base = state_dir.rstrip("/")
+    olds = sorted(glob.glob(base + "__old_*"))
+    nexts = sorted(glob.glob(base + "__next_*"))
+    if not os.path.exists(base) and olds:
+        shutil.move(olds.pop(0), base)
+    for orphan in (*olds, *nexts):
+        shutil.rmtree(orphan, ignore_errors=True)
+
+
 @dataclass
 class ParquetSink:
     path: str
@@ -187,6 +218,7 @@ class IncrementalViewSink:
         import shutil
         import uuid
 
+        _recover_swap(self.state_dir)
         last = self._last_applied()
         if last is not None and batch_id <= last:
             return  # checkpoint replay of an already-folded batch
@@ -231,6 +263,16 @@ class CdcApplySink:
     (stale-filter join + left-anti) are delta-keyed; a snapshot
     partitioned on the key bucket rewrites touched buckets only at
     scale.
+
+    Deletes are retained as TOMBSTONES (key + ``__seq`` +
+    ``__deleted=true``, payload nulled) rather than physically removed:
+    dropping the row would also drop its high-water mark, and a later
+    batch redelivering an older ``U`` (seq below the delete's) would
+    find no state row and resurrect the key.  Read the snapshot through
+    :meth:`read_snapshot`, which filters tombstones out.  At scale,
+    tombstones are compacted away once older than the source's maximum
+    redelivery window (e.g. the Kafka topic's retention) — below that
+    horizon no stale ``U`` can still arrive.
     """
 
     state_dir: str
@@ -239,6 +281,7 @@ class CdcApplySink:
     op_col: str = "op"
 
     _MARKER = "_last_batch"
+    _DELETED = "__deleted"
 
     def _last_applied(self) -> int | None:
         import pathlib
@@ -249,6 +292,17 @@ class CdcApplySink:
         except (OSError, ValueError):
             return None
 
+    @staticmethod
+    def read_snapshot(spark, state_dir: str) -> DataFrame:
+        """The current table: the keyed state minus tombstones."""
+        from pyspark.sql import functions as F
+
+        snap = spark.read.parquet(state_dir)
+        if CdcApplySink._DELETED in snap.columns:
+            snap = snap.where(~F.col(CdcApplySink._DELETED)).drop(
+                CdcApplySink._DELETED)
+        return snap
+
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         import pathlib
         import shutil
@@ -256,6 +310,7 @@ class CdcApplySink:
 
         from pyspark.sql import functions as F
 
+        _recover_swap(self.state_dir)
         last = self._last_applied()
         if last is not None and batch_id <= last:
             return
@@ -273,8 +328,14 @@ class CdcApplySink:
         state_path = pathlib.Path(self.state_dir)
         if state_path.exists():
             state = spark.read.parquet(self.state_dir)
+            if self._DELETED not in state.columns:  # pre-tombstone state
+                state = state.withColumn(self._DELETED, F.lit(False))
         else:
-            state = win.where(F.lit(False)).drop(self.op_col)
+            state = (
+                win.where(F.lit(False))
+                .drop(self.op_col)
+                .withColumn(self._DELETED, F.lit(False))
+            )
         fresh = (
             win.join(
                 state.select(*keys, F.col("__seq").alias("__seq_old")),
@@ -285,8 +346,22 @@ class CdcApplySink:
             .drop("__seq_old")
         )
         kept = state.join(fresh.select(*keys), keys, "left_anti")
-        upserts = fresh.where(F.col(self.op_col) == "U").drop(self.op_col)
-        merged = kept.unionByName(upserts.select(*state.columns))
+        # Winners land whether U or D; a D becomes a tombstone (payload
+        # nulled, __seq retained) so its high-water mark keeps guarding
+        # against stale-U redeliveries (see class docstring).
+        value_cols = [c for c in payload if c != self.op_col]
+        winners = fresh.withColumn(
+            self._DELETED, F.col(self.op_col) == "D"
+        ).select(
+            *keys,
+            *[
+                F.when(~F.col(self._DELETED), F.col(c)).alias(c)
+                for c in value_cols
+            ],
+            "__seq",
+            self._DELETED,
+        )
+        merged = kept.unionByName(winners.select(*state.columns))
         tmp = f"{self.state_dir.rstrip('/')}__next_{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(tmp)
         (pathlib.Path(tmp) / self._MARKER).write_text(str(batch_id))

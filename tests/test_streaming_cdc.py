@@ -59,7 +59,7 @@ def changelog_dir(spark):
 def _read_state(spark, state_dir):
     return {
         r.k: (r.status, r.val, r["__seq"])
-        for r in spark.read.parquet(state_dir).collect()
+        for r in CdcApplySink.read_snapshot(spark, state_dir).collect()
     }
 
 
@@ -96,3 +96,41 @@ def test_replayed_batch_and_stale_row_are_noops(spark):
     # (seq <= high-water) — the per-key guard alone keeps state fixed.
     sink(b2.withColumn("seq", F.col("seq")), 2)
     assert _read_state(spark, state_dir) == after
+
+
+def test_stale_update_after_delete_stays_deleted(spark):
+    """ADVICE r3 (medium): a redelivered U older than a D must NOT
+    resurrect the key — the tombstone retains the high-water mark."""
+    state_dir = tempfile.mkdtemp(prefix="cdc_state3_") + "/snap"
+    sink = CdcApplySink(state_dir=state_dir, keys=["k"])
+    sink(spark.createDataFrame([(3, 2, "U", "orig", 30)], LOG_SCHEMA), 0)
+    sink(spark.createDataFrame([(3, 7, "D", None, None)], LOG_SCHEMA), 1)
+    assert _read_state(spark, state_dir) == {}
+    # Redeliver the OLD update alone in a new batch (seq 2 < delete's 7).
+    sink(spark.createDataFrame([(3, 2, "U", "orig", 30)], LOG_SCHEMA), 2)
+    assert _read_state(spark, state_dir) == {}
+    # A genuinely newer U (seq above the delete) re-creates the key.
+    sink(spark.createDataFrame([(3, 9, "U", "back", 31)], LOG_SCHEMA), 3)
+    assert _read_state(spark, state_dir) == {3: ("back", 31, 9)}
+
+
+def test_crashed_swap_recovers_from_old_dir(spark):
+    """ADVICE r3 (low): a crash between the two swap moves leaves only
+    __old_* — the next call must restore it, not rebuild from empty."""
+    import glob
+    import pathlib
+    import shutil
+
+    state_dir = tempfile.mkdtemp(prefix="cdc_state4_") + "/snap"
+    sink = CdcApplySink(state_dir=state_dir, keys=["k"])
+    sink(spark.createDataFrame(BATCH_1, LOG_SCHEMA), 0)
+    before = _read_state(spark, state_dir)
+    assert before  # sanity: 5 keys
+    # Simulate the crash window: state moved aside, next never moved in.
+    shutil.move(state_dir, state_dir + "__old_deadbeef")
+    pathlib.Path(state_dir + "__next_cafef00d").mkdir()
+    # The redelivered batch reapplies on top of the RESTORED state.
+    sink(spark.createDataFrame(BATCH_2, LOG_SCHEMA), 1)
+    assert _read_state(spark, state_dir) == FINAL
+    assert glob.glob(state_dir + "__old_*") == []
+    assert glob.glob(state_dir + "__next_*") == []
