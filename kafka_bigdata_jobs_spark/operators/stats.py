@@ -269,6 +269,7 @@ def series_corr_pairs_gram(
     min_buckets: int = 5,
     top_k: int = 10,
     block_keys: int = 4096,
+    n_keys: int | None = None,
 ) -> DataFrame:
     """All-pairs series correlation via BLOCK×BLOCK integer Gram
     matrices — the scale formulation of :func:`series_corr_pairs`.
@@ -319,7 +320,8 @@ def series_corr_pairs_gram(
     b_idx = {b: i for i, b in enumerate(buckets)}
     n_buckets = len(buckets)
 
-    n_keys = df.select(key_col).distinct().count()
+    if n_keys is None:
+        n_keys = df.select(key_col).distinct().count()
     n_blocks = max(1, math.ceil(n_keys / block_keys))
     keyed = df.select(
         F.col(key_col).alias("k"),
@@ -403,6 +405,242 @@ def series_corr_pairs_gram(
 
     sums = pairs_df.mapInPandas(gen, out_schema)
     return _corr_topk_from_sums(sums, top_k)
+
+
+#: Key-count cutover for :func:`series_corr_pairs_auto` — the named-
+#: limit discipline of ``dedup.DRIVER_EDGE_LIMIT`` / ``bpe.
+#: DRIVER_VOCAB_LIMIT``.  Below it, the exact all-pairs blocked Gram
+#: runs (the K² pair surface is affordable); above it, the SAX-banded
+#: candidate prefilter + exact verify runs instead, because the exact
+#: surface grows as K² (SCALING.json r3 measured e(x3→x10)=1.38 on the
+#: exact path — the repo's one superlinear plan; this cutover is the
+#: fix).  2000 keeps every oracle-checked scale (sf0.01: 150 keys,
+#: sf0.1: 1500) on the exact, bit-stable path.
+EXACT_PAIR_KEY_LIMIT = 2000
+
+
+def series_corr_pairs_banded(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    cents_col: str,
+    min_buckets: int = 5,
+    top_k: int = 10,
+    n_segments: int = 8,
+    n_bands: int = 2,
+    max_band_frac: float = 0.01,
+    min_band_cap: int = 64,
+    n_keys: int | None = None,
+) -> DataFrame:
+    """Top-k correlated key pairs via a SAX-banded candidate prefilter
+    + EXACT verification — the cluster-scale formulation of
+    :func:`series_corr_pairs` (Lin et al. 2003 SAX / iSAX family,
+    banded like the MinHash-LSH funnel in operators/dedup.py).
+
+    Stage 1 (linear): each key's series is z-normalized and piecewise-
+    aggregated into ``n_segments`` segment means (PAA), each quantized
+    to a 2-bit symbol at the Gaussian breakpoints (−0.67, 0, +0.67).
+    The symbol string is split into ``n_bands`` bands; keys sharing ANY
+    band value become candidates (banding trades precision for recall
+    exactly as MinHash-LSH does).  Segments a key never observed take
+    the mean symbol — for spend-like series absence is "nothing
+    happened", which z-normalizes to 0.
+
+    HEAVY-BUCKET SKIP (what keeps the funnel off the K² cliff): a band
+    value shared by more than ``max(min_band_cap, max_band_frac·K)``
+    keys is NON-DISCRIMINATIVE — it says "these series look like a
+    big fraction of the corpus", not "these two co-move" — and pairing
+    inside it is the dense pair surface sneaking back in (the r3
+    banded prototype measured e(x3→x10)≈1.5 from exactly this:
+    near-orthogonal series spread uniformly over band values, so every
+    bucket was Θ(K/256)).  Oversized band buckets are skipped, the
+    standard stop-shape treatment in LSH systems.  Two compensating
+    channels keep recall where it matters:
+
+    - FULL-SIGNATURE channel: keys agreeing on the ENTIRE symbol
+      string (maximal PAA resolution) are paired even when band
+      buckets overflow — shape-identical series (replicas, resends,
+      mirrored feeds) always reach the verifier.
+    - Ring pairing for oversized full-signature groups: an identical-
+      shape group of g keys contributes g−1 consecutive pairs (sorted
+      by key) instead of g² — within such a group every member
+      co-moves with every other, so top-k only needs representatives,
+      and the adversarial all-identical corpus costs O(K), not O(K²).
+
+    Stage 2 (candidates only): the five Pearson sums are computed
+    EXACTLY (integer aggregation over the shared buckets, identical
+    expression to the join path via :func:`_corr_topk_from_sums`), so
+    every emitted pair's ``corr`` is exact — only COVERAGE is
+    approximate.
+
+    RECALL CAVEAT (measured, r3): banding presumes co-moving series
+    concentrate in discriminative shared bands.  On a corpus of
+    near-orthogonal random series (e.g. the synthetic fixture), the
+    true top Pearson pairs are weak chance correlations with NO shared
+    shape, and the prefilter catches ~none of them — the exact path
+    below :data:`EXACT_PAIR_KEY_LIMIT` is the correct tool there.  At
+    scale the operator contract is "find strongly co-moving pairs",
+    which is what the funnel preserves: a planted co-moving pair
+    survives (pinned in tests/test_twophase.py).
+
+    Scale shape: banding is one linear agg; candidate pairs are
+    bounded by Σ_small-bucket m² (each m ≤ the cap) + the ring's O(K)
+    — never a dense K².  Every stage is a DataFrame op (segment index
+    rides a 30-row broadcast join; no driver collect of keys or
+    pairs).
+    """
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    base = df.select(
+        F.col(key_col).alias("k"),
+        F.col(bucket_col).cast("string").alias("b"),
+        F.col(cents_col).alias("v"),
+    )
+    # Bucket axis: the SMALL dimension by construction (time buckets) —
+    # same bounded collect as the Gram path, re-broadcast as a join.
+    buckets = sorted(r["b"] for r in base.select("b").distinct().collect())
+    n_buckets = len(buckets)
+    idx_df = spark.createDataFrame(
+        [(b, i) for i, b in enumerate(buckets)],
+        T.StructType([
+            T.StructField("b", T.StringType()),
+            T.StructField("__bi", T.IntegerType()),
+        ]),
+    )
+    seg = (F.col("__bi") * n_segments / F.lit(n_buckets)).cast("int")
+    obs = base.join(F.broadcast(idx_df), "b").withColumn("__seg", seg)
+
+    stats = obs.groupBy("k").agg(
+        F.avg("v").alias("__mu"),
+        F.stddev_pop("v").alias("__sd"),
+    )
+    segm = obs.groupBy("k", "__seg").agg(F.avg("v").alias("__segmu"))
+    z = (
+        segm.join(stats, "k")
+        .where(F.col("__sd") > 0)  # flat series can't correlate (var=0)
+        .select(
+            "k",
+            "__seg",
+            ((F.col("__segmu") - F.col("__mu")) / F.col("__sd")).alias("__z"),
+        )
+    )
+    sym = (
+        F.when(F.col("__z") < -0.67, 0)
+        .when(F.col("__z") < 0, 1)
+        .when(F.col("__z") < 0.67, 2)
+        .otherwise(3)
+    )
+    # Absent segments default to the mean symbol (z=0 falls in bin 2's
+    # open interval [0, 0.67) — use 2).  Build the full-length signature
+    # with a map lookup over 0..n_segments-1.
+    sigs = (
+        z.select("k", "__seg", sym.alias("__sym"))
+        .groupBy("k")
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("__seg", "__sym"))).alias("__m"))
+        .select(
+            "k",
+            *[
+                F.coalesce(
+                    F.element_at(F.col("__m"), F.lit(s)), F.lit(2)
+                ).alias(f"__s{s}")
+                for s in range(n_segments)
+            ],
+        )
+    )
+    per_band = n_segments // n_bands
+    band_cols = []
+    full_expr = F.lit(0)  # all segments in order — the maximal-resolution signature
+    for bi in range(n_bands):
+        expr = F.lit(0)
+        for s in range(bi * per_band, (bi + 1) * per_band):
+            expr = expr * 4 + F.col(f"__s{s}")
+            full_expr = full_expr * 4 + F.col(f"__s{s}")
+        band_cols.append(expr.alias(f"__band{bi}"))
+    banded = sigs.select("k", *band_cols, full_expr.alias("__sig"))
+
+    if n_keys is None:
+        n_keys = banded.count()
+    cap = max(min_band_cap, int(n_keys * max_band_frac))
+
+    def _pairs_within(rel: DataFrame, group_col: str) -> DataFrame:
+        left = rel.select(F.col("k").alias("key_a"),
+                          F.col(group_col).alias("__g"))
+        right = rel.select(F.col("k").alias("key_b"),
+                           F.col(group_col).alias("__g"))
+        return left.join(right, "__g").where(
+            F.col("key_a") < F.col("key_b")).select("key_a", "key_b")
+
+    def _small_groups(rel: DataFrame, group_col: str) -> DataFrame:
+        sizes = rel.groupBy(group_col).agg(F.count(F.lit(1)).alias("__gs"))
+        return rel.join(sizes.where(F.col("__gs") <= cap), group_col)
+
+    cands = None
+    for bi in range(n_bands):
+        c = _pairs_within(_small_groups(banded, f"__band{bi}"), f"__band{bi}")
+        cands = c if cands is None else cands.unionByName(c)
+    # Full-signature channel: complete pairing for small groups, ring
+    # pairing (g-1 consecutive pairs by key order) for oversized ones —
+    # shape-identical clusters always reach the verifier at O(g) cost.
+    fsizes = banded.groupBy("__sig").agg(F.count(F.lit(1)).alias("__gs"))
+    fullj = banded.select("k", "__sig").join(fsizes, "__sig")
+    cands = cands.unionByName(
+        _pairs_within(fullj.where(F.col("__gs") <= cap), "__sig"))
+    ring_w = Window.partitionBy("__sig").orderBy("k")
+    ring = (
+        fullj.where(F.col("__gs") > cap)
+        .select(
+            F.col("k").alias("key_a"),
+            F.lead("k").over(ring_w).alias("key_b"),
+        )
+        .where(F.col("key_b").isNotNull())
+    )
+    cands = cands.unionByName(ring).distinct()
+
+    # Exact verify: integer Pearson sums over the candidates' SHARED
+    # buckets — the same arithmetic (and final expression) as the exact
+    # paths, so emitted pairs are bit-equal to what the exact path
+    # would emit for them.
+    a = base.select(F.col("k").alias("key_a"), "b", F.col("v").alias("x"))
+    b = base.select(F.col("k").alias("key_b"), "b", F.col("v").alias("y"))
+    paired = cands.join(a, "key_a").join(b, ["key_b", "b"])
+    sums = paired.groupBy("key_a", "key_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    ).where(F.col("n") >= min_buckets)
+    return _corr_topk_from_sums(sums, top_k)
+
+
+def series_corr_pairs_auto(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    cents_col: str,
+    min_buckets: int = 5,
+    top_k: int = 10,
+    exact_key_limit: int | None = None,
+) -> DataFrame:
+    """Dispatch on key count: exact all-pairs blocked Gram up to
+    :data:`EXACT_PAIR_KEY_LIMIT` keys, SAX-banded prefilter + exact
+    verify above it (see :func:`series_corr_pairs_banded` for the
+    recall contract).  The distinct-key count is computed once and
+    passed down so the Gram path doesn't recount."""
+    limit = EXACT_PAIR_KEY_LIMIT if exact_key_limit is None else exact_key_limit
+    n_keys = df.select(key_col).distinct().count()
+    if n_keys <= limit:
+        return series_corr_pairs_gram(
+            df, key_col, bucket_col, cents_col,
+            min_buckets=min_buckets, top_k=top_k, n_keys=n_keys,
+        )
+    return series_corr_pairs_banded(
+        df, key_col, bucket_col, cents_col,
+        min_buckets=min_buckets, top_k=top_k, n_keys=n_keys,
+    )
 
 
 def auc_rank_sum(

@@ -113,3 +113,60 @@ def test_series_corr_gram_equals_join(spark):
     a = series_corr_pairs(daily, "user_id", "day", "cents", 5, 10).collect()
     b = series_corr_pairs_gram(daily, "user_id", "day", "cents", 5, 10).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def _planted_series(spark):
+    """60 keys × 20 days: keys 0/1 co-move (scaled copies + tiny jitter),
+    the rest are deterministic pseudo-random walks."""
+    rows = []
+    for k in range(60):
+        for d in range(20):
+            day = f"2024-01-{d + 1:02d}"
+            if k in (0, 1):
+                base = 1000 + 500 * ((d * 7) % 13)  # shared shape
+                v = base * (1 + k) + (k * d) % 3    # scale + jitter
+            else:
+                v = 100 + ((k * 2654435761 + d * 40503) % 9973)
+            rows.append((k, day, v))
+    return spark.createDataFrame(rows, "k long, day string, v long")
+
+
+def test_banded_prefilter_recovers_planted_pair(spark):
+    """The SAX-banded funnel's contract: a strongly co-moving pair
+    survives the prefilter, and its corr is EXACT (bit-equal to the
+    all-pairs path's value for that pair)."""
+    from kafka_bigdata_jobs_spark.operators.stats import (
+        series_corr_pairs,
+        series_corr_pairs_banded,
+    )
+
+    df = _planted_series(spark)
+    banded = series_corr_pairs_banded(df, "k", "day", "v", 5, 5).collect()
+    assert banded, "funnel returned nothing"
+    top = banded[0]
+    assert (top["key_a"], top["key_b"]) == (0, 1)
+    exact = {
+        (r["key_a"], r["key_b"]): r["corr"]
+        for r in series_corr_pairs(df, "k", "day", "v", 5, 60 * 59).collect()
+    }
+    assert top["corr"] == exact[(0, 1)]
+
+
+def test_auto_dispatch_cutover_boundary(spark):
+    """At/below the key-count limit the exact Gram runs (all-pairs
+    output); above it the banded funnel runs (subset, planted pair
+    still on top)."""
+    from kafka_bigdata_jobs_spark.operators.stats import (
+        series_corr_pairs,
+        series_corr_pairs_auto,
+    )
+
+    df = _planted_series(spark)  # 60 distinct keys
+    exact = series_corr_pairs(df, "k", "day", "v", 5, 10).collect()
+    at_limit = series_corr_pairs_auto(
+        df, "k", "day", "v", 5, 10, exact_key_limit=60).collect()
+    assert [tuple(r) for r in at_limit] == [tuple(r) for r in exact]
+    above = series_corr_pairs_auto(
+        df, "k", "day", "v", 5, 10, exact_key_limit=59).collect()
+    assert (above[0]["key_a"], above[0]["key_b"]) == (0, 1)
+    assert above[0]["corr"] == exact[0]["corr"]
