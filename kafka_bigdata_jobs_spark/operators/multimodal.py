@@ -21,11 +21,14 @@ Design (training-data pipeline at 100 TB):
   multi-channel averaged) inside the same Arrow-batched stage — see
   ``extract_audio_features``.  Non-WAV audio falls back to the
   deterministic fake (or raises, matching the other modalities).
-- IMAGE also has a REAL codec: uncompressed 24-bit BI_RGB BMP payloads
+- IMAGE has TWO REAL codecs: uncompressed 24-bit BI_RGB BMP payloads
   decode through a pure-numpy header+pixel-plane parser inside
   ``extract_image_features`` (stride-padded rows, BGR ordering,
-  BT.601 luma).  Non-BMP images fall back to the deterministic fake
-  (or raise), same contract as audio.
+  BT.601 luma), and PNG payloads decode through a stdlib-``zlib``
+  reader (chunk walk, IDAT inflate, all five per-row filter
+  reconstructions, 8-bit gray/RGB/GA/RGBA — the widest-used format in
+  any real multimodal corpus).  Other image formats fall back to the
+  deterministic fake (or raise), same contract as audio.
 - VIDEO also has a REAL codec: YUV4MPEG2 (Y4M) streams — the
   uncompressed interchange container real encoders emit — parse
   through ``_parse_y4m`` (header fields, FRAME markers, planar 4:2:0
@@ -120,12 +123,15 @@ def extract_image_features(
 ) -> DataFrame:
     """Arrow-batched image feature extraction via ``mapInPandas``.
 
-    The codec is REAL for BMP: payloads carrying a ``BM`` magic decode
-    through a pure-numpy parser for the uncompressed 24-bit BI_RGB
-    format (the format every encoder can emit) — header-field reads,
-    stride-padded row matrix, BGR pixel plane, ITU-R BT.601 luma — no
-    third-party codec library needed.  Non-BMP payloads fall back to
-    the deterministic digest-derived fake (or raise when
+    The codec is REAL for BMP and PNG: payloads carrying a ``BM`` magic
+    decode through a pure-numpy parser for the uncompressed 24-bit
+    BI_RGB format (header-field reads, stride-padded row matrix, BGR
+    pixel plane, ITU-R BT.601 luma); payloads carrying the PNG
+    signature decode through a stdlib-``zlib`` reader (chunk walk,
+    concatenated-IDAT inflate, per-row reconstruction of all five
+    filter types, 8-bit gray/RGB/GA/RGBA, RFC 2083) — no third-party
+    codec library needed.  Other formats fall back to the
+    deterministic digest-derived fake (or raise when
     ``deterministic_fake=False``, same contract as the audio path whose
     real codec is WAV).
 
@@ -171,14 +177,94 @@ def extract_image_features(
             )
             return w, n_rows, round(float(luma.mean()) / 255.0, 6)
 
+        def _decode_png(payload: bytes):
+            # Minimal PNG reader (RFC 2083), stdlib-only: chunk walk,
+            # IHDR fields, concatenated-IDAT zlib inflate, and per-row
+            # filter RECONSTRUCTION (all five filter types).  8-bit
+            # depth, color types 0/2/4/6, non-interlaced — the shapes
+            # every encoder can emit; anything else fails loudly below.
+            import zlib as _zlib
+
+            pos = 8  # past the 8-byte signature (checked by caller)
+            idat = b""
+            w = h = depth = ctype = interlace = None
+            while pos + 8 <= len(payload):
+                ln = int.from_bytes(payload[pos:pos + 4], "big")
+                typ = payload[pos + 4:pos + 8]
+                data = payload[pos + 8:pos + 8 + ln]
+                pos += 12 + ln  # chunk header + data + CRC
+                if typ == b"IHDR":
+                    w = int.from_bytes(data[0:4], "big")
+                    h = int.from_bytes(data[4:8], "big")
+                    depth, ctype, interlace = data[8], data[9], data[12]
+                elif typ == b"IDAT":
+                    idat += data
+                elif typ == b"IEND":
+                    break
+            if depth != 8 or ctype not in (0, 2, 4, 6) or interlace != 0:
+                raise NotImplementedError(
+                    f"only 8-bit non-interlaced gray/RGB/GA/RGBA PNG "
+                    f"supported (depth={depth}, color_type={ctype}, "
+                    f"interlace={interlace})"
+                )
+            nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+            raw = _zlib.decompress(idat)
+            stride = w * nch
+            img = _np.empty((h, stride), dtype=_np.uint8)
+            prev = _np.zeros(stride, dtype=_np.uint8)
+            p = 0
+            for r in range(h):
+                ftype = raw[p]
+                p += 1
+                line = _np.frombuffer(raw, _np.uint8, stride, p).copy()
+                p += stride
+                if ftype == 0:  # None
+                    rec = line
+                elif ftype == 2:  # Up (vectorized: uint8 wraps mod 256)
+                    rec = line + prev
+                elif ftype == 1:  # Sub — sequential within the row
+                    rec = line
+                    for i in range(nch, stride):
+                        rec[i] = (int(rec[i]) + int(rec[i - nch])) & 0xFF
+                elif ftype == 3:  # Average
+                    rec = line
+                    for i in range(stride):
+                        a = int(rec[i - nch]) if i >= nch else 0
+                        rec[i] = (int(rec[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+                elif ftype == 4:  # Paeth
+                    rec = line
+                    for i in range(stride):
+                        a = int(rec[i - nch]) if i >= nch else 0
+                        b = int(prev[i])
+                        c = int(prev[i - nch]) if i >= nch else 0
+                        q = a + b - c
+                        qa, qb, qc = abs(q - a), abs(q - b), abs(q - c)
+                        pred = a if (qa <= qb and qa <= qc) else (
+                            b if qb <= qc else c)
+                        rec[i] = (int(rec[i]) + pred) & 0xFF
+                else:
+                    raise NotImplementedError(f"PNG filter type {ftype}")
+                img[r] = rec
+                prev = rec
+            px = img.reshape(h, w, nch).astype(_np.float64)
+            if ctype in (0, 4):  # gray (+alpha): luma IS the gray channel
+                luma = px[..., 0]
+            else:  # RGB byte order (unlike BMP's BGR)
+                luma = (
+                    0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+                )
+            return w, h, round(float(luma.mean()) / 255.0, 6)
+
         def _decode(payload: bytes):
             if payload[:2] == b"BM":
                 return _decode_bmp(payload)  # real codec path
+            if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                return _decode_png(payload)  # real codec path
             if not fake:
                 raise NotImplementedError(
-                    "non-BMP image codecs are not available in this "
+                    "non-BMP/PNG image codecs are not available in this "
                     "environment; pass deterministic_fake=True for the "
-                    "test pipeline or supply BMP payloads"
+                    "test pipeline or supply BMP or PNG payloads"
                 )
             digest = _hashlib.sha256(payload).digest()
             return (
