@@ -73,16 +73,41 @@ _R1_VERIFIED = frozenset({
 })
 
 
+#: Rows-only queries whose driver slot matters most this round: the two
+#: round-4 invariant-as-data reports (they publish the pytest-pinned
+#: BPE-parity and distillation-agreement invariants as columns).
+_PRIORITY_ROWS_ONLY = ("bpe_parity_report", "mlquality_agreement_report")
+#: Rows-only queries that may fall off the driver's fixed-size sample
+#: when the never-checked group exceeds it: their entire invariant is
+#: republished (stronger) by the reports above, and each is pinned by
+#: dedicated pytest (tests/test_bpe.py, tests/test_mlquality.py).
+_DEMOTED_ROWS_ONLY = (
+    "bpe_learned_merges", "bpe_tokenize_census", "ml_quality_filter",
+)
+
+
 def _ordered() -> list[str]:
     verified = _driver_verified()
     reg = suite.registry()
     names = list(reg)
     fresh = [n for n in names if n not in verified]
+
     # Oracle-backed queries first within the never-checked group: the
     # driver's fixed-size sample should spend its slots on full
     # value-hash checks before rows-only ones (stable sort keeps
-    # registration order within each class).
-    fresh.sort(key=lambda n: reg[n].oracle is None)
+    # registration order within each class).  Within the rows-only
+    # class, the invariant-as-data reports come first and the queries
+    # they supersede last.
+    def key(n: str) -> tuple[bool, int]:
+        rows_only = reg[n].oracle is None
+        prio = 1
+        if n in _PRIORITY_ROWS_ONLY:
+            prio = 0
+        elif n in _DEMOTED_ROWS_ONLY:
+            prio = 2
+        return (rows_only, prio if rows_only else 0)
+
+    fresh.sort(key=key)
     return fresh + [n for n in names if n in verified]
 
 

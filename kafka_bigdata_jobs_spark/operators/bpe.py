@@ -169,6 +169,41 @@ def _learn_from_counts(
     return merges
 
 
+def reference_bpe_naive(
+    counts: list[tuple[str, int]],
+    n_merges: int,
+    min_pair_weight: int = 2,
+) -> list[tuple[int, str, str, int]]:
+    """Textbook BPE twin for verification: recounts EVERY adjacency from
+    scratch each round (no inverted index, no heap, no incremental
+    retraction) — a deliberately different algorithm whose only shared
+    code with the engine's :func:`_learn_from_counts` is the
+    non-overlap merge rule itself.  The suite's ``bpe_parity_report``
+    runs both and publishes the merge-for-merge comparison as data, so
+    the invariant the pytest asserts (identical tables) is also visible
+    to the correctness driver."""
+    segs = {w: list(w) for w, _ in counts}
+    ns = dict(counts)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        weights: dict[tuple[str, str], int] = {}
+        for w, n in ns.items():
+            s = segs[w]
+            for p in zip(s, s[1:]):
+                weights[p] = weights.get(p, 0) + n
+        if not weights:
+            break
+        (left, right), weight = min(
+            weights.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if weight < min_pair_weight:
+            break
+        merges.append((rank, left, right, weight))
+        for w in segs:
+            segs[w] = _merge_segs(segs[w], left, right)
+    return merges
+
+
 def _bpe_learn_distributed(
     words: DataFrame,
     n_merges: int,

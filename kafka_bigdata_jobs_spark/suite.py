@@ -145,23 +145,44 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _NEAR_DUP_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def _shared_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import near_dup_pairs
+def _evict_dead_sessions(cache: dict, app_id: str) -> None:
+    """Drop cache entries bound to stopped Spark sessions: a long-lived
+    process cycling sessions would otherwise accumulate dead-session
+    DataFrame handles forever (ADVICE r3)."""
+    for k in [k for k in cache if k[0] != app_id]:
+        del cache[k]
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _NEAR_DUP_PAIRS_CACHE:
-        d = _t(spark, sf_dir, "documents")
-        _NEAR_DUP_PAIRS_CACHE[key] = near_dup_pairs(
-            d, "doc_id", "text", threshold=0.8
-        ).cache()
-    df = _NEAR_DUP_PAIRS_CACHE[key]
-    # catalog.clearCache() (bench isolation) drops the CacheManager entry
-    # but not this handle: without re-marking, every downstream action
-    # would silently recompute the whole LSH funnel.
+
+def _session_cached_df(cache: dict, spark: SparkSession, sf_dir: str,
+                       build) -> DataFrame:
+    """Shared (applicationId, sf_dir)-keyed .cache() memo for the
+    materialized-intermediate relations below.  Evicts dead-session
+    entries, builds+caches on miss, and — because catalog.clearCache()
+    (bench isolation) drops the CacheManager entry but not this handle —
+    re-marks an uncached handle AND stores it back so later calls see
+    the re-cached one instead of re-caching every time (ADVICE r3)."""
+    app = spark.sparkContext.applicationId
+    _evict_dead_sessions(cache, app)
+    key = (app, sf_dir)
+    if key not in cache:
+        cache[key] = build().cache()
+    df = cache[key]
     lvl = df.storageLevel
     if not (lvl.useMemory or lvl.useDisk):
         df = df.cache()
+        cache[key] = df
     return df
+
+
+def _shared_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import near_dup_pairs
+
+    return _session_cached_df(
+        _NEAR_DUP_PAIRS_CACHE, spark, sf_dir,
+        lambda: near_dup_pairs(
+            _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.8
+        ),
+    )
 
 
 #: Same sharing for the embedding-cosine pair relation (threshold 0.45),
@@ -172,17 +193,13 @@ _EMB_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 def _shared_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import embedding_near_dup_pairs_blocked
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _EMB_PAIRS_CACHE:
-        e = _t(spark, sf_dir, "embeddings")
-        _EMB_PAIRS_CACHE[key] = embedding_near_dup_pairs_blocked(
-            e, "vec_id", "embedding", threshold=0.45
-        ).cache()
-    df = _EMB_PAIRS_CACHE[key]
-    lvl = df.storageLevel
-    if not (lvl.useMemory or lvl.useDisk):
-        df = df.cache()
-    return df
+    return _session_cached_df(
+        _EMB_PAIRS_CACHE, spark, sf_dir,
+        lambda: embedding_near_dup_pairs_blocked(
+            _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+            threshold=0.45,
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1479,6 +1496,72 @@ def q_bmp_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _png_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG twin of :func:`q_bmp_codec_features` (not separately
+    registered — oracle-checked through codec_parity_report): genuine
+    PNG containers are synthesized per media id — a two-axis ramp
+    ``pixel[r,c] = g0 + 7r + 3c`` stored with REAL filters (Sub on row
+    0, Up on the rest) and zlib-compressed IDAT — then decoded by the
+    stdlib-zlib reader inside extract_image_features with
+    deterministic_fake=False.  The mean luma has the closed form
+    ``g0 + 7(h−1)/2 + 3(w−1)/2`` (odd dims keep it integer), so the
+    output can ONLY be produced by correct chunk walking, inflate, and
+    per-row filter reconstruction."""
+    from .operators import multimodal as M
+
+    ids = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("media_id"))
+    )
+
+    def synth(batches):
+        import zlib as _zlib
+
+        import pandas as _pd
+
+        def _chunk(typ: bytes, data: bytes) -> bytes:
+            return (
+                len(data).to_bytes(4, "big") + typ + data
+                + _zlib.crc32(typ + data).to_bytes(4, "big")
+            )
+
+        def _encode_png(w: int, h: int, g0: int) -> bytes:
+            # ramp rows differ by a constant 7 per byte (Up filter
+            # encodes to all-7s); within a row the step is 3 (Sub
+            # encodes row 0 to [g0, 3, 3, ...]).  Grayscale, 8-bit.
+            raw = bytes([1, g0] + [3] * (w - 1))          # row 0: Sub
+            raw += bytes([2] + [7] * w) * (h - 1)          # rest: Up
+            ihdr = (
+                w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                + bytes([8, 0, 0, 0, 0])
+            )
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", _zlib.compress(raw))
+                + _chunk(b"IEND", b"")
+            )
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w = 17 + 2 * (mid % 4)   # odd: 17/19/21/23
+                h = 5 + 2 * (mid % 3)    # odd: 5/7/9
+                payloads.append(_encode_png(w, h, 16 + mid))
+            yield _pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = ids.mapInPandas(synth, "media_id long, payload binary")
+    return (
+        M.extract_image_features(media, deterministic_fake=False)
+        .select("media_id", "width", "height", "mean_luma", "size_bytes")
+        .orderBy("media_id")
+    )
+
+
 @register(
     "y4m_codec_features",
     None,  # frame synthesis + codec decode — not SQL-expressible
@@ -1583,12 +1666,25 @@ def q_y4m_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(ROUND((10 + media_id) * 10000.0 / 255.0) AS BIGINT)
                AS motion_x10000
       FROM ids
+    ), png AS (
+      -- ramp pixel[r,c] = g0 + 7r + 3c with g0 = 16 + id and odd dims:
+      -- mean = g0 + 7(h-1)/2 + 3(w-1)/2 = 54 + id + 7*(id%3) + 3*(id%4)
+      SELECT media_id, 'png' AS modality,
+             CAST(17 + 2 * (media_id % 4) AS BIGINT) AS dim_a,
+             CAST(5 + 2 * (media_id % 3) AS BIGINT) AS dim_b,
+             CAST(1 AS BIGINT) AS n_units,
+             CAST(0 AS BIGINT) AS duration_ms,
+             CAST(ROUND((54 + media_id + 7 * (media_id % 3)
+                         + 3 * (media_id % 4)) * 10000.0 / 255.0) AS BIGINT)
+               AS level_x10000,
+             CAST(0 AS BIGINT) AS motion_x10000
+      FROM ids
     )
     SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL
-    SELECT * FROM vid
+    SELECT * FROM vid UNION ALL SELECT * FROM png
     """,
-    doc="The real-codec trio, VALUE-HASH-CHECKED: every feature the "
-    "BMP/WAV/Y4M decoders emit that is an exact arithmetic function "
+    doc="The real-codec quartet, VALUE-HASH-CHECKED: every feature the "
+    "BMP/WAV/Y4M/PNG decoders emit that is an exact arithmetic function "
     "of the synthesis parameters — dimensions, sample rate, frame "
     "count, duration, solid/ramp luma and motion scaled to integer "
     "x10000 — is recomputed by the oracle in closed form from "
@@ -1636,7 +1732,17 @@ def q_codec_parity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         x10k("mean_luma").alias("level_x10000"),
         x10k("motion").alias("motion_x10000"),
     )
-    return img.unionByName(aud).unionByName(vid)
+    png = _png_codec_features(spark, sf_dir).select(
+        "media_id",
+        F.lit("png").alias("modality"),
+        F.col("width").cast("long").alias("dim_a"),
+        F.col("height").cast("long").alias("dim_b"),
+        F.lit(1).cast("long").alias("n_units"),
+        long0.alias("duration_ms"),
+        x10k("mean_luma").alias("level_x10000"),
+        long0.alias("motion_x10000"),
+    )
+    return img.unionByName(aud).unionByName(vid).unionByName(png)
 
 
 # ---------------------------------------------------------------------------
@@ -5254,19 +5360,21 @@ def q_nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     "for the cluster-scale corpus).",
 )
 def q_correlated_user_spend_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Gram-matrix formulation: the day-bucket equi-join shuffles
-    # Σ_day n_d² pair rows over a tiny key domain (30 days = 30 hot
-    # partitions at scale); blocked int64 Gram products emit the SAME
-    # exact integer sums with no pair shuffle (equivalence pinned in
-    # tests/test_twophase.py, same DuckDB oracle).  Measured at sf0.1:
-    # 13.1s (join path, bench) -> 1.7s steady / ~4s first-run.
-    from .operators.stats import series_corr_pairs_gram
+    # Auto dispatch (r3 verdict: the exact K² pair surface was the
+    # repo's one measured superlinear plan, e(x3→x10)=1.38): up to
+    # stats.EXACT_PAIR_KEY_LIMIT keys the blocked int64 Gram emits
+    # exact integer sums with no pair shuffle (equivalence vs the
+    # day-bucket join pinned in tests/test_twophase.py, same DuckDB
+    # oracle — both driver-checked SFs sit below the cutover); above
+    # it, the SAX-banded prefilter + exact verify replaces the dense
+    # pair surface (recall contract in series_corr_pairs_banded).
+    from .operators.stats import series_corr_pairs_auto
 
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(
         "user_id", F.col("ts").cast("date").alias("day")
     ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
-    return series_corr_pairs_gram(
+    return series_corr_pairs_auto(
         daily, "user_id", "day", "cents", min_buckets=5, top_k=10
     )
 
@@ -7104,6 +7212,41 @@ def q_ml_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mlquality_agreement_report",
+    None,  # LBFGS optimum is not an SQL expression; invariant-as-data
+    doc="Distillation verification surfaced AS DATA (r3 verdict item 6): "
+    "per-source AND corpus-total student-vs-teacher agreement in exact "
+    "basis points, plus the meets_floor flag at the 9000 bp floor "
+    "tests/test_mlquality.py pins — the driver sees the distillation "
+    "invariant itself, not just row counts.  Same fit/score path as "
+    "ml_quality_filter (bounded seeded sample, JVM-side scoring).",
+)
+def q_mlquality_agreement_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.mlquality import quality_filter_report
+
+    docs = _t(spark, sf_dir, "documents")
+    rep = quality_filter_report(docs)
+    per_source = rep.select(
+        "source",
+        "n_docs",
+        "n_agree",
+        F.expr("(10000 * n_agree) div n_docs").alias("agreement_bp"),
+    )
+    total = rep.agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_agree").alias("n_agree"),
+    ).select(
+        F.lit("__all").alias("source"),
+        "n_docs",
+        "n_agree",
+        F.expr("(10000 * n_agree) div n_docs").alias("agreement_bp"),
+    )
+    return per_source.unionByName(total).withColumn(
+        "meets_floor_9000", F.col("agreement_bp") >= 9000
+    )
+
+
+@register(
     "near_dup_incremental",
     """
     WITH s AS (
@@ -7592,7 +7735,9 @@ _BPE_MERGES_CACHE: dict[tuple[str, str], list] = {}
 def _shared_bpe_merges(spark: SparkSession, sf_dir: str) -> list:
     from .operators.bpe import bpe_learn
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app = spark.sparkContext.applicationId
+    _evict_dead_sessions(_BPE_MERGES_CACHE, app)
+    key = (app, sf_dir)
     if key not in _BPE_MERGES_CACHE:
         docs = _t(spark, sf_dir, "documents")
         _BPE_MERGES_CACHE[key] = bpe_learn(docs, "text", n_merges=8)
@@ -7646,6 +7791,47 @@ def q_bpe_tokenize_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_words").alias("sum_words"),
         F.sum("n_tokens").alias("sum_tokens"),
         F.expr("(10000 * sum(n_tokens)) div sum(n_chars)").alias("tokens_per_char_bp"),
+    )
+
+
+@register(
+    "bpe_parity_report",
+    None,  # iterative argmax — not SQL-expressible; invariant-as-data
+    doc="BPE verification surfaced AS DATA (r3 verdict item 6, the "
+    "ann_recall_report pattern): the engine's merge table (incremental "
+    "pair-maintenance heap, operators/bpe.py _learn_from_counts) and an "
+    "independent textbook twin that recounts every adjacency each round "
+    "(reference_bpe_naive) are trained on the same word-type relation "
+    "and compared merge-for-merge; n_mismatches is a column, so the "
+    "driver sees the invariant pytest asserts (identical tables), not "
+    "just row counts.  Both learners are driver-side on the bounded "
+    "vocabulary (DRIVER_VOCAB_LIMIT discipline).",
+)
+def q_bpe_parity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bpe import reference_bpe_naive, word_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    engine = _shared_bpe_merges(spark, sf_dir)
+    counts = [
+        (r["word"], int(r["n"]))
+        for r in word_counts(docs, "text").collect()  # vocab-bounded
+    ]
+    ref = reference_bpe_naive(counts, n_merges=8)
+    n_mismatch = sum(
+        1 for e, r in zip(engine, ref) if e != r
+    ) + abs(len(engine) - len(ref))
+    rows = []
+    for i in range(max(len(engine), len(ref))):
+        e = engine[i] if i < len(engine) else (i, None, None, None)
+        r = ref[i] if i < len(ref) else (i, None, None, None)
+        rows.append((
+            i, e[1], e[2], e[3], r[1], r[2], r[3], e == r, n_mismatch,
+        ))
+    return spark.createDataFrame(
+        rows,
+        "rank long, engine_left string, engine_right string, "
+        "engine_weight long, ref_left string, ref_right string, "
+        "ref_weight long, is_match boolean, n_mismatches long",
     )
 
 
@@ -8010,8 +8196,7 @@ def _shared_bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     — shared by customer_supplier_pagerank and supplier_affinity_ppr,
     whose dominant upstream cost is the same lineitem x orders distinct
     join.  At 100 TB this is a write-once bucketed edge artifact."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _BIPARTITE_EDGES_CACHE:
+    def build() -> DataFrame:
         li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
         o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
         cs = (
@@ -8022,15 +8207,11 @@ def _shared_bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
-        edges = cs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        return cs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
             cs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
         )
-        _BIPARTITE_EDGES_CACHE[key] = edges.cache()
-    df = _BIPARTITE_EDGES_CACHE[key]
-    lvl = df.storageLevel
-    if not (lvl.useMemory or lvl.useDisk):
-        df = df.cache()
-    return df
+
+    return _session_cached_df(_BIPARTITE_EDGES_CACHE, spark, sf_dir, build)
 
 _COPURCHASE_EDGES_SQL = """
       SELECT a.supp AS u, b.supp AS v
@@ -8051,8 +8232,12 @@ _TRIANGLES_CACHE: dict[tuple[str, str], DataFrame] = {}
 def _shared_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import oriented_triangles
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app = spark.sparkContext.applicationId
+    _evict_dead_sessions(_TRIANGLES_CACHE, app)
+    key = (app, sf_dir)
     if key not in _TRIANGLES_CACHE:
+        # Eagerly checkpointed by oriented_triangles (no live lineage) —
+        # needs eviction but not the .cache() re-mark dance.
         _TRIANGLES_CACHE[key] = oriented_triangles(
             _shared_copurchase_edges(spark, sf_dir), "u", "v"
         )
@@ -8060,8 +8245,7 @@ def _shared_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shared_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _COPURCHASE_EDGES_CACHE:
+    def build() -> DataFrame:
         li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
         o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
         cs = (
@@ -8072,7 +8256,7 @@ def _shared_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
         a, b = cs.alias("a"), cs.alias("b")
-        edges = (
+        return (
             a.join(
                 b,
                 (F.col("a.cust") == F.col("b.cust"))
@@ -8083,12 +8267,8 @@ def _shared_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("n_shared") >= 3)
             .select("u", "v")
         )
-        _COPURCHASE_EDGES_CACHE[key] = edges.cache()
-    df = _COPURCHASE_EDGES_CACHE[key]
-    lvl = df.storageLevel
-    if not (lvl.useMemory or lvl.useDisk):
-        df = df.cache()
-    return df
+
+    return _session_cached_df(_COPURCHASE_EDGES_CACHE, spark, sf_dir, build)
 
 
 @register(
