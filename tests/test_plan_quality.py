@@ -261,9 +261,17 @@ def test_no_unbounded_driver_collects_in_engine_code():
             "console/external/memory sinks collect limit()ed batches only",
         ),
         "operators/stats.py": (
+            2,
+            "bucket-domain distincts (Gram path + SAX banding path): "
+            "time buckets are the small axis by construction "
+            "(days/weeks)",
+        ),
+        "suite.py": (
             1,
-            "bucket-domain distinct: time buckets are the small axis by "
-            "construction (days/weeks)",
+            "bpe_parity_report collects the word-TYPE relation once to "
+            "train the textbook verification twin — the same "
+            "DRIVER_VOCAB_LIMIT-bounded relation bpe_learn's driver "
+            "path collects",
         ),
         "operators/dedup.py": (
             1,
