@@ -304,11 +304,16 @@ def resize_images(
 
     Output keeps the binary-payload shape (``media_id, payload, width,
     height``) so resize stages compose with the other mapInPandas
-    stages (decode → resize → feature-extract).  The codec is the
-    stubbed boundary; the fake emits a deterministic digest-derived
-    payload whose size scales with the target area, preserving the
-    real operator's property that output bytes are a pure function of
-    (input bytes, target dims).
+    stages (decode → resize → feature-extract).
+
+    The codec is REAL for PNG (r4, same stdlib-zlib reader contract as
+    ``extract_image_features``): decode → nearest-neighbor resample
+    (deterministic integer source indices ``src = i·in/out``) →
+    re-encode as filter-0 PNG.  Other formats fall back to the
+    deterministic digest-derived fake payload whose size scales with
+    the target area (or raise when ``deterministic_fake=False``),
+    preserving the real operator's property that output bytes are a
+    pure function of (input bytes, target dims).
     """
     out_schema = T.StructType(
         [
@@ -322,15 +327,112 @@ def resize_images(
     tw, th = target_width, target_height
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained closure (workers don't import the package —
+        # same constraint as every mapInPandas stage here), so the PNG
+        # read side is a compact twin of extract_image_features'.
         import hashlib as _hashlib
+        import zlib as _zlib
 
+        import numpy as _np
         import pandas as _pd
 
+        def _png_pixels(payload: bytes):
+            pos, idat = 8, b""
+            w = h = depth = ctype = interlace = None
+            while pos + 8 <= len(payload):
+                ln = int.from_bytes(payload[pos:pos + 4], "big")
+                typ = payload[pos + 4:pos + 8]
+                data = payload[pos + 8:pos + 8 + ln]
+                pos += 12 + ln
+                if typ == b"IHDR":
+                    w = int.from_bytes(data[0:4], "big")
+                    h = int.from_bytes(data[4:8], "big")
+                    depth, ctype, interlace = data[8], data[9], data[12]
+                elif typ == b"IDAT":
+                    idat += data
+                elif typ == b"IEND":
+                    break
+            if depth != 8 or ctype not in (0, 2, 4, 6) or interlace != 0:
+                raise NotImplementedError(
+                    f"only 8-bit non-interlaced gray/RGB/GA/RGBA PNG "
+                    f"supported (depth={depth}, color_type={ctype}, "
+                    f"interlace={interlace})"
+                )
+            nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+            raw = _zlib.decompress(idat)
+            stride = w * nch
+            img = _np.empty((h, stride), dtype=_np.uint8)
+            prev = _np.zeros(stride, dtype=_np.uint8)
+            p = 0
+            for r in range(h):
+                ftype = raw[p]
+                p += 1
+                line = _np.frombuffer(raw, _np.uint8, stride, p).copy()
+                p += stride
+                if ftype == 0:
+                    rec = line
+                elif ftype == 2:
+                    rec = line + prev
+                elif ftype == 1:
+                    rec = line
+                    for i in range(nch, stride):
+                        rec[i] = (int(rec[i]) + int(rec[i - nch])) & 0xFF
+                elif ftype == 3:
+                    rec = line
+                    for i in range(stride):
+                        a = int(rec[i - nch]) if i >= nch else 0
+                        rec[i] = (int(rec[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+                elif ftype == 4:
+                    rec = line
+                    for i in range(stride):
+                        a = int(rec[i - nch]) if i >= nch else 0
+                        b = int(prev[i])
+                        c = int(prev[i - nch]) if i >= nch else 0
+                        q = a + b - c
+                        qa, qb, qc = abs(q - a), abs(q - b), abs(q - c)
+                        pred = a if (qa <= qb and qa <= qc) else (
+                            b if qb <= qc else c)
+                        rec[i] = (int(rec[i]) + pred) & 0xFF
+                else:
+                    raise NotImplementedError(f"PNG filter type {ftype}")
+                img[r] = rec
+                prev = rec
+            return ctype, nch, img.reshape(h, w, nch)
+
+        def _png_encode(px, ctype: int) -> bytes:
+            h, w, nch = px.shape
+
+            def _chunk(typ: bytes, data: bytes) -> bytes:
+                return (
+                    len(data).to_bytes(4, "big") + typ + data
+                    + _zlib.crc32(typ + data).to_bytes(4, "big")
+                )
+
+            flat = px.reshape(h, w * nch)
+            raw = b"".join(b"\x00" + flat[r].tobytes() for r in range(h))
+            ihdr = (
+                w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                + bytes([8, ctype, 0, 0, 0])
+            )
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", _zlib.compress(raw))
+                + _chunk(b"IEND", b"")
+            )
+
         def _resize(payload: bytes) -> bytes:
+            if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                ctype, nch, px = _png_pixels(payload)
+                h, w = px.shape[0], px.shape[1]
+                rows = (_np.arange(th) * h) // th
+                cols = (_np.arange(tw) * w) // tw
+                return _png_encode(px[rows][:, cols], ctype)
             if not fake:
                 raise NotImplementedError(
-                    "image codecs are not available in this environment; "
-                    "pass deterministic_fake=True for the test pipeline"
+                    "non-PNG resize codecs are not available in this "
+                    "environment; pass deterministic_fake=True for the "
+                    "test pipeline or supply PNG payloads"
                 )
             seed = _hashlib.sha256(
                 payload + tw.to_bytes(4, "big") + th.to_bytes(4, "big")

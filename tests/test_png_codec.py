@@ -75,10 +75,10 @@ def _decode_one(spark, payload: bytes):
     return extract_image_features(df, deterministic_fake=False).collect()[0]
 
 
-NCH = {0: 1, 2: 3, 6: 4}
+NCH = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
-@pytest.mark.parametrize("ctype", [0, 2, 6])
+@pytest.mark.parametrize("ctype", [0, 2, 4, 6])
 @pytest.mark.parametrize("filters", [[0], [1], [2], [3], [4], [0, 1, 2, 3, 4]])
 def test_png_solid_gray_all_filters_all_colortypes(spark, ctype, filters):
     """A solid gray-level-g field decodes to mean_luma == g/255 exactly
@@ -86,8 +86,8 @@ def test_png_solid_gray_all_filters_all_colortypes(spark, ctype, filters):
     g = 120
     h, w = 7, 9
     px = np.full((h, w, NCH[ctype]), g, dtype=np.uint8)
-    if ctype == 6:
-        px[..., 3] = 255
+    if ctype in (4, 6):  # alpha is the last channel; luma must ignore it
+        px[..., -1] = 255
     row = _decode_one(spark, png_bytes(px, ctype, filters))
     assert (row["width"], row["height"]) == (w, h)
     assert row["mean_luma"] == round(g / 255.0, 6)
@@ -131,6 +131,36 @@ def test_png_multiple_idat_chunks(spark):
         b"IDAT", data[half:]) + rest
     row = _decode_one(spark, split)
     assert row["mean_luma"] == round(200 / 255.0, 6)
+
+
+def test_png_resize_roundtrip(spark):
+    """resize_images really decodes, nearest-neighbor resamples, and
+    re-encodes PNG: a half-gray/half-white field keeps its exact mean
+    under any divisible downscale, and the output payload decodes
+    through the feature extractor at the target dims."""
+    from kafka_bigdata_jobs_spark.operators.multimodal import resize_images
+
+    h, w = 16, 24
+    px = np.full((h, w, 1), 50, dtype=np.uint8)
+    px[:, w // 2:] = 250  # left half 50, right half 250 -> mean 150
+    src = png_bytes(px, 0, [0, 2, 1])
+    df = spark.createDataFrame([(7, src)], "media_id long, payload binary")
+    out = resize_images(
+        df, target_width=8, target_height=4, deterministic_fake=False
+    ).collect()[0]
+    assert (out["width"], out["height"]) == (8, 4)
+    row = _decode_one(spark, bytes(out["payload"]))
+    assert (row["width"], row["height"]) == (8, 4)
+    assert row["mean_luma"] == round(150 / 255.0, 6)
+
+
+def test_png_resize_non_png_still_raises(spark):
+    from kafka_bigdata_jobs_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(1, b"\xff\xd8\xff\xe0 jpeg-ish")], "media_id long, payload binary")
+    with pytest.raises(Exception, match="non-PNG resize codecs"):
+        resize_images(df, deterministic_fake=False).collect()
 
 
 def test_png_unsupported_raises(spark):
