@@ -1,0 +1,95 @@
+"""CI pin on measured scaling exponents (r3 verdict item 4).
+
+SCALING.json records wall-clock at 1×/3×/10× the sf0.1 volume per
+probed query; the x3→x10 exponent is the repo's empirical answer to
+"would this plan survive a 100× scale-up".  The r3 probe caught a real
+superlinear plan (`correlated_user_spend_pairs`, e=1.38, fixed in r4 —
+e=0.22 re-measured), so these guards make that catch automatic:
+
+- every query whose committed sf0.1 bench cost is heavy (threshold
+  with a drift margin) must HAVE a probe row, and
+- no probe row may exceed the exponent ceiling without a named
+  allowlist entry carrying a written justification (mirroring the
+  collect/window allowlists in test_plan_quality.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: e(x3→x10) above this fails without an allowlist entry.  1.1 ≈
+#: shuffle-linear with log factors and measurement noise; a genuine
+#: pair surface measures well above it (r3: 1.38).
+EXP_CEILING = 1.1
+
+#: Queries allowed above the ceiling, each with the reason the shape is
+#: accepted.  Empty today — the r3 offender was fixed, not allowlisted.
+EXP_ALLOWLIST: dict[str, str] = {}
+
+#: Coverage rule: bench cost at/above this must have a probe row.  The
+#: probe's own enrollment threshold is 0.5 s (tools/scaleprobe.py
+#: AUTO_THRESHOLD_SEC); the margin keeps host-noise drift in the bench
+#: artifact from flapping this test between probe refreshes.
+COVERAGE_THRESHOLD_SEC = 0.75
+
+
+@pytest.fixture(scope="module")
+def scaling():
+    with open(os.path.join(REPO, "SCALING.json"), encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+@pytest.fixture(scope="module")
+def bench():
+    with open(os.path.join(REPO, "BENCH_local.json"), encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def test_no_unexplained_superlinear_plan(scaling):
+    bad = {}
+    for name, row in scaling["queries"].items():
+        e = row.get("exp_x3_x10")
+        if e is None or name in EXP_ALLOWLIST:
+            continue
+        # Sub-second-at-x10 rows are overhead-dominated: a 0.2 s → 0.7 s
+        # jitter swing measures e > 1.1 without any real surface growth.
+        if row.get("x10", 0.0) < 1.0:
+            continue
+        if e > EXP_CEILING:
+            bad[name] = {"e": e, "x3": row.get("x3"), "x10": row.get("x10")}
+    assert not bad, (
+        f"superlinear plans without an allowlist justification: {bad} — "
+        "fix the plan (see stats.series_corr_pairs_auto for the r4 "
+        "precedent) or add a written EXP_ALLOWLIST entry")
+
+
+def test_every_heavy_bench_query_is_probed(scaling, bench):
+    if bench.get("sf") != 0.1:
+        pytest.skip("BENCH_local.json is not the sf0.1 artifact")
+    from kafka_bigdata_jobs_spark import suite
+
+    reg = set(suite.registry())
+    probed = set(scaling["queries"])
+    missing = sorted(
+        n for n, sec in bench.get("queries", {}).items()
+        if sec >= COVERAGE_THRESHOLD_SEC and n in reg and n not in probed
+    )
+    assert not missing, (
+        f"{len(missing)} heavy queries missing from the scaling probe "
+        f"(run `make scaleprobe`): {missing[:10]}")
+
+
+def test_allowlist_entries_are_live(scaling):
+    """An allowlist entry for a query no longer probed (or no longer
+    superlinear) is stale — remove it."""
+    for name, reason in EXP_ALLOWLIST.items():
+        assert reason.strip(), f"empty justification for {name}"
+        row = scaling["queries"].get(name)
+        assert row is not None, f"allowlisted {name} has no probe row"
+        assert row.get("exp_x3_x10", 0) > EXP_CEILING, (
+            f"allowlisted {name} is no longer superlinear — remove entry")

@@ -101,6 +101,33 @@ PROBE = {
 }
 
 
+#: Auto-extension threshold (r3 verdict item 4): every registry query
+#: whose committed BENCH_local.json sf0.1 cost is at least this many
+#: seconds joins the probe, beyond the hand-picked PROBE shapes — the
+#: probe caught a real superlinear plan in r3, so coverage is now
+#: derived, not curated.  tests/test_scaling_exponents.py pins both the
+#: coverage rule and an exponent ceiling.
+AUTO_THRESHOLD_SEC = 0.5
+
+
+def auto_probe_names(reg) -> list[str]:
+    names = [n for n in PROBE if n in reg]
+    bench_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_local.json")
+    try:
+        with open(bench_path, encoding="utf-8") as fh:
+            bench = json.load(fh)
+    except (OSError, ValueError):
+        return names
+    if bench.get("sf") != 0.1:
+        return names  # threshold is calibrated on the sf0.1 artifact
+    for n, sec in sorted(bench.get("queries", {}).items()):
+        if sec >= AUTO_THRESHOLD_SEC and n in reg and n not in names:
+            names.append(n)
+    return names
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--attempts", type=int, default=2)
@@ -115,7 +142,7 @@ def main() -> None:
             )
 
     reg = suite.registry()
-    names = args.queries or [n for n in PROBE if n in reg]
+    names = args.queries or auto_probe_names(reg)
     spark = get_spark("kbj-spark-scaleprobe")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -166,6 +193,7 @@ def main() -> None:
         "scales": {k: os.path.abspath(v) for k, v in SCALES.items()},
         "base": "sf0.1 replicated via tools/scaleup.py",
         "attempts": args.attempts,
+        "auto_threshold_sec": AUTO_THRESHOLD_SEC,
         "queries": results,
         "probe_rationale": PROBE,
     }
