@@ -1562,6 +1562,109 @@ def _png_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jpeg_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG twin of :func:`_png_codec_features` (oracle-checked
+    through codec_parity_report): genuine T.81 SOF0 containers are
+    synthesized per media id — two DC-only 8×8 blocks at levels g0 and
+    g0+14 (identity quant, canonical DHT tables, DC prediction across
+    the pair) — then decoded by the huffman+IDCT reader inside
+    extract_image_features.  A DC coefficient of 8·(g−128) under the
+    exact T.81 IDCT decodes to the solid level g, so mean luma has the
+    closed form ``g0 + 7`` with ``g0 = 30 + 9·id``; the output can ONLY
+    be produced by correct marker/DHT parsing, entropy decoding with DC
+    prediction, dequant, and IDCT."""
+    from .operators import multimodal as M
+
+    ids = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("media_id"))
+    )
+
+    def synth(batches):
+        import pandas as _pd
+
+        def _canon(symbols):
+            length = 1
+            while (1 << length) <= len(symbols):
+                length += 1
+            counts = [0] * 16
+            counts[length - 1] = len(symbols)
+            enc, code = {}, 0
+            for ln in range(1, 17):
+                if ln == length:
+                    for s in symbols:
+                        enc[s] = (ln, code)
+                        code += 1
+                code <<= 1
+            return counts, symbols, enc
+
+        dc_counts, dc_vals, dc_enc = _canon(list(range(12)))
+        ac_counts, ac_vals, ac_enc = _canon([0x00])  # EOB only (DC-only)
+
+        def _seg(marker, body):
+            return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+        def _encode(levels, w, h):
+            out = bytearray(b"\xff\xd8")
+            out += _seg(0xDB, bytes([0]) + bytes([1] * 64))
+            out += _seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_vals))
+            out += _seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_vals))
+            out += _seg(0xC0, bytes([8]) + h.to_bytes(2, "big")
+                        + w.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+            out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            bits: list[tuple[int, int]] = []  # (value, nbits)
+            pred = 0
+            for g in levels:
+                dc = 8 * (g - 128)
+                diff, pred = dc - pred, dc
+                s = abs(diff).bit_length()
+                ln, code = dc_enc[s]
+                bits.append((code, ln))
+                if s:
+                    bits.append((diff if diff >= 0 else diff + (1 << s) - 1, s))
+                ln, code = ac_enc[0x00]  # EOB right after DC (DC-only block)
+                bits.append((code, ln))
+            acc, n, scan = 0, 0, bytearray()
+            for val, nb in bits:
+                for i in range(nb - 1, -1, -1):
+                    acc = (acc << 1) | ((val >> i) & 1)
+                    n += 1
+                    if n == 8:
+                        scan.append(acc)
+                        if acc == 0xFF:
+                            scan.append(0x00)
+                        acc, n = 0, 0
+            while n:  # pad with 1s
+                acc = (acc << 1) | 1
+                n += 1
+                if n == 8:
+                    scan.append(acc)
+                    if acc == 0xFF:
+                        scan.append(0x00)
+                    acc, n = 0, 0
+            out += scan
+            out += b"\xff\xd9"
+            return bytes(out)
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                g0 = 30 + 9 * mid
+                payloads.append(_encode([g0, g0 + 14], 16, 8))
+            yield _pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = ids.mapInPandas(synth, "media_id long, payload binary")
+    return (
+        M.extract_image_features(media, deterministic_fake=False)
+        .select("media_id", "width", "height", "mean_luma", "size_bytes")
+        .orderBy("media_id")
+    )
+
+
 @register(
     "y4m_codec_features",
     None,  # frame synthesis + codec decode — not SQL-expressible
@@ -1679,12 +1782,26 @@ def q_y4m_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS level_x10000,
              CAST(0 AS BIGINT) AS motion_x10000
       FROM ids
+    ), jpeg AS (
+      -- two DC-only 8x8 blocks at g0 = 30 + 9*id and g0+14:
+      -- mean = g0 + 7 = 37 + 9*id (T.81 IDCT of DC 8*(g-128) is the
+      -- solid level g)
+      SELECT media_id, 'jpeg' AS modality,
+             CAST(16 AS BIGINT) AS dim_a,
+             CAST(8 AS BIGINT) AS dim_b,
+             CAST(1 AS BIGINT) AS n_units,
+             CAST(0 AS BIGINT) AS duration_ms,
+             CAST(ROUND((37 + 9 * media_id) * 10000.0 / 255.0) AS BIGINT)
+               AS level_x10000,
+             CAST(0 AS BIGINT) AS motion_x10000
+      FROM ids
     )
     SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL
-    SELECT * FROM vid UNION ALL SELECT * FROM png
+    SELECT * FROM vid UNION ALL SELECT * FROM png UNION ALL
+    SELECT * FROM jpeg
     """,
-    doc="The real-codec quartet, VALUE-HASH-CHECKED: every feature the "
-    "BMP/WAV/Y4M/PNG decoders emit that is an exact arithmetic function "
+    doc="The real-codec quintet, VALUE-HASH-CHECKED: every feature the "
+    "BMP/WAV/Y4M/PNG/JPEG decoders emit that is an exact arithmetic function "
     "of the synthesis parameters — dimensions, sample rate, frame "
     "count, duration, solid/ramp luma and motion scaled to integer "
     "x10000 — is recomputed by the oracle in closed form from "
@@ -1742,7 +1859,20 @@ def q_codec_parity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         x10k("mean_luma").alias("level_x10000"),
         long0.alias("motion_x10000"),
     )
-    return img.unionByName(aud).unionByName(vid).unionByName(png)
+    jpeg = _jpeg_codec_features(spark, sf_dir).select(
+        "media_id",
+        F.lit("jpeg").alias("modality"),
+        F.col("width").cast("long").alias("dim_a"),
+        F.col("height").cast("long").alias("dim_b"),
+        F.lit(1).cast("long").alias("n_units"),
+        long0.alias("duration_ms"),
+        x10k("mean_luma").alias("level_x10000"),
+        long0.alias("motion_x10000"),
+    )
+    return (
+        img.unionByName(aud).unionByName(vid)
+        .unionByName(png).unionByName(jpeg)
+    )
 
 
 # ---------------------------------------------------------------------------

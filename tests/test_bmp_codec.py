@@ -109,13 +109,13 @@ def test_gradient_luma_is_exact_mean(spark):
 
 
 def test_non_bmp_payload_still_raises_without_fake(spark):
-    # A JPEG magic: matches neither the BM magic nor the full 8-byte
-    # PNG signature (PNG is a real codec path as of r4).
+    # A GIF magic: BMP, PNG, and baseline JPEG are all real codec paths
+    # as of r4, so the loud-failure probe must be none of the three.
     df = spark.createDataFrame(
-        [(99, b"\xff\xd8\xff\xe0 definitely not a bitmap")],
+        [(99, b"GIF89a definitely not a bitmap")],
         "media_id long, payload binary",
     )
-    with pytest.raises(Exception, match="non-BMP/PNG image codecs"):
+    with pytest.raises(Exception, match="non-BMP/PNG/JPEG image codecs"):
         extract_image_features(df, deterministic_fake=False).collect()
 
 
