@@ -252,6 +252,70 @@ def test_jpeg_color_444_luma_only(spark):
     assert row["mean_luma"] == round(sum(y_levels) / 2 / 255.0, 6)
 
 
+def jpeg_bytes_420(y_blocks, w: int, h: int) -> bytes:
+    """Encode a 4:2:0 baseline JPEG: one MCU per 4 Y blocks (2×2 grid,
+    raster order) + one Cb + one Cr (both zero = neutral gray).
+    ``y_blocks``: list of MCUs, each a list of 4 coefficient blocks."""
+    dc_syms = list(range(12))
+    dc_counts, dc_vals, dc_enc = _canonical(dc_syms)
+    ac_counts, ac_vals, ac_enc = _canonical([0x00])
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_vals))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_vals))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+    sof += bytes([1, 0x22, 0])  # Y: 2x2 sampling
+    sof += bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])  # Cb/Cr: 1x1
+    out += seg(0xC0, sof)
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+
+    bw = _BitWriter()
+    pred = {1: 0, 2: 0, 3: 0}
+
+    def emit_dc_only(cid: int, dc: int):
+        diff = dc - pred[cid]
+        pred[cid] = dc
+        s, bits = _magnitude(diff)
+        ln, code = dc_enc[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(bits, s)
+        ln, code = ac_enc[0x00]
+        bw.write(code, ln)
+
+    for mcu in y_blocks:
+        for blk in mcu:  # 4 Y blocks, raster order within the MCU
+            emit_dc_only(1, int(blk[0, 0]))
+        emit_dc_only(2, 0)  # Cb neutral
+        emit_dc_only(3, 0)  # Cr neutral
+    bw.pad_align()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_420_subsampled_mcu(spark):
+    """4:2:0 (the dominant real-world sampling): 4 Y blocks per MCU in
+    a 2×2 grid plus entropy-decoded-and-discarded chroma.  Distinct
+    levels per quadrant make any block-placement or interleave error
+    shift the mean."""
+    levels = [50, 110, 170, 230]  # TL, TR, BL, BR within the MCU
+    mcus = [[_dc_block(g) for g in levels]]
+    row = _decode_one(spark, jpeg_bytes_420(mcus, 16, 16))
+    assert (row["width"], row["height"]) == (16, 16)
+    assert row["mean_luma"] == round(sum(levels) / 4 / 255.0, 6)
+    # And a 2-MCU image (32px wide): Y DC prediction runs ACROSS MCUs.
+    mcus2 = [[_dc_block(g) for g in levels],
+             [_dc_block(g + 10) for g in levels]]
+    row2 = _decode_one(spark, jpeg_bytes_420(mcus2, 32, 16))
+    want = (sum(levels) + sum(g + 10 for g in levels)) / 8
+    assert row2["mean_luma"] == round(want / 255.0, 6)
+
+
 def test_jpeg_progressive_raises(spark):
     """SOF2 (progressive) fails loudly, never silently wrong."""
     payload = bytearray(jpeg_bytes([[_dc_block(50)]], 8, 8))

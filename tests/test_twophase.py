@@ -152,6 +152,37 @@ def test_banded_prefilter_recovers_planted_pair(spark):
     assert top["corr"] == exact[(0, 1)]
 
 
+def test_banded_pairs_are_subset_exact(spark):
+    """Fuzz the funnel's core contract on random series: every pair the
+    banded path emits carries EXACTLY the corr the all-pairs path
+    computes for that pair (coverage is approximate, values never are)."""
+    import random
+
+    from kafka_bigdata_jobs_spark.operators.stats import (
+        series_corr_pairs,
+        series_corr_pairs_banded,
+    )
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        rows = [
+            (k, f"2024-02-{d + 1:02d}", rng.randint(-500, 500))
+            for k in range(40)
+            for d in range(16)
+            if rng.random() < 0.9  # ragged coverage: some missing buckets
+        ]
+        df = spark.createDataFrame(rows, "k long, day string, v long")
+        exact = {
+            (r["key_a"], r["key_b"]): (r["n"], r["corr"])
+            for r in series_corr_pairs(df, "k", "day", "v", 5, 10_000).collect()
+        }
+        banded = series_corr_pairs_banded(df, "k", "day", "v", 5, 10_000)
+        for r in banded.collect():
+            pair = (r["key_a"], r["key_b"])
+            assert pair in exact, f"banded emitted non-exact pair {pair}"
+            assert (r["n"], r["corr"]) == exact[pair], pair
+
+
 def test_auto_dispatch_cutover_boundary(spark):
     """At/below the key-count limit the exact Gram runs (all-pairs
     output); above it the banded funnel runs (subset, planted pair
