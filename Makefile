@@ -2,13 +2,20 @@
 
 PY ?= python
 
-.PHONY: test bench correctness-local correctness-local-incr coverage scaledata scaleprobe
+.PHONY: test bench bench-quiet correctness-local correctness-local-incr coverage scaledata scaleprobe
 
 test:
 	$(PY) -m pytest tests/ -x -q
 
 bench:
 	$(PY) bench.py
+
+# Quiet-host twin of `bench`: writes BENCH_quiet.json, which the driver
+# never clobbers.  tests/test_scaling_exponents.py takes the per-query
+# MIN of both sf0.1 artifacts so one stall-inflated driver run can't
+# push sub-threshold queries over the probe-enrollment bar.
+bench-quiet:
+	SPARK_GRAFT_BENCH_OUT=BENCH_quiet.json $(PY) bench.py
 
 # Regenerate the full repo-side correctness matrix: EVERY registered
 # query, strict (driver-discipline) comparison vs DuckDB at sf0.001 and

@@ -42,7 +42,17 @@ def _driver_verified() -> frozenset[str]:
         except (OSError, ValueError):
             continue
         if isinstance(rows, dict):
-            seen.update(rows.keys())
+            for name, row in rows.items():
+                if not isinstance(row, dict):
+                    seen.add(name)
+                    continue
+                # A row only counts as verified if the check PASSED:
+                # oracle rows need rows_match, rows-only rows need a
+                # successful run (spark_rows recorded).  r4's red
+                # frequent_event_types_sketch row (canonicalizer crash,
+                # spark_rows=null) must re-enter the check-first group.
+                if row.get("rows_match") or row.get("spark_rows") is not None:
+                    seen.add(name)
     return frozenset(seen) if seen else _R1_VERIFIED
 
 
@@ -73,17 +83,16 @@ _R1_VERIFIED = frozenset({
 })
 
 
-#: Rows-only queries whose driver slot matters most this round: the two
-#: round-4 invariant-as-data reports (they publish the pytest-pinned
-#: BPE-parity and distillation-agreement invariants as columns).
-_PRIORITY_ROWS_ONLY = ("bpe_parity_report", "mlquality_agreement_report")
-#: Rows-only queries that may fall off the driver's fixed-size sample
-#: when the never-checked group exceeds it: their entire invariant is
-#: republished (stronger) by the reports above, and each is pinned by
-#: dedicated pytest (tests/test_bpe.py, tests/test_mlquality.py).
-_DEMOTED_ROWS_ONLY = (
+#: Rows-only queries whose driver slot matters most this round: the
+#: last three never-checked queries (demoted in r4 to clear the
+#: oracle-backed backlog; the backlog is gone, so they go FIRST now —
+#: r4 verdict directive 4) plus the repaired r4 red row.
+_PRIORITY_ROWS_ONLY = (
     "bpe_learned_merges", "bpe_tokenize_census", "ml_quality_filter",
+    "frequent_event_types_sketch",
 )
+#: r4's demotion mechanism, retained empty: nothing left to demote.
+_DEMOTED_ROWS_ONLY: tuple[str, ...] = ()
 
 
 def _ordered() -> list[str]:

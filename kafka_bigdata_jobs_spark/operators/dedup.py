@@ -542,8 +542,10 @@ def near_dup_pairs(
     # inside one action those branches race ahead of cache population and
     # recompute the signature aggregation up to 4x (measured: the same
     # query swings 4s -> 10s at sf0.1 depending on how the race lands).
-    # Two cheap count() jobs make every consumer a cache read.
-    base.count()
+    # ONE count() job suffices for both: sig's lineage reads base through
+    # its InMemoryRelation, so the single pass populates base's cache as
+    # a side effect while building sig's (r4 verdict item 3 — the second
+    # eager count was pure overhead on the cold-build path).
     sig.count()
     cands = lsh_band_pairs(sig, id_col, "__sig", bands, rows_per_band)
 

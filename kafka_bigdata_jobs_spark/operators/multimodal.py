@@ -109,6 +109,70 @@ def _fake_decode(payload: bytes) -> tuple[int, int, float]:
     return w, h, luma
 
 
+def _png_unfilter(raw: bytes, h: int, stride: int, nch: int):
+    """Reverse the five RFC 2083 row filters over the inflated IDAT
+    byte stream; returns an ``(h, stride)`` uint8 array.
+
+    One shared helper for the decode and resize paths (they previously
+    duplicated the loop) and vectorized per ADVICE r4: None/Up are
+    whole-row numpy ops, Sub is a per-channel-lane mod-256 cumulative
+    sum, and Average/Paeth walk PIXELS with the channel lanes
+    vectorized — O(w) interpreted steps per row instead of O(w·nch)
+    per-byte Python, which dominated cost on real-size images."""
+    import numpy as np
+
+    w = stride // nch
+    img = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    p = 0
+    for r in range(h):
+        ftype = raw[p]
+        p += 1
+        line = np.frombuffer(raw, np.uint8, stride, p).copy()
+        p += stride
+        if ftype == 0:  # None
+            rec = line
+        elif ftype == 2:  # Up (uint8 wraps mod 256)
+            rec = line + prev
+        elif ftype == 1:  # Sub: rec[i] = line[i] + rec[i-nch] — a
+            # running per-lane sum, i.e. cumsum mod 256 down each
+            # channel lane (uint8 accumulation wraps exactly mod 256)
+            rec = np.cumsum(
+                line.reshape(w, nch), axis=0, dtype=np.uint8
+            ).reshape(stride)
+        elif ftype == 3:  # Average
+            rec = np.empty(stride, dtype=np.uint8)
+            out = rec.reshape(w, nch)
+            lr = line.reshape(w, nch).astype(np.int16)
+            pr = prev.reshape(w, nch).astype(np.int16)
+            left = np.zeros(nch, dtype=np.int16)
+            for i in range(w):
+                left = (lr[i] + ((left + pr[i]) >> 1)) & 0xFF
+                out[i] = left
+        elif ftype == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.uint8)
+            out = rec.reshape(w, nch)
+            lr = line.reshape(w, nch).astype(np.int16)
+            pr = prev.reshape(w, nch).astype(np.int16)
+            a = np.zeros(nch, dtype=np.int16)  # reconstructed left
+            c = np.zeros(nch, dtype=np.int16)  # reconstructed up-left
+            for i in range(w):
+                b = pr[i]
+                q = a + b - c
+                qa, qb, qc = np.abs(q - a), np.abs(q - b), np.abs(q - c)
+                pred = np.where(
+                    (qa <= qb) & (qa <= qc), a, np.where(qb <= qc, b, c)
+                )
+                a = (lr[i] + pred) & 0xFF
+                out[i] = a
+                c = b
+        else:
+            raise NotImplementedError(f"PNG filter type {ftype}")
+        img[r] = rec
+        prev = rec
+    return img
+
+
 def decode_image_stub(payload: bytes, deterministic_fake: bool = False):
     """Codec boundary.  Real deployments plug PIL/turbojpeg here."""
     if deterministic_fake:
@@ -214,42 +278,7 @@ def extract_image_features(
             nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
             raw = _zlib.decompress(idat)
             stride = w * nch
-            img = _np.empty((h, stride), dtype=_np.uint8)
-            prev = _np.zeros(stride, dtype=_np.uint8)
-            p = 0
-            for r in range(h):
-                ftype = raw[p]
-                p += 1
-                line = _np.frombuffer(raw, _np.uint8, stride, p).copy()
-                p += stride
-                if ftype == 0:  # None
-                    rec = line
-                elif ftype == 2:  # Up (vectorized: uint8 wraps mod 256)
-                    rec = line + prev
-                elif ftype == 1:  # Sub — sequential within the row
-                    rec = line
-                    for i in range(nch, stride):
-                        rec[i] = (int(rec[i]) + int(rec[i - nch])) & 0xFF
-                elif ftype == 3:  # Average
-                    rec = line
-                    for i in range(stride):
-                        a = int(rec[i - nch]) if i >= nch else 0
-                        rec[i] = (int(rec[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
-                elif ftype == 4:  # Paeth
-                    rec = line
-                    for i in range(stride):
-                        a = int(rec[i - nch]) if i >= nch else 0
-                        b = int(prev[i])
-                        c = int(prev[i - nch]) if i >= nch else 0
-                        q = a + b - c
-                        qa, qb, qc = abs(q - a), abs(q - b), abs(q - c)
-                        pred = a if (qa <= qb and qa <= qc) else (
-                            b if qb <= qc else c)
-                        rec[i] = (int(rec[i]) + pred) & 0xFF
-                else:
-                    raise NotImplementedError(f"PNG filter type {ftype}")
-                img[r] = rec
-                prev = rec
+            img = _png_unfilter(raw, h, stride, nch)
             px = img.reshape(h, w, nch).astype(_np.float64)
             if ctype in (0, 4):  # gray (+alpha): luma IS the gray channel
                 luma = px[..., 0]
@@ -287,7 +316,10 @@ def extract_image_features(
             pos = 2  # past SOI
             data_start = None
             while pos + 4 <= len(payload):
-                assert payload[pos] == 0xFF, "marker expected"
+                if payload[pos] != 0xFF:
+                    # explicit raise, not assert: the fail-loudly
+                    # contract must survive `python -O` (ADVICE r4)
+                    raise ValueError("JPEG marker expected")
                 m = payload[pos + 1]
                 if m == 0xD9:  # EOI
                     break
@@ -354,6 +386,16 @@ def extract_image_features(
             w, h, comps = frame
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
+            # The block-placement arithmetic below assumes component 0
+            # (Y in JFIF practice) carries the max sampling factors; a
+            # legal SOF0 violating that would land 8x8 blocks at wrong
+            # yplane offsets and return a silently-wrong mean_luma, so
+            # refuse it loudly instead (ADVICE r4).
+            if (comps[0][1], comps[0][2]) != (hmax, vmax):
+                raise NotImplementedError(
+                    "JPEG component 0 is not max-sampled "
+                    f"(got {comps[0][1]}x{comps[0][2]}, "
+                    f"max {hmax}x{vmax})")
             mcux = -(-w // (8 * hmax))
             mcuy = -(-h // (8 * vmax))
 
@@ -363,8 +405,10 @@ def extract_image_features(
 
                 def read(self) -> int:
                     b = self.buf[self.p]
-                    if b == 0xFF:  # stuffed byte: 0xFF00 is a literal FF
-                        assert self.buf[self.p + 1] == 0x00, "marker in scan"
+                    if b == 0xFF and self.buf[self.p + 1] != 0x00:
+                        # stuffed byte: 0xFF00 is a literal FF; anything
+                        # else is a marker inside entropy data
+                        raise ValueError("JPEG marker in scan data")
                     v = (b >> (7 - self.bit)) & 1
                     self.bit += 1
                     if self.bit == 8:
@@ -376,8 +420,9 @@ def extract_image_features(
                     if self.bit:
                         self.bit = 0
                         self.p += 1 + (1 if self.buf[self.p] == 0xFF else 0)
-                    assert self.buf[self.p] == 0xFF and \
-                        0xD0 <= self.buf[self.p + 1] <= 0xD7, "RST expected"
+                    if not (self.buf[self.p] == 0xFF
+                            and 0xD0 <= self.buf[self.p + 1] <= 0xD7):
+                        raise ValueError("JPEG RST marker expected")
                     self.p += 2
 
             def _huffdec(bits: _Bits, table) -> int:
@@ -568,42 +613,7 @@ def resize_images(
             nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
             raw = _zlib.decompress(idat)
             stride = w * nch
-            img = _np.empty((h, stride), dtype=_np.uint8)
-            prev = _np.zeros(stride, dtype=_np.uint8)
-            p = 0
-            for r in range(h):
-                ftype = raw[p]
-                p += 1
-                line = _np.frombuffer(raw, _np.uint8, stride, p).copy()
-                p += stride
-                if ftype == 0:
-                    rec = line
-                elif ftype == 2:
-                    rec = line + prev
-                elif ftype == 1:
-                    rec = line
-                    for i in range(nch, stride):
-                        rec[i] = (int(rec[i]) + int(rec[i - nch])) & 0xFF
-                elif ftype == 3:
-                    rec = line
-                    for i in range(stride):
-                        a = int(rec[i - nch]) if i >= nch else 0
-                        rec[i] = (int(rec[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
-                elif ftype == 4:
-                    rec = line
-                    for i in range(stride):
-                        a = int(rec[i - nch]) if i >= nch else 0
-                        b = int(prev[i])
-                        c = int(prev[i - nch]) if i >= nch else 0
-                        q = a + b - c
-                        qa, qb, qc = abs(q - a), abs(q - b), abs(q - c)
-                        pred = a if (qa <= qb and qa <= qc) else (
-                            b if qb <= qc else c)
-                        rec[i] = (int(rec[i]) + pred) & 0xFF
-                else:
-                    raise NotImplementedError(f"PNG filter type {ftype}")
-                img[r] = rec
-                prev = rec
+            img = _png_unfilter(raw, h, stride, nch)
             return ctype, nch, img.reshape(h, w, nch)
 
         def _png_encode(px, ctype: int) -> bytes:
@@ -765,6 +775,120 @@ def extract_audio_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, AUDIO_FEATURES)
+
+
+MP3_HEADER_STATS = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("size_bytes", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bitrate_kbps", T.IntegerType()),
+        T.StructField("is_cbr", T.BooleanType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def extract_mp3_header_stats(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """MP3 container statistics from frame headers alone — no DCT, no
+    huffman, stdlib-only (r4 verdict item 7): walk the MPEG-1 Layer III
+    frame-sync words, parse bitrate/sample-rate/padding out of each
+    4-byte header, advance by the spec frame length
+    ``144·bitrate/sample_rate + padding``, and report sample rate,
+    first-frame bitrate, CBR flag, frame count, and duration
+    (``1152 samples/frame``, integer ms).  Skips a leading ID3v2 tag
+    (syncsafe size) and a trailing 128-byte ID3v1 ``TAG`` block.
+
+    Fail-loudly contract matching the other real codecs: lost frame
+    sync, reserved bitrate/sample-rate indexes, free-format streams,
+    and MPEG-2/Layer-I/II frames all raise — no silent garbage stats.
+    The frame walk is the audit: a wrong frame-length computation
+    desyncs immediately and raises rather than miscounting quietly.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        # MPEG-1 Layer III tables (ISO/IEC 11172-3)
+        BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112,
+                    128, 160, 192, 224, 256, 320)
+        RATES = (44100, 48000, 32000)
+
+        def _stats(payload: bytes):
+            pos = 0
+            if payload[:3] == b"ID3":  # ID3v2: 10-byte header, syncsafe size
+                size = 0
+                for b in payload[6:10]:
+                    if b & 0x80:
+                        raise ValueError("non-syncsafe ID3v2 size byte")
+                    size = (size << 7) | b
+                pos = 10 + size
+            n_frames = 0
+            first_bitrate = first_rate = None
+            is_cbr = True
+            while pos + 4 <= len(payload):
+                if payload[pos:pos + 3] == b"TAG":  # ID3v1 trailer
+                    pos += 128
+                    continue
+                b0, b1, b2 = payload[pos], payload[pos + 1], payload[pos + 2]
+                if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+                    raise ValueError(f"MP3 frame sync lost at byte {pos}")
+                version = (b1 >> 3) & 3
+                layer = (b1 >> 1) & 3
+                if version != 3 or layer != 1:
+                    raise NotImplementedError(
+                        "only MPEG-1 Layer III frames supported "
+                        f"(version bits {version}, layer bits {layer})")
+                br_idx = (b2 >> 4) & 15
+                sr_idx = (b2 >> 2) & 3
+                padding = (b2 >> 1) & 1
+                if br_idx == 0 or br_idx == 15:
+                    raise NotImplementedError(
+                        "free-format/bad bitrate index")
+                if sr_idx == 3:
+                    raise ValueError("reserved sample-rate index")
+                bitrate, rate = BITRATES[br_idx], RATES[sr_idx]
+                if first_rate is None:
+                    first_bitrate, first_rate = bitrate, rate
+                elif rate != first_rate:
+                    raise ValueError("sample rate changed mid-stream")
+                elif bitrate != first_bitrate:
+                    is_cbr = False
+                n_frames += 1
+                pos += 144_000 * bitrate // rate + padding
+            if first_rate is None:
+                raise ValueError("no MP3 frames found")
+            return (
+                first_rate, first_bitrate, is_cbr, n_frames,
+                1_152_000 * n_frames // first_rate,
+            )
+
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(p)
+                rate, kbps, cbr, nf, dur = _stats(payload)
+                rows.append((
+                    int(mid), _hashlib.sha256(payload).hexdigest(),
+                    len(payload), rate, kbps, cbr, nf, dur,
+                ))
+            yield _pd.DataFrame(
+                rows,
+                columns=["media_id", "sha256", "size_bytes", "sample_rate",
+                         "bitrate_kbps", "is_cbr", "n_frames",
+                         "duration_ms"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, MP3_HEADER_STATS)
 
 
 def _parse_y4m(payload: bytes):

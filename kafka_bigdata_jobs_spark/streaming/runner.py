@@ -30,25 +30,44 @@ def _recover_swap(state_dir: str) -> None:
     silently rebuilt from an empty snapshot — silent loss of every
     prior key.  Now, run at the top of every ``__call__``:
 
-    - ``state_dir`` missing but an ``__old_*`` sibling exists → the
-      sibling IS the last complete state (its ``_last_batch`` marker
-      included); restore it.  The interrupted batch is redelivered by
-      the streaming checkpoint and reapplies on top.
+    - ``state_dir`` missing but ``__old_*`` siblings exist → the
+      sibling with the HIGHEST ``_last_batch`` marker is the last
+      complete state; restore it.  (Multiple ``__old_*`` dirs can
+      coexist when a superseded dir survived a failed delete and a
+      later crash mid-swap left another — the uuid-hex dir names sort
+      arbitrarily, so the marker, which rides inside the dir, is the
+      only valid recency order; ADVICE r4.)  The interrupted batch is
+      redelivered by the streaming checkpoint and reapplies on top.
     - any remaining ``__next_*`` (written but never swapped in — its
       batch redelivers) or ``__old_*`` (superseded state whose cleanup
-      was interrupted after a completed swap) is deleted.
+      was interrupted after a completed swap) is deleted; a failed
+      delete is logged (NOT ignored) so the stale dir can't silently
+      become tomorrow's wrong recovery source.
     """
     import glob
+    import logging
     import os
     import shutil
 
+    def marker_of(d: str) -> int:
+        try:
+            with open(os.path.join(d, "_last_batch"), encoding="utf-8") as fh:
+                return int(fh.read().strip())
+        except (OSError, ValueError):
+            return -1  # pre-marker or corrupt dir: lowest priority
+
     base = state_dir.rstrip("/")
-    olds = sorted(glob.glob(base + "__old_*"))
+    olds = sorted(glob.glob(base + "__old_*"), key=marker_of, reverse=True)
     nexts = sorted(glob.glob(base + "__next_*"))
     if not os.path.exists(base) and olds:
         shutil.move(olds.pop(0), base)
     for orphan in (*olds, *nexts):
-        shutil.rmtree(orphan, ignore_errors=True)
+        try:
+            shutil.rmtree(orphan)
+        except OSError:
+            logging.getLogger(__name__).warning(
+                "orphan state dir %s survived cleanup; will retry on the "
+                "next batch", orphan)
 
 
 @dataclass

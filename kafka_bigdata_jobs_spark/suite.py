@@ -1728,6 +1728,76 @@ def q_y4m_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mp3_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 twin of :func:`_png_codec_features` (not separately
+    registered — oracle-checked through codec_parity_report): genuine
+    MPEG-1 Layer III frame sequences are synthesized per media id —
+    correct 4-byte headers, spec frame lengths (``144·bitrate/rate +
+    padding`` with the padding bit toggling on odd frames for odd ids),
+    an ID3v2 prefix on odd ids and an ID3v1 ``TAG`` trailer on ids
+    ≡ 2 (mod 4) — then parsed by the header-walk reader in
+    extract_mp3_header_stats.  Sample rate, bitrate, frame count, and
+    integer-ms duration (1152 samples/frame) are closed-form in the
+    media id, so a hash MATCH proves the sync walk, the frame-length
+    arithmetic, and both tag skips all execute correctly — one wrong
+    frame length desyncs and raises."""
+    from .operators import multimodal as M
+
+    ids = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("media_id"))
+    )
+
+    def synth(batches):
+        import pandas as _pd
+
+        BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112,
+                    128, 160, 192, 224, 256, 320)
+        RATES = (44100, 48000, 32000)
+
+        def _frame(br_idx: int, sr_idx: int, padding: int,
+                   fill: int) -> bytes:
+            hdr = bytes([
+                0xFF,
+                0xE0 | (3 << 3) | (1 << 1) | 1,  # MPEG-1, Layer III, no CRC
+                (br_idx << 4) | (sr_idx << 2) | (padding << 1),
+                0xC0,  # mono; untouched by the header walk
+            ])
+            length = 144_000 * BITRATES[br_idx] // RATES[sr_idx] + padding
+            return hdr + bytes([fill]) * (length - 4)
+
+        def _mp3(mid: int) -> bytes:
+            sr_idx = mid % 3
+            br_idx = (9, 11, 14, 7)[mid % 4]  # 128/192/320/96 kbps
+            n = 4 + mid % 5
+            out = []
+            if mid % 2:  # ID3v2 prefix, syncsafe size 17
+                out.append(b"ID3\x04\x00\x00\x00\x00\x00\x11" + b"\x7f" * 17)
+            for k in range(n):
+                padding = (k % 2) if mid % 2 else 0
+                out.append(_frame(br_idx, sr_idx, padding, (mid + k) % 251))
+            if mid % 4 == 2:  # ID3v1 trailer
+                out.append(b"TAG" + bytes(125))
+            return b"".join(out)
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [_mp3(int(m)) for m in pdf["media_id"]],
+                }
+            )
+
+    media = ids.mapInPandas(synth, "media_id long, payload binary")
+    return (
+        M.extract_mp3_header_stats(media)
+        .select("media_id", "sample_rate", "bitrate_kbps", "is_cbr",
+                "n_frames", "duration_ms", "size_bytes")
+        .orderBy("media_id")
+    )
+
+
 @register(
     "codec_parity_report",
     r"""
@@ -1795,13 +1865,31 @@ def q_y4m_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS level_x10000,
              CAST(0 AS BIGINT) AS motion_x10000
       FROM ids
+    ), mp3 AS (
+      -- MPEG-1 Layer III header stats: 1152 samples/frame, integer-ms
+      -- duration; bitrate picked from indexes (9, 11, 14, 7)
+      SELECT media_id, 'mp3' AS modality,
+             CAST(list_extract([44100, 48000, 32000],
+                               CAST(media_id % 3 AS INT) + 1) AS BIGINT)
+               AS dim_a,
+             CAST(list_extract([128, 192, 320, 96],
+                               CAST(media_id % 4 AS INT) + 1) AS BIGINT)
+               AS dim_b,
+             CAST(4 + media_id % 5 AS BIGINT) AS n_units,
+             CAST((4 + media_id % 5) * 1152000
+                  // list_extract([44100, 48000, 32000],
+                                  CAST(media_id % 3 AS INT) + 1) AS BIGINT)
+               AS duration_ms,
+             CAST(0 AS BIGINT) AS level_x10000,
+             CAST(0 AS BIGINT) AS motion_x10000
+      FROM ids
     )
     SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL
     SELECT * FROM vid UNION ALL SELECT * FROM png UNION ALL
-    SELECT * FROM jpeg
+    SELECT * FROM jpeg UNION ALL SELECT * FROM mp3
     """,
-    doc="The real-codec quintet, VALUE-HASH-CHECKED: every feature the "
-    "BMP/WAV/Y4M/PNG/JPEG decoders emit that is an exact arithmetic function "
+    doc="The real-codec sextet, VALUE-HASH-CHECKED: every feature the "
+    "BMP/WAV/Y4M/PNG/JPEG/MP3 decoders emit that is an exact arithmetic function "
     "of the synthesis parameters — dimensions, sample rate, frame "
     "count, duration, solid/ramp luma and motion scaled to integer "
     "x10000 — is recomputed by the oracle in closed form from "
@@ -1869,9 +1957,19 @@ def q_codec_parity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         x10k("mean_luma").alias("level_x10000"),
         long0.alias("motion_x10000"),
     )
+    mp3 = _mp3_codec_features(spark, sf_dir).select(
+        "media_id",
+        F.lit("mp3").alias("modality"),
+        F.col("sample_rate").cast("long").alias("dim_a"),
+        F.col("bitrate_kbps").cast("long").alias("dim_b"),
+        F.col("n_frames").cast("long").alias("n_units"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        long0.alias("level_x10000"),
+        long0.alias("motion_x10000"),
+    )
     return (
         img.unionByName(aud).unionByName(vid)
-        .unionByName(png).unionByName(jpeg)
+        .unionByName(png).unionByName(jpeg).unionByName(mp3)
     )
 
 
@@ -5564,11 +5662,40 @@ def q_order_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "percentiles.  Guarantee is a SUPERSET of the true heavy hitters "
     "(may include false positives, never misses — pinned in "
     "tests/test_properties.py); exact verification is one count-if "
-    "pass over the candidates when needed.",
+    "pass over the candidates when needed.  Output is exploded to one "
+    "row per (column, candidate): freqItems' raw array<string> columns "
+    "broke the driver canonicalizer (r4's only red row — pandas can't "
+    "hash lists), and a long relation is the join-ready production "
+    "shape anyway.",
 )
 def q_frequent_event_types_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    return ev.stat.freqItems(["event_type", "user_id"], support=0.1)
+    raw = ev.stat.freqItems(["event_type", "user_id"], support=0.1)
+    return (
+        raw.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("event_type").alias("column"),
+                        F.col("event_type_freqItems")
+                        .cast("array<string>")
+                        .alias("candidates"),
+                    ),
+                    F.struct(
+                        F.lit("user_id").alias("column"),
+                        F.col("user_id_freqItems")
+                        .cast("array<string>")
+                        .alias("candidates"),
+                    ),
+                )
+            ).alias("col_items")
+        )
+        .select(
+            F.col("col_items.column").alias("column"),
+            F.explode("col_items.candidates").alias("candidate"),
+        )
+        .orderBy("column", "candidate")
+    )
 
 
 @register(
@@ -7935,16 +8062,38 @@ def q_bpe_tokenize_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and compared merge-for-merge; n_mismatches is a column, so the "
     "driver sees the invariant pytest asserts (identical tables), not "
     "just row counts.  Both learners are driver-side on the bounded "
-    "vocabulary (DRIVER_VOCAB_LIMIT discipline).",
+    "vocabulary (DRIVER_VOCAB_LIMIT discipline: the vocabulary is "
+    "COUNTED before it is collected — above the limit the comparison "
+    "is skipped with a sentinel row instead of OOMing the driver, "
+    "ADVICE r4).",
 )
 def q_bpe_parity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.bpe import reference_bpe_naive, word_counts
+    from .operators.bpe import (
+        DRIVER_VOCAB_LIMIT,
+        reference_bpe_naive,
+        word_counts,
+    )
 
+    schema = (
+        "rank long, engine_left string, engine_right string, "
+        "engine_weight long, ref_left string, ref_right string, "
+        "ref_weight long, is_match boolean, n_mismatches long"
+    )
     docs = _t(spark, sf_dir, "documents")
     engine = _shared_bpe_merges(spark, sf_dir)
+    words = word_counts(docs, "text")
+    if words.count() > DRIVER_VOCAB_LIMIT:
+        # Same guard as bpe_learn: the naive twin is O(vocab × merges)
+        # driver CPU on top of the collect, so above the limit the
+        # parity comparison does not run at this grain.  A sentinel row
+        # (rank -1, n_mismatches -1 = "not compared") keeps the report
+        # shape stable and auditable instead of silently succeeding.
+        return spark.createDataFrame(
+            [(-1, None, None, None, None, None, None, None, -1)], schema
+        )
     counts = [
         (r["word"], int(r["n"]))
-        for r in word_counts(docs, "text").collect()  # vocab-bounded
+        for r in words.collect()  # counted above: <= DRIVER_VOCAB_LIMIT
     ]
     ref = reference_bpe_naive(counts, n_merges=8)
     n_mismatch = sum(
@@ -7957,12 +8106,7 @@ def q_bpe_parity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((
             i, e[1], e[2], e[3], r[1], r[2], r[3], e == r, n_mismatch,
         ))
-    return spark.createDataFrame(
-        rows,
-        "rank long, engine_left string, engine_right string, "
-        "engine_weight long, ref_left string, ref_right string, "
-        "ref_weight long, is_match boolean, n_mismatches long",
-    )
+    return spark.createDataFrame(rows, schema)
 
 
 @register(

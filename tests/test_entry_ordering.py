@@ -29,21 +29,37 @@ def entry_mod():
     return mod
 
 
-def _artifact_keys() -> set[str]:
-    keys: set[str] = set()
+def _artifact_keys() -> tuple[set[str], set[str]]:
+    """(passed, failed-only) keys across committed CORRECTNESS_r*.json.
+
+    A row counts as PASSED when its check succeeded: oracle rows carry
+    ``rows_match``, rows-only rows a recorded ``spark_rows``.  r4's red
+    ``frequent_event_types_sketch`` row (canonicalizer crash,
+    spark_rows=null) must NOT count — it has to re-enter the
+    check-first group (r5 fix)."""
+    passed: set[str] = set()
+    seen: set[str] = set()
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         with open(path, encoding="utf-8") as fh:
             rows = json.load(fh)
         assert isinstance(rows, dict), path
-        keys.update(rows)
-    return keys
+        for name, row in rows.items():
+            seen.add(name)
+            if not isinstance(row, dict) or row.get("rows_match") or \
+                    row.get("spark_rows") is not None:
+                passed.add(name)
+    return passed, seen - passed
 
 
 def test_verified_set_matches_committed_artifacts(entry_mod):
-    """The verified set is exactly the union of CORRECTNESS_r*.json keys."""
-    artifacts = _artifact_keys()
-    assert artifacts, "no CORRECTNESS_r*.json committed — driver never ran?"
-    assert entry_mod._driver_verified() == artifacts
+    """The verified set is exactly the PASSED keys of CORRECTNESS_r*.json."""
+    passed, failed_only = _artifact_keys()
+    assert passed, "no CORRECTNESS_r*.json committed — driver never ran?"
+    assert entry_mod._driver_verified() == passed
+    # Failed-only rows re-enter the check-first group instead of being
+    # treated as verified.
+    for name in failed_only:
+        assert name not in entry_mod._driver_verified()
 
 
 def test_never_checked_queries_come_first(entry_mod):

@@ -134,3 +134,31 @@ def test_crashed_swap_recovers_from_old_dir(spark):
     assert _read_state(spark, state_dir) == FINAL
     assert glob.glob(state_dir + "__old_*") == []
     assert glob.glob(state_dir + "__next_*") == []
+
+
+def test_recovery_picks_old_dir_by_marker_not_name(spark):
+    """ADVICE r4 (low): when TWO __old_* dirs coexist (a superseded dir
+    survived a failed delete, then a later crash mid-swap left another),
+    recovery must restore the one with the highest _last_batch marker —
+    uuid-hex dir names sort arbitrarily, so lexicographic order can
+    point at the stale dir and silently regress state."""
+    import glob
+    import shutil
+
+    root = tempfile.mkdtemp(prefix="cdc_state5_")
+    state_dir = root + "/snap"
+    sink = CdcApplySink(state_dir=state_dir, keys=["k"])
+    sink(spark.createDataFrame(BATCH_1, LOG_SCHEMA), 0)
+    stale = _read_state(spark, state_dir)
+    shutil.copytree(state_dir, root + "/stale_copy")  # batch-0 state, marker 0
+    sink(spark.createDataFrame(BATCH_2, LOG_SCHEMA), 1)
+    fresh = _read_state(spark, state_dir)
+    assert fresh == FINAL and fresh != stale
+    # Stale survivor under a name that sorts FIRST, current state moved
+    # aside (crash mid-swap) under a name that sorts LAST: recovery must
+    # pick by marker (1 > 0), not by lexicographic dir name.
+    shutil.copytree(root + "/stale_copy", state_dir + "__old_0000stale")
+    shutil.move(state_dir, state_dir + "__old_ffffcrash")
+    sink(spark.createDataFrame(BATCH_2, LOG_SCHEMA), 2)  # redelivery
+    assert _read_state(spark, state_dir) == FINAL
+    assert glob.glob(state_dir + "__old_*") == []
