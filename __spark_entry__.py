@@ -56,6 +56,30 @@ def _driver_verified() -> frozenset[str]:
     return frozenset(seen) if seen else _R1_VERIFIED
 
 
+def _last_checked_round() -> dict[str, int]:
+    """name -> highest round number whose committed artifact carries a
+    PASSED row for it.  Drives the re-verification rotation: with the
+    never-checked backlog cleared (r4), most of the driver's 50-slot
+    sample re-runs VERIFIED queries, and registration order would
+    re-check the same r1 head every round while r2-r4 rows (the
+    rows-only families among them) went stale forever."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
+            with open(path, encoding="utf-8") as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if isinstance(rows, dict):
+            for name, row in rows.items():
+                if not isinstance(row, dict) or row.get("rows_match") \
+                        or row.get("spark_rows") is not None:
+                    last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
 _R1_VERIFIED = frozenset({
     "pricing_summary", "daily_volume", "segment_summary", "top_orders",
     "priority_pivot", "value_band_ladder", "temporal_pattern",
@@ -117,7 +141,14 @@ def _ordered() -> list[str]:
         return (rows_only, prio if rows_only else 0)
 
     fresh.sort(key=key)
-    return fresh + [n for n in names if n in verified]
+    # Verified tail rotates by staleness: least-recently-checked round
+    # first (ties keep registration order), so the driver's leftover
+    # sample slots re-verify the oldest rows — r4 verdict item 5's
+    # "spend them re-verifying the rows-only families" made automatic.
+    last = _last_checked_round()
+    tail = [n for n in names if n in verified]
+    tail.sort(key=lambda n: last.get(n, 0))
+    return fresh + tail
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
