@@ -2,7 +2,7 @@
 
 PY ?= python
 
-.PHONY: test bench bench-quiet correctness-local correctness-local-incr coverage scaledata scaleprobe
+.PHONY: test bench bench-quiet correctness-local correctness-local-incr coverage scaledata scaleprobe ann-recall-scale
 
 test:
 	$(PY) -m pytest tests/ -x -q
@@ -49,3 +49,8 @@ scaledata:
 # exponents in SCALING.json (narrated in SCALE.md).
 scaleprobe: scaledata
 	$(PY) tools/scaleprobe.py
+
+# Measure ANN recall@10 at 1x/3x/10x corpus (fit params at production
+# caps) into SCALING.json's ann_recall section; CI pins x10 floors.
+ann-recall-scale: scaledata
+	$(PY) tools/ann_recall_scale.py
