@@ -173,6 +173,221 @@ def _png_unfilter(raw: bytes, h: int, stride: int, nch: int):
     return img
 
 
+def _jpeg_luma_plane(payload: bytes):
+    """Minimal baseline JPEG (ITU T.81 SOF0) reader, stdlib+numpy:
+    marker walk, DQT/DHT table parse, huffman entropy decode with
+    byte-stuffing and restart markers, per-block DC prediction +
+    EXTEND, dequant, inverse zigzag, float IDCT.  Returns ``(w, h,
+    plane)`` where ``plane`` is the decoded Y component as an
+    ``(h, w)`` float64 array of integral values in [0, 255], cropped to
+    the true image dims so MCU padding never leaks in (JPEG stores Y —
+    no color convert needed for luma).  Shared by the feature extractor
+    (mean luma) and the resize path (grayscale pixels).  Progressive
+    (SOF2), arithmetic coding, and 12-bit fail loudly; all validation
+    is explicit raises, never asserts (the fail-loudly contract must
+    survive ``python -O``, ADVICE r4)."""
+    import numpy as np
+
+    ZZ = [  # zigzag order -> (row, col)
+        (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+        (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+        (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+        (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+        (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+        (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+        (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+        (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+    ]
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    scan_comps = None
+    restart_interval = 0
+    pos = 2  # past SOI
+    data_start = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        m = payload[pos + 1]
+        if m == 0xD9:  # EOI
+            break
+        ln = int.from_bytes(payload[pos + 2:pos + 4], "big")
+        seg = payload[pos + 4:pos + 2 + ln]
+        if m == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant table")
+                tbl = np.zeros((8, 8), dtype=np.int32)
+                for k in range(64):
+                    r, c = ZZ[k]
+                    tbl[r, c] = seg[p + 1 + k]
+                qt[tq] = tbl
+                p += 65
+        elif m == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                counts = seg[p + 1:p + 17]
+                symbols = seg[p + 17:p + 17 + sum(counts)]
+                table: dict[tuple[int, int], int] = {}
+                code, si = 0, 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = symbols[si]
+                        si += 1
+                        code += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                p += 17 + sum(counts)
+        elif m == 0xC0:  # SOF0 baseline
+            prec = seg[0]
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append((cid, samp >> 4, samp & 15, tq))
+            frame = (w, h, comps)
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                   0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG frame marker 0xFF{m:02X} "
+                "(only SOF0 sequential baseline supported)")
+        elif m == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif m == 0xDA:  # SOS
+            ns = seg[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan_comps.append((cs, tt >> 4, tt & 15))
+            data_start = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if frame is None or scan_comps is None:
+        raise NotImplementedError("no SOF0/SOS found")
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    # The block-placement arithmetic below assumes component 0 (Y in
+    # JFIF practice) carries the max sampling factors; a legal SOF0
+    # violating that would land 8x8 blocks at wrong yplane offsets and
+    # return silently-wrong pixels, so refuse it loudly (ADVICE r4).
+    if (comps[0][1], comps[0][2]) != (hmax, vmax):
+        raise NotImplementedError(
+            "JPEG component 0 is not max-sampled "
+            f"(got {comps[0][1]}x{comps[0][2]}, max {hmax}x{vmax})")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    class _Bits:
+        def __init__(self, buf: bytes, p: int):
+            self.buf, self.p, self.bit = buf, p, 0
+
+        def read(self) -> int:
+            b = self.buf[self.p]
+            if b == 0xFF and self.buf[self.p + 1] != 0x00:
+                # stuffed byte: 0xFF00 is a literal FF; anything else
+                # is a marker inside entropy data
+                raise ValueError("JPEG marker in scan data")
+            v = (b >> (7 - self.bit)) & 1
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.p += 1 + (1 if b == 0xFF else 0)
+            return v
+
+        def align_restart(self):
+            if self.bit:
+                self.bit = 0
+                self.p += 1 + (1 if self.buf[self.p] == 0xFF else 0)
+            if not (self.buf[self.p] == 0xFF
+                    and 0xD0 <= self.buf[self.p + 1] <= 0xD7):
+                raise ValueError("JPEG RST marker expected")
+            self.p += 2
+
+    def _huffdec(bits: "_Bits", table) -> int:
+        code, length = 0, 0
+        while True:
+            code = (code << 1) | bits.read()
+            length += 1
+            if (length, code) in table:
+                return table[(length, code)]
+            if length > 16:
+                raise ValueError("bad huffman stream")
+
+    def _receive_extend(bits: "_Bits", s: int) -> int:
+        if s == 0:
+            return 0
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | bits.read()
+        if v < (1 << (s - 1)):  # negative branch (EXTEND)
+            v -= (1 << s) - 1
+        return v
+
+    # IDCT basis matrix A[x,u] = C(u)/2 · cos((2x+1)uπ/16) so that
+    # P = A F Aᵀ is exactly T.81's
+    # f(x,y) = ¼ ΣΣ C(u)C(v) F(u,v) cos·cos  (float64).
+    u = np.arange(8)
+    cosm = np.cos((2 * u[:, None] + 1) * u[None, :] * np.pi / 16)
+    cu = np.where(u == 0, 1 / np.sqrt(2), 1.0)
+    A = cosm * cu[None, :] / 2.0
+
+    bits = _Bits(payload, data_start)
+    pred = {c[0]: 0 for c in comps}
+    # Y plane only (luma = Y; see docstring)
+    ycomp = comps[0]
+    yw, yh = 8 * hmax * mcux, 8 * vmax * mcuy
+    yplane = np.zeros((yh, yw), dtype=np.float64)
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and \
+                    n_mcu % restart_interval == 0:
+                bits.align_restart()
+                pred = {c[0]: 0 for c in comps}
+            n_mcu += 1
+            for (cid, hs, vs, tq) in comps:
+                td = ta = None
+                for (cs, tdc, tac) in scan_comps:
+                    if cs == cid:
+                        td, ta = tdc, tac
+                for by in range(vs):
+                    for bx in range(hs):
+                        coef = np.zeros((8, 8), dtype=np.float64)
+                        s = _huffdec(bits, huff[(0, td)])
+                        pred[cid] += _receive_extend(bits, s)
+                        coef[0, 0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = _huffdec(bits, huff[(1, ta)])
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            coef[ZZ[k]] = _receive_extend(bits, s)
+                            k += 1
+                        if cid != ycomp[0]:
+                            continue  # chroma advanced, not stored
+                        px = (A @ (coef * qt[tq]) @ A.T) + 128.0
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        # subsampled Y never happens (Y is max), so
+                        # block placement is direct
+                        yplane[y0:y0 + 8, x0:x0 + 8] = px
+    crop = np.clip(np.round(yplane[:h, :w]), 0, 255)
+    return w, h, crop
+
+
 def decode_image_stub(payload: bytes, deterministic_fake: bool = False):
     """Codec boundary.  Real deployments plug PIL/turbojpeg here."""
     if deterministic_fake:
@@ -289,219 +504,7 @@ def extract_image_features(
             return w, h, round(float(luma.mean()) / 255.0, 6)
 
         def _decode_jpeg(payload: bytes):
-            # Minimal baseline JPEG (ITU T.81 SOF0) reader, stdlib+numpy:
-            # marker walk, DQT/DHT table parse, huffman entropy decode
-            # with byte-stuffing and restart markers, per-block DC
-            # prediction + EXTEND, dequant, inverse zigzag, float IDCT.
-            # The luma feature uses the Y component directly (JPEG
-            # stores Y — no color convert needed for mean luma), cropped
-            # to the true image dims so MCU padding never leaks in.
-            # Progressive (SOF2), arithmetic coding, and 12-bit fail
-            # loudly below.
-            ZZ = [  # zigzag order -> (row, col)
-                (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
-                (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
-                (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
-                (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
-                (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
-                (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
-                (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
-                (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
-            ]
-            qt: dict[int, _np.ndarray] = {}
-            huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
-            frame = None
-            scan_comps = None
-            restart_interval = 0
-            pos = 2  # past SOI
-            data_start = None
-            while pos + 4 <= len(payload):
-                if payload[pos] != 0xFF:
-                    # explicit raise, not assert: the fail-loudly
-                    # contract must survive `python -O` (ADVICE r4)
-                    raise ValueError("JPEG marker expected")
-                m = payload[pos + 1]
-                if m == 0xD9:  # EOI
-                    break
-                ln = int.from_bytes(payload[pos + 2:pos + 4], "big")
-                seg = payload[pos + 4:pos + 2 + ln]
-                if m == 0xDB:  # DQT
-                    p = 0
-                    while p < len(seg):
-                        pq, tq = seg[p] >> 4, seg[p] & 15
-                        if pq != 0:
-                            raise NotImplementedError("16-bit quant table")
-                        tbl = _np.zeros((8, 8), dtype=_np.int32)
-                        for k in range(64):
-                            r, c = ZZ[k]
-                            tbl[r, c] = seg[p + 1 + k]
-                        qt[tq] = tbl
-                        p += 65
-                elif m == 0xC4:  # DHT
-                    p = 0
-                    while p < len(seg):
-                        tc, th = seg[p] >> 4, seg[p] & 15
-                        counts = seg[p + 1:p + 17]
-                        symbols = seg[p + 17:p + 17 + sum(counts)]
-                        table: dict[tuple[int, int], int] = {}
-                        code, si = 0, 0
-                        for length in range(1, 17):
-                            for _ in range(counts[length - 1]):
-                                table[(length, code)] = symbols[si]
-                                si += 1
-                                code += 1
-                            code <<= 1
-                        huff[(tc, th)] = table
-                        p += 17 + sum(counts)
-                elif m == 0xC0:  # SOF0 baseline
-                    prec = seg[0]
-                    if prec != 8:
-                        raise NotImplementedError(f"{prec}-bit JPEG")
-                    h = int.from_bytes(seg[1:3], "big")
-                    w = int.from_bytes(seg[3:5], "big")
-                    nc = seg[5]
-                    comps = []
-                    for i in range(nc):
-                        cid, samp, tq = seg[6 + 3 * i:9 + 3 * i]
-                        comps.append((cid, samp >> 4, samp & 15, tq))
-                    frame = (w, h, comps)
-                elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
-                           0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                    raise NotImplementedError(
-                        f"non-baseline JPEG frame marker 0xFF{m:02X} "
-                        "(only SOF0 sequential baseline supported)")
-                elif m == 0xDD:  # DRI
-                    restart_interval = int.from_bytes(seg[0:2], "big")
-                elif m == 0xDA:  # SOS
-                    ns = seg[0]
-                    scan_comps = []
-                    for i in range(ns):
-                        cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
-                        scan_comps.append((cs, tt >> 4, tt & 15))
-                    data_start = pos + 2 + ln
-                    break
-                pos += 2 + ln
-            if frame is None or scan_comps is None:
-                raise NotImplementedError("no SOF0/SOS found")
-            w, h, comps = frame
-            hmax = max(c[1] for c in comps)
-            vmax = max(c[2] for c in comps)
-            # The block-placement arithmetic below assumes component 0
-            # (Y in JFIF practice) carries the max sampling factors; a
-            # legal SOF0 violating that would land 8x8 blocks at wrong
-            # yplane offsets and return a silently-wrong mean_luma, so
-            # refuse it loudly instead (ADVICE r4).
-            if (comps[0][1], comps[0][2]) != (hmax, vmax):
-                raise NotImplementedError(
-                    "JPEG component 0 is not max-sampled "
-                    f"(got {comps[0][1]}x{comps[0][2]}, "
-                    f"max {hmax}x{vmax})")
-            mcux = -(-w // (8 * hmax))
-            mcuy = -(-h // (8 * vmax))
-
-            class _Bits:
-                def __init__(self, buf: bytes, p: int):
-                    self.buf, self.p, self.bit = buf, p, 0
-
-                def read(self) -> int:
-                    b = self.buf[self.p]
-                    if b == 0xFF and self.buf[self.p + 1] != 0x00:
-                        # stuffed byte: 0xFF00 is a literal FF; anything
-                        # else is a marker inside entropy data
-                        raise ValueError("JPEG marker in scan data")
-                    v = (b >> (7 - self.bit)) & 1
-                    self.bit += 1
-                    if self.bit == 8:
-                        self.bit = 0
-                        self.p += 1 + (1 if b == 0xFF else 0)
-                    return v
-
-                def align_restart(self):
-                    if self.bit:
-                        self.bit = 0
-                        self.p += 1 + (1 if self.buf[self.p] == 0xFF else 0)
-                    if not (self.buf[self.p] == 0xFF
-                            and 0xD0 <= self.buf[self.p + 1] <= 0xD7):
-                        raise ValueError("JPEG RST marker expected")
-                    self.p += 2
-
-            def _huffdec(bits: _Bits, table) -> int:
-                code, length = 0, 0
-                while True:
-                    code = (code << 1) | bits.read()
-                    length += 1
-                    if (length, code) in table:
-                        return table[(length, code)]
-                    if length > 16:
-                        raise ValueError("bad huffman stream")
-
-            def _receive_extend(bits: _Bits, s: int) -> int:
-                if s == 0:
-                    return 0
-                v = 0
-                for _ in range(s):
-                    v = (v << 1) | bits.read()
-                if v < (1 << (s - 1)):  # negative branch (EXTEND)
-                    v -= (1 << s) - 1
-                return v
-
-            # IDCT basis matrix A[x,u] = C(u)/2 · cos((2x+1)uπ/16) so
-            # that P = A F Aᵀ is exactly T.81's
-            # f(x,y) = ¼ ΣΣ C(u)C(v) F(u,v) cos·cos  (float64).
-            u = _np.arange(8)
-            cosm = _np.cos((2 * u[:, None] + 1) * u[None, :] * _np.pi / 16)
-            cu = _np.where(u == 0, 1 / _np.sqrt(2), 1.0)
-            A = cosm * cu[None, :] / 2.0
-
-            def _idct(block: _np.ndarray) -> _np.ndarray:
-                return A @ block @ A.T
-
-            bits = _Bits(payload, data_start)
-            pred = {c[0]: 0 for c in comps}
-            # Y plane only (luma = Y; see header comment)
-            ycomp = comps[0]
-            yw, yh = 8 * hmax * mcux, 8 * vmax * mcuy
-            yplane = _np.zeros((yh, yw), dtype=_np.float64)
-            n_mcu = 0
-            for my in range(mcuy):
-                for mx in range(mcux):
-                    if restart_interval and n_mcu and \
-                            n_mcu % restart_interval == 0:
-                        bits.align_restart()
-                        pred = {c[0]: 0 for c in comps}
-                    n_mcu += 1
-                    for (cid, hs, vs, tq) in comps:
-                        td = ta = None
-                        for (cs, tdc, tac) in scan_comps:
-                            if cs == cid:
-                                td, ta = tdc, tac
-                        for by in range(vs):
-                            for bx in range(hs):
-                                coef = _np.zeros((8, 8), dtype=_np.float64)
-                                s = _huffdec(bits, huff[(0, td)])
-                                pred[cid] += _receive_extend(bits, s)
-                                coef[0, 0] = pred[cid]
-                                k = 1
-                                while k < 64:
-                                    rs = _huffdec(bits, huff[(1, ta)])
-                                    r, s = rs >> 4, rs & 15
-                                    if s == 0:
-                                        if r == 15:  # ZRL
-                                            k += 16
-                                            continue
-                                        break  # EOB
-                                    k += r
-                                    coef[ZZ[k]] = _receive_extend(bits, s)
-                                    k += 1
-                                if cid != ycomp[0]:
-                                    continue  # chroma advanced, not stored
-                                px = _idct(coef * qt[tq]) + 128.0
-                                y0 = (my * vs + by) * 8
-                                x0 = (mx * hs + bx) * 8
-                                # subsampled Y never happens (Y is max),
-                                # so block placement is direct
-                                yplane[y0:y0 + 8, x0:x0 + 8] = px
-            crop = _np.clip(_np.round(yplane[:h, :w]), 0, 255)
+            w, h, crop = _jpeg_luma_plane(payload)
             return w, h, round(float(crop.mean()) / 255.0, 6)
 
         def _decode(payload: bytes):
@@ -559,13 +562,15 @@ def resize_images(
     stages (decode → resize → feature-extract).
 
     The codec is REAL for PNG (r4, same stdlib-zlib reader contract as
-    ``extract_image_features``): decode → nearest-neighbor resample
-    (deterministic integer source indices ``src = i·in/out``) →
-    re-encode as filter-0 PNG.  Other formats fall back to the
-    deterministic digest-derived fake payload whose size scales with
-    the target area (or raise when ``deterministic_fake=False``),
-    preserving the real operator's property that output bytes are a
-    pure function of (input bytes, target dims).
+    ``extract_image_features``) and for baseline JPEG input (r5, via
+    the shared T.81 reader — output is grayscale PNG of the resampled
+    Y plane): decode → nearest-neighbor resample (deterministic integer
+    source indices ``src = i·in/out``) → re-encode as filter-0 PNG.
+    Other formats fall back to the deterministic digest-derived fake
+    payload whose size scales with the target area (or raise when
+    ``deterministic_fake=False``), preserving the real operator's
+    property that output bytes are a pure function of (input bytes,
+    target dims).
     """
     out_schema = T.StructType(
         [
@@ -579,9 +584,9 @@ def resize_images(
     tw, th = target_width, target_height
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Self-contained closure (workers don't import the package —
-        # same constraint as every mapInPandas stage here), so the PNG
-        # read side is a compact twin of extract_image_features'.
+        # The filter/entropy machinery lives in the shared module-level
+        # helpers (_png_unfilter, _jpeg_luma_plane — one decoder,
+        # optimized once, ADVICE r4); only the container walk is local.
         import hashlib as _hashlib
         import zlib as _zlib
 
@@ -645,11 +650,22 @@ def resize_images(
                 rows = (_np.arange(th) * h) // th
                 cols = (_np.arange(tw) * w) // tw
                 return _png_encode(px[rows][:, cols], ctype)
+            if payload[:2] == b"\xff\xd8":
+                # Real JPEG input (r5): the shared T.81 reader yields the
+                # decoded Y plane; resample it and re-encode as grayscale
+                # PNG — JPEG re-encoding would need a huffman writer for
+                # no downstream benefit, the pipeline's feature stage
+                # reads PNG natively.
+                w, h, plane = _jpeg_luma_plane(payload)
+                px = plane.astype(_np.uint8).reshape(h, w, 1)
+                rows = (_np.arange(th) * h) // th
+                cols = (_np.arange(tw) * w) // tw
+                return _png_encode(px[rows][:, cols], 0)
             if not fake:
                 raise NotImplementedError(
-                    "non-PNG resize codecs are not available in this "
-                    "environment; pass deterministic_fake=True for the "
-                    "test pipeline or supply PNG payloads"
+                    "non-PNG/JPEG resize codecs are not available in "
+                    "this environment; pass deterministic_fake=True for "
+                    "the test pipeline or supply PNG/JPEG payloads"
                 )
             seed = _hashlib.sha256(
                 payload + tw.to_bytes(4, "big") + th.to_bytes(4, "big")

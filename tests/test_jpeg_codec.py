@@ -325,3 +325,37 @@ def test_jpeg_progressive_raises(spark):
         [(0, bytes(payload))], "media_id long, payload binary")
     with pytest.raises(Exception, match="non-baseline|SOF0"):
         extract_image_features(df, deterministic_fake=False).collect()
+
+
+def test_jpeg_resize_to_grayscale_png(spark):
+    """r5: resize_images accepts baseline-JPEG input — the shared T.81
+    reader yields the Y plane, nearest-neighbor resample, grayscale-PNG
+    re-encode.  A two-level image (left block 60, right block 200)
+    downsampled 16x8 -> 4x4 keeps the left/right split, so the
+    re-decoded mean is the exact 50/50 mix — pixel-level proof the
+    resample indexed the decoded plane, not a fake payload."""
+    from kafka_bigdata_jobs_spark.operators.multimodal import resize_images
+
+    payload = jpeg_bytes([[_dc_block(60)], [_dc_block(200)]], 16, 8)
+    df = spark.createDataFrame([(7, payload)], "media_id long, payload binary")
+    out = resize_images(df, target_width=4, target_height=4,
+                        deterministic_fake=False).collect()[0]
+    assert (out["width"], out["height"]) == (4, 4)
+    assert bytes(out["payload"])[:8] == b"\x89PNG\r\n\x1a\n"
+    feat = _decode_one(spark, bytes(out["payload"]))
+    assert (feat["width"], feat["height"]) == (4, 4)
+    assert feat["mean_luma"] == round((60 + 200) / 2 / 255.0, 6)
+
+
+def test_jpeg_resize_upsample_identity_levels(spark):
+    """Nearest-neighbor upsample of a solid JPEG stays solid at the
+    exact level — and the PNG round-trip keeps integer pixels."""
+    from kafka_bigdata_jobs_spark.operators.multimodal import resize_images
+
+    payload = jpeg_bytes([[_dc_block(123)]], 8, 8)
+    df = spark.createDataFrame([(1, payload)], "media_id long, payload binary")
+    out = resize_images(df, target_width=13, target_height=9,
+                        deterministic_fake=False).collect()[0]
+    feat = _decode_one(spark, bytes(out["payload"]))
+    assert (feat["width"], feat["height"]) == (13, 9)
+    assert feat["mean_luma"] == round(123 / 255.0, 6)

@@ -154,13 +154,20 @@ def test_png_resize_roundtrip(spark):
     assert row["mean_luma"] == round(150 / 255.0, 6)
 
 
-def test_png_resize_non_png_still_raises(spark):
+def test_png_resize_unsupported_format_still_raises(spark):
     from kafka_bigdata_jobs_spark.operators.multimodal import resize_images
 
+    # Unsupported container (GIF magic): the honest-guard fallback.
     df = spark.createDataFrame(
-        [(1, b"\xff\xd8\xff\xe0 jpeg-ish")], "media_id long, payload binary")
-    with pytest.raises(Exception, match="non-PNG resize codecs"):
+        [(1, b"GIF89a not-a-png")], "media_id long, payload binary")
+    with pytest.raises(Exception, match="non-PNG/JPEG resize codecs"):
         resize_images(df, deterministic_fake=False).collect()
+    # JPEG magic now routes to the REAL T.81 reader (r5) — truncated
+    # garbage must fail loudly there, not fall back to a fake.
+    df2 = spark.createDataFrame(
+        [(1, b"\xff\xd8\xff\xe0 jpeg-ish")], "media_id long, payload binary")
+    with pytest.raises(Exception, match="no SOF0/SOS|JPEG"):
+        resize_images(df2, deterministic_fake=False).collect()
 
 
 def test_png_unsupported_raises(spark):
