@@ -43,17 +43,28 @@ def _driver_verified() -> frozenset[str]:
             continue
         if isinstance(rows, dict):
             for name, row in rows.items():
-                if not isinstance(row, dict):
-                    seen.add(name)
-                    continue
-                # A row only counts as verified if the check PASSED:
-                # oracle rows need rows_match, rows-only rows need a
-                # successful run (spark_rows recorded).  r4's red
-                # frequent_event_types_sketch row (canonicalizer crash,
-                # spark_rows=null) must re-enter the check-first group.
-                if row.get("rows_match") or row.get("spark_rows") is not None:
+                if _row_passed(row):
                     seen.add(name)
     return frozenset(seen) if seen else _R1_VERIFIED
+
+
+def _row_passed(row) -> bool:
+    """A CORRECTNESS row counts as verified only if the check PASSED:
+    oracle rows need the full rows+schema+hash triple green (r1's
+    monthly_rollup row had rows_match=true with hash_match=FALSE — a
+    value mismatch must stay in the check-first group), rows-only rows
+    need a successful run (``err == "no_oracle"`` with spark_rows
+    recorded).  r4's red frequent_event_types_sketch row (canonicalizer
+    crash, spark_rows=null, err=traceback) passes neither."""
+    if not isinstance(row, dict):
+        return True  # legacy/unknown shape: assume checked
+    if row.get("err") == "no_oracle":
+        return row.get("spark_rows") is not None
+    return bool(
+        row.get("rows_match")
+        and row.get("schema_match")
+        and row.get("hash_match")
+    )
 
 
 def _last_checked_round() -> dict[str, int]:
@@ -74,8 +85,7 @@ def _last_checked_round() -> dict[str, int]:
             continue
         if isinstance(rows, dict):
             for name, row in rows.items():
-                if not isinstance(row, dict) or row.get("rows_match") \
-                        or row.get("spark_rows") is not None:
+                if _row_passed(row):
                     last[name] = max(last.get(name, 0), rnd)
     return last
 

@@ -155,9 +155,13 @@ def main() -> None:
     full = dict(payload, queries=timings)
     # SPARK_GRAFT_BENCH_OUT lets `make bench-quiet` write the committed
     # quiet-host artifact (BENCH_quiet.json) without racing the
-    # driver's own BENCH_local.json clobber (r4 verdict item 1).
-    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json")
+    # driver's own BENCH_local.json clobber (r4 verdict item 1).  A
+    # relative value is anchored next to this file — same contract as
+    # the default — so the artifact can't silently land in a foreign
+    # CWD where the CI fixture would read a stale committed copy.
+    here = os.path.dirname(os.path.abspath(__file__))
+    out_path = os.path.join(
+        here, os.environ.get("SPARK_GRAFT_BENCH_OUT") or "BENCH_local.json")
     try:
         with open(out_path, "w") as fh:
             json.dump(full, fh, indent=1, sort_keys=True)

@@ -427,10 +427,15 @@ def extract_image_features(
     fake = deterministic_fake
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Self-contained on purpose: Python workers unpickle this closure
-        # without importing kafka_bigdata_jobs_spark (the engine package
-        # isn't necessarily on the worker path), so it may only touch
-        # locals and importable stdlib/site-packages modules.
+        # The heavy codec machinery lives in module-level helpers
+        # (_png_unfilter, _jpeg_luma_plane, _parse_y4m), which
+        # cloudpickle serializes BY REFERENCE: Python workers import
+        # kafka_bigdata_jobs_spark to resolve them, so the engine
+        # package must be shipped to executors (spark-submit
+        # --py-files / a pip-installed env — the standard deployment
+        # for any PySpark package, and already required by every other
+        # module-function reference in this engine).  Container walks
+        # stay local to the closure.
         import hashlib as _hashlib
 
         import numpy as _np
@@ -880,6 +885,18 @@ def extract_mp3_header_stats(
                     is_cbr = False
                 n_frames += 1
                 pos += 144_000 * bitrate // rate + padding
+                if pos > len(payload):
+                    # the header promised a full frame the stream does
+                    # not contain — counting it would overstate
+                    # n_frames/duration quietly, violating the
+                    # fail-loudly contract (r5 review finding)
+                    raise ValueError("truncated final MP3 frame")
+            if pos != len(payload):
+                # 1-3 trailing bytes can't be a frame header OR a TAG
+                # block — garbage, not silence
+                raise ValueError(
+                    f"{len(payload) - pos} trailing bytes after the "
+                    "last MP3 frame")
             if first_rate is None:
                 raise ValueError("no MP3 frames found")
             return (

@@ -57,7 +57,10 @@ def _recover_swap(state_dir: str) -> None:
             return -1  # pre-marker or corrupt dir: lowest priority
 
     base = state_dir.rstrip("/")
-    olds = sorted(glob.glob(base + "__old_*"), key=marker_of, reverse=True)
+    # Lexicographic pre-sort makes marker ties (pre-marker/corrupt dirs,
+    # all -1) deterministic — raw glob order is filesystem-dependent.
+    olds = sorted(sorted(glob.glob(base + "__old_*")),
+                  key=marker_of, reverse=True)
     nexts = sorted(glob.glob(base + "__next_*"))
     if not os.path.exists(base) and olds:
         shutil.move(olds.pop(0), base)

@@ -8080,21 +8080,27 @@ def q_bpe_parity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ref_weight long, is_match boolean, n_mismatches long"
     )
     docs = _t(spark, sf_dir, "documents")
-    engine = _shared_bpe_merges(spark, sf_dir)
-    words = word_counts(docs, "text")
+    # cache: the guard count and the collect below would otherwise each
+    # run the full explode+groupBy corpus pass
+    words = word_counts(docs, "text").cache()
     if words.count() > DRIVER_VOCAB_LIMIT:
         # Same guard as bpe_learn: the naive twin is O(vocab × merges)
         # driver CPU on top of the collect, so above the limit the
         # parity comparison does not run at this grain.  A sentinel row
         # (rank -1, n_mismatches -1 = "not compared") keeps the report
         # shape stable and auditable instead of silently succeeding.
+        # (Checked BEFORE training either learner — above the limit
+        # their work would be discarded anyway.)
+        words.unpersist()
         return spark.createDataFrame(
             [(-1, None, None, None, None, None, None, None, -1)], schema
         )
+    engine = _shared_bpe_merges(spark, sf_dir)
     counts = [
         (r["word"], int(r["n"]))
         for r in words.collect()  # counted above: <= DRIVER_VOCAB_LIMIT
     ]
+    words.unpersist()
     ref = reference_bpe_naive(counts, n_merges=8)
     n_mismatch = sum(
         1 for e, r in zip(engine, ref) if e != r

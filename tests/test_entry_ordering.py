@@ -32,11 +32,14 @@ def entry_mod():
 def _artifact_keys() -> tuple[set[str], set[str]]:
     """(passed, failed-only) keys across committed CORRECTNESS_r*.json.
 
-    A row counts as PASSED when its check succeeded: oracle rows carry
-    ``rows_match``, rows-only rows a recorded ``spark_rows``.  r4's red
-    ``frequent_event_types_sketch`` row (canonicalizer crash,
-    spark_rows=null) must NOT count — it has to re-enter the
-    check-first group (r5 fix)."""
+    A row counts as PASSED when its check fully succeeded: oracle rows
+    need rows+schema+hash ALL green (r1's monthly_rollup row had
+    rows_match=true with hash_match=FALSE — a value mismatch must stay
+    in the check-first group), rows-only rows need err=="no_oracle"
+    with spark_rows recorded.  r4's red frequent_event_types_sketch
+    row (canonicalizer crash, spark_rows=null, err=traceback) passes
+    neither (r5 fixes, independently re-stated here so the entry
+    module can't drift)."""
     passed: set[str] = set()
     seen: set[str] = set()
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
@@ -45,8 +48,13 @@ def _artifact_keys() -> tuple[set[str], set[str]]:
         assert isinstance(rows, dict), path
         for name, row in rows.items():
             seen.add(name)
-            if not isinstance(row, dict) or row.get("rows_match") or \
-                    row.get("spark_rows") is not None:
+            if not isinstance(row, dict):
+                passed.add(name)
+            elif row.get("err") == "no_oracle":
+                if row.get("spark_rows") is not None:
+                    passed.add(name)
+            elif (row.get("rows_match") and row.get("schema_match")
+                    and row.get("hash_match")):
                 passed.add(name)
     return passed, seen - passed
 

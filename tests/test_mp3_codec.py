@@ -123,3 +123,14 @@ def test_suite_synthesizer_matches_oracle_closed_form(spark):
         assert r["n_frames"] == n
         assert r["duration_ms"] == 1_152_000 * n // rate
         assert r["is_cbr"] is True
+
+
+def test_truncated_final_frame_raises(spark):
+    """r5 review: a header promising a full frame the stream doesn't
+    contain must raise, not count the phantom frame."""
+    full = _frame(9, 0)
+    with pytest.raises(Exception, match="truncated final MP3 frame"):
+        _run(spark, [(1, full + full[:100])])
+    # 1-3 trailing bytes can't be a header or TAG — also loud.
+    with pytest.raises(Exception, match="trailing bytes"):
+        _run(spark, [(1, full + b"\x00\x00")])

@@ -72,8 +72,13 @@ def bench():
             q = merged["queries"]
             for k, v in art.get("queries", {}).items():
                 q[k] = min(v, q[k]) if k in q else v
-    if merged is None:
-        merged = {"sf": None, "queries": {}}
+    # Loud, not silent: with NO sf0.1 artifact the coverage rule below
+    # would pytest.skip forever and the probe-enrollment gate would rot
+    # (the same failure mode test_ann_recall_holds_floor_at_x10 guards
+    # against for the recall section).
+    assert merged is not None, (
+        "no sf0.1 bench artifact found (BENCH_local.json / "
+        "BENCH_quiet.json) — run `make bench-quiet`")
     return merged
 
 
@@ -157,7 +162,7 @@ def test_ann_recall_holds_floor_at_x10(scaling):
                for m, v in x10.items() if m != "_wall_sec")
 
 
-def test_enrollment_survives_simulated_driver_clobber(tmp_path, scaling):
+def test_enrollment_survives_simulated_driver_clobber(scaling):
     """r4 verdict item 1 'Done =' criterion: a driver bench run that
     lands on a stalled host (every query inflated, the exact r4
     failure: 0.54 s -> 1.77 s at identical plans) must not add
