@@ -160,7 +160,15 @@ def _session_cached_df(cache: dict, spark: SparkSession, sf_dir: str,
     entries, builds+caches on miss, and — because catalog.clearCache()
     (bench isolation) drops the CacheManager entry but not this handle —
     re-marks an uncached handle AND stores it back so later calls see
-    the re-cached one instead of re-caching every time (ADVICE r3)."""
+    the re-cached one instead of re-caching every time (ADVICE r3).
+
+    The re-mark is EAGER (r5): a lazily re-marked relation leaves its
+    first consumer racing multiple plan branches against cache
+    population — the same branch-recompute race near_dup_pairs
+    documents internally, measured landing anywhere between 4.7 s and
+    20 s for the same query at the same scale.  One count() here makes
+    every post-eviction consumer read a populated cache
+    deterministically."""
     app = spark.sparkContext.applicationId
     _evict_dead_sessions(cache, app)
     key = (app, sf_dir)
@@ -171,6 +179,7 @@ def _session_cached_df(cache: dict, spark: SparkSession, sf_dir: str,
     if not (lvl.useMemory or lvl.useDisk):
         df = df.cache()
         cache[key] = df
+        df.count()
     return df
 
 

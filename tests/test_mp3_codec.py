@@ -134,3 +134,53 @@ def test_truncated_final_frame_raises(spark):
     # 1-3 trailing bytes can't be a header or TAG — also loud.
     with pytest.raises(Exception, match="trailing bytes"):
         _run(spark, [(1, full + b"\x00\x00")])
+
+
+def test_mp3_walk_property_fuzz(spark):
+    """Property fuzz (SURVEY §5.4 style): arbitrary valid MPEG-1 L3
+    streams — any bitrate-index sequence (VBR), any padding schedule,
+    optional ID3v2 prefix and ID3v1 trailer — must parse to the exact
+    closed forms.  Batched: one Spark job checks many random streams."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    frame_spec = st.tuples(
+        st.integers(min_value=1, max_value=14),   # bitrate index
+        st.booleans(),                            # padding bit
+    )
+    stream_spec = st.tuples(
+        st.integers(min_value=0, max_value=2),    # sample-rate index
+        st.lists(frame_spec, min_size=1, max_size=6),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=40)),  # ID3v2 size
+        st.booleans(),                            # ID3v1 trailer
+    )
+
+    @given(specs=st.lists(stream_spec, min_size=1, max_size=12))
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def run(specs):
+        payloads, expected = [], []
+        for i, (sr, frames, id3_size, trailer) in enumerate(specs):
+            parts = []
+            if id3_size is not None:
+                parts.append(b"ID3\x04\x00\x00"
+                             + bytes([0, 0, id3_size >> 7, id3_size & 0x7F])
+                             + b"\x7f" * id3_size)
+            for j, (br, pad) in enumerate(frames):
+                parts.append(_frame(br, sr, int(pad), fill=(i * 7 + j) % 251))
+            if trailer:
+                parts.append(b"TAG" + bytes(125))
+            payloads.append((i, b"".join(parts)))
+            expected.append({
+                "sample_rate": RATES[sr],
+                "bitrate_kbps": BITRATES[frames[0][0]],
+                "is_cbr": len({br for br, _ in frames}) == 1,
+                "n_frames": len(frames),
+                "duration_ms": 1_152_000 * len(frames) // RATES[sr],
+            })
+        got = _run(spark, payloads)
+        for i, exp in enumerate(expected):
+            for k, v in exp.items():
+                assert got[i][k] == v, (k, i, got[i][k], v)
+
+    run()

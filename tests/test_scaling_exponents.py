@@ -28,8 +28,23 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXP_CEILING = 1.1
 
 #: Queries allowed above the ceiling, each with the reason the shape is
-#: accepted.  Empty today — the r3 offender was fixed, not allowlisted.
-EXP_ALLOWLIST: dict[str, str] = {}
+#: accepted.
+EXP_ALLOWLIST: dict[str, str] = {
+    "embedding_close_pairs": (
+        "output-bound, and the output itself is quadratic in the "
+        "replicated fixture: at threshold 0.45 the Haar-rotated "
+        "replicas admit a random cross-replica cosine tail "
+        "(documented in tools/scaleup.py) so the TRUE pair count "
+        "grows 144 -> 1423 -> 16516 across x1/x3/x10 — an output-row "
+        "exponent of 2.04, which the measured wall exponent (~2.2, "
+        "r5 cold-carrier protocol) simply tracks.  Emitting the exact "
+        "pair relation can never beat its own output size; on a real "
+        "corpus near-dup density does not grow quadratically, and the "
+        "engine's sub-quadratic semantic-dedup paths at scale are "
+        "SemDeDup retention (embedding_dedup_retention, e=0.57 warm) "
+        "and the ANN indexes."
+    ),
+}
 
 #: Coverage rule: bench cost at/above this must have a probe row.  The
 #: probe's own enrollment threshold is 0.5 s (tools/scaleprobe.py

@@ -149,12 +149,38 @@ def main() -> None:
     RETRY_OVER = 2.5  # seconds — same stall-escape policy as bench.py
     MAX_ATTEMPTS = max(args.attempts + 1, 3)
 
-    def run_once(fn, d):
+    # Shared-pair-relation protocol, mirroring bench.py (r5): one query
+    # per family CARRIES the cold-build exponent (memo cleared each
+    # attempt so the deterministic eager-materialization path inside
+    # near_dup_pairs / the blocked scan runs — a memo HIT after
+    # clearCache would instead lazily rematerialize under the
+    # 4-branch race, which lands 4.7 s or 20 s nondeterministically;
+    # measured on near_dup_retention@x3, two probe runs 20.1/21.4 s vs
+    # 4.7 s steady standalone).  The remaining consumers are probed
+    # WARM (relation materialized untimed first) so their exponent
+    # measures THEIR plan — components, ranking windows — not a racy
+    # rebuild of the upstream relation.
+    COLD_CARRIERS = {
+        "near_dup_pairs_minhash": suite._NEAR_DUP_PAIRS_CACHE,
+        "embedding_close_pairs": suite._EMB_PAIRS_CACHE,
+    }
+    WARM_CONSUMERS = {
+        "near_dup_clusters": suite._shared_near_dup_pairs,
+        "near_dup_retention": suite._shared_near_dup_pairs,
+        "embedding_dedup_retention": suite._shared_embedding_pairs,
+    }
+
+    def run_once(name, fn, d):
+        spark.catalog.clearCache()  # time queries independently
+        memo = COLD_CARRIERS.get(name)
+        if memo is not None:
+            memo.clear()
+        warm = WARM_CONSUMERS.get(name)
+        if warm is not None:
+            warm(spark, d).count()  # untimed
         t0 = time.monotonic()
         n = fn(spark, d).count()
-        dt = time.monotonic() - t0
-        spark.catalog.clearCache()  # time queries independently
-        return dt, n
+        return time.monotonic() - t0, n
 
     results: dict[str, dict] = {name: {} for name in names}
     for scale, d in SCALES.items():
@@ -164,11 +190,11 @@ def main() -> None:
             fn = reg[name].fn
             best, rows = math.inf, -1
             for _ in range(args.attempts):
-                dt, rows = run_once(fn, d)
+                dt, rows = run_once(name, fn, d)
                 best = min(best, dt)
             attempts = args.attempts
             while best > RETRY_OVER and attempts < MAX_ATTEMPTS:
-                dt, rows = run_once(fn, d)
+                dt, rows = run_once(name, fn, d)
                 best = min(best, dt)
                 attempts += 1
             results[name][scale] = round(best, 3)
