@@ -28,23 +28,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXP_CEILING = 1.1
 
 #: Queries allowed above the ceiling, each with the reason the shape is
-#: accepted.
-EXP_ALLOWLIST: dict[str, str] = {
-    "embedding_close_pairs": (
-        "output-bound, and the output itself is quadratic in the "
-        "replicated fixture: at threshold 0.45 the Haar-rotated "
-        "replicas admit a random cross-replica cosine tail "
-        "(documented in tools/scaleup.py) so the TRUE pair count "
-        "grows 144 -> 1423 -> 16516 across x1/x3/x10 — an output-row "
-        "exponent of 2.04, which the measured wall exponent (~2.2, "
-        "r5 cold-carrier protocol) simply tracks.  Emitting the exact "
-        "pair relation can never beat its own output size; on a real "
-        "corpus near-dup density does not grow quadratically, and the "
-        "engine's sub-quadratic semantic-dedup paths at scale are "
-        "SemDeDup retention (embedding_dedup_retention, e=0.57 warm) "
-        "and the ANN indexes."
-    ),
-}
+#: accepted.  Empty today: the one r5 candidate (embedding_close_pairs,
+#: briefly measured e≈2.2) turned out to be probe contamination — under
+#: the warm-up-discard protocol its wall exponent is 0.27 even though
+#: its OUTPUT rows grow quadratically in the replicated fixture
+#: (144→1423→16516, the documented cross-replica cosine tail): the
+#: vectorized blocked scan absorbs the n² candidate work at probe
+#: scale.  SCALE.md keeps the honest asymptotic note.
+EXP_ALLOWLIST: dict[str, str] = {}
 
 #: Coverage rule: bench cost at/above this must have a probe row.  The
 #: probe's own enrollment threshold is 0.5 s (tools/scaleprobe.py
