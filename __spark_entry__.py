@@ -32,19 +32,36 @@ def entry(spark: SparkSession) -> DataFrame:
 # set can never go stale when a new round's artifact lands
 # (round-2 verdict "What's wrong" item 1).  ``_R1_VERIFIED`` below is a
 # frozen fallback for environments where the artifacts are absent.
-def _driver_verified() -> frozenset[str]:
+def _artifact_rows() -> list[tuple[int, dict]]:
+    """All committed driver artifacts as ``(round, rows)``, round-sorted.
+    Shared by the verified set and the staleness rotation so the two can
+    never disagree about which artifacts exist."""
     here = os.path.dirname(os.path.abspath(__file__))
-    seen: set[str] = set()
+    out: list[tuple[int, dict]] = []
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
+            rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
             with open(path, encoding="utf-8") as fh:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
         if isinstance(rows, dict):
-            for name, row in rows.items():
-                if _row_passed(row):
-                    seen.add(name)
+            out.append((rnd, rows))
+    return out
+
+
+def _driver_verified() -> frozenset[str]:
+    # The MOST RECENT round's row is authoritative (r5 ADVICE): a query
+    # that passed in r2 but has a FAILED row in r5 regressed — it must
+    # drop back into the check-first group immediately, not wait for the
+    # staleness rotation to reach it.
+    latest: dict[str, tuple[int, bool]] = {}
+    for rnd, rows in _artifact_rows():
+        for name, row in rows.items():
+            cur = latest.get(name)
+            if cur is None or rnd >= cur[0]:
+                latest[name] = (rnd, _row_passed(row))
+    seen = {name for name, (_, passed) in latest.items() if passed}
     return frozenset(seen) if seen else _R1_VERIFIED
 
 
@@ -74,19 +91,11 @@ def _last_checked_round() -> dict[str, int]:
     sample re-runs VERIFIED queries, and registration order would
     re-check the same r1 head every round while r2-r4 rows (the
     rows-only families among them) went stale forever."""
-    here = os.path.dirname(os.path.abspath(__file__))
     last: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
-        try:
-            rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
-            with open(path, encoding="utf-8") as fh:
-                rows = json.load(fh)
-        except (OSError, ValueError):
-            continue
-        if isinstance(rows, dict):
-            for name, row in rows.items():
-                if _row_passed(row):
-                    last[name] = max(last.get(name, 0), rnd)
+    for rnd, rows in _artifact_rows():
+        for name, row in rows.items():
+            if _row_passed(row):
+                last[name] = max(last.get(name, 0), rnd)
     return last
 
 

@@ -358,6 +358,15 @@ def _jpeg_luma_plane(payload: bytes):
                 for (cs, tdc, tac) in scan_comps:
                     if cs == cid:
                         td, ta = tdc, tac
+                if td is None:
+                    # Legal non-interleaved baseline JPEG: a frame
+                    # component absent from the first SOS (multi-scan
+                    # files also stop at the first SOS here) — fail
+                    # loudly like every other unsupported shape instead
+                    # of a raw huff[(0, None)] KeyError (r5 ADVICE).
+                    raise NotImplementedError(
+                        "non-interleaved/multi-scan baseline JPEG: "
+                        f"component {cid} absent from the first SOS")
                 for by in range(vs):
                     for bx in range(hs):
                         coef = np.zeros((8, 8), dtype=np.float64)
@@ -857,6 +866,15 @@ def extract_mp3_header_stats(
             is_cbr = True
             while pos + 4 <= len(payload):
                 if payload[pos:pos + 3] == b"TAG":  # ID3v1 trailer
+                    if pos + 128 > len(payload):
+                        # 'TAG' + fewer than 125 bytes: skipping the full
+                        # 128 would push pos past the payload and make
+                        # the trailing-bytes guard report a NEGATIVE
+                        # count (r5 ADVICE) — name the real defect.
+                        raise ValueError(
+                            "truncated ID3v1 tag: 'TAG' at byte "
+                            f"{pos} with only {len(payload) - pos} of "
+                            "128 bytes present")
                     pos += 128
                     continue
                 b0, b1, b2 = payload[pos], payload[pos + 1], payload[pos + 2]

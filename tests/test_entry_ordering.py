@@ -29,8 +29,17 @@ def entry_mod():
     return mod
 
 
+def _row_passed(row) -> bool:
+    if not isinstance(row, dict):
+        return True
+    if row.get("err") == "no_oracle":
+        return row.get("spark_rows") is not None
+    return bool(row.get("rows_match") and row.get("schema_match")
+                and row.get("hash_match"))
+
+
 def _artifact_keys() -> tuple[set[str], set[str]]:
-    """(passed, failed-only) keys across committed CORRECTNESS_r*.json.
+    """(verified, check-first) keys across committed CORRECTNESS_r*.json.
 
     A row counts as PASSED when its check fully succeeded: oracle rows
     need rows+schema+hash ALL green (r1's monthly_rollup row had
@@ -38,36 +47,63 @@ def _artifact_keys() -> tuple[set[str], set[str]]:
     in the check-first group), rows-only rows need err=="no_oracle"
     with spark_rows recorded.  r4's red frequent_event_types_sketch
     row (canonicalizer crash, spark_rows=null, err=traceback) passes
-    neither (r5 fixes, independently re-stated here so the entry
-    module can't drift)."""
-    passed: set[str] = set()
-    seen: set[str] = set()
+    neither.  The MOST RECENT round's row is authoritative (r5 ADVICE):
+    pass-in-r2 + fail-in-r5 means regressed, not verified."""
+    latest: dict[str, tuple[int, bool]] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
         with open(path, encoding="utf-8") as fh:
             rows = json.load(fh)
         assert isinstance(rows, dict), path
         for name, row in rows.items():
-            seen.add(name)
-            if not isinstance(row, dict):
-                passed.add(name)
-            elif row.get("err") == "no_oracle":
-                if row.get("spark_rows") is not None:
-                    passed.add(name)
-            elif (row.get("rows_match") and row.get("schema_match")
-                    and row.get("hash_match")):
-                passed.add(name)
-    return passed, seen - passed
+            cur = latest.get(name)
+            if cur is None or rnd >= cur[0]:
+                latest[name] = (rnd, _row_passed(row))
+    passed = {n for n, (_, ok) in latest.items() if ok}
+    return passed, set(latest) - passed
 
 
 def test_verified_set_matches_committed_artifacts(entry_mod):
-    """The verified set is exactly the PASSED keys of CORRECTNESS_r*.json."""
-    passed, failed_only = _artifact_keys()
+    """The verified set is exactly the latest-round-PASSED keys of
+    CORRECTNESS_r*.json."""
+    passed, failed_latest = _artifact_keys()
     assert passed, "no CORRECTNESS_r*.json committed — driver never ran?"
     assert entry_mod._driver_verified() == passed
-    # Failed-only rows re-enter the check-first group instead of being
-    # treated as verified.
-    for name in failed_only:
+    # Rows whose latest round failed re-enter the check-first group
+    # instead of being treated as verified.
+    for name in failed_latest:
         assert name not in entry_mod._driver_verified()
+
+
+def test_latest_round_failure_drops_from_verified(tmp_path):
+    """Synthetic artifacts: a query green in r1 but red in r2 must NOT be
+    verified (r5 ADVICE — union-across-rounds kept regressions out of
+    the check-first group until the staleness rotation reached them)."""
+    import shutil
+
+    shutil.copy(os.path.join(REPO, "__spark_entry__.py"),
+                tmp_path / "__spark_entry__.py")
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "spark_rows": 5, "oracle_rows": 5, "err": None}
+    red = {"rows_match": True, "schema_match": True, "hash_match": False,
+           "spark_rows": 5, "oracle_rows": 5, "err": None}
+    rows_only = {"rows_match": None, "schema_match": None, "hash_match": None,
+                 "spark_rows": 3, "oracle_rows": None, "err": "no_oracle"}
+    crashed = dict(rows_only, spark_rows=None, err="Traceback ...")
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "regressed": green, "stable": green, "recovered": red,
+        "ro_regressed": rows_only}))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "regressed": red, "recovered": green, "ro_regressed": crashed}))
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_synth", tmp_path / "__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    verified = mod._driver_verified()
+    assert "stable" in verified          # green r1, unsampled r2
+    assert "recovered" in verified       # red r1, green r2
+    assert "regressed" not in verified   # green r1, red r2 — the ADVICE case
+    assert "ro_regressed" not in verified  # rows-only ran clean r1, crashed r2
 
 
 def test_never_checked_queries_come_first(entry_mod):

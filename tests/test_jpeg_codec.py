@@ -327,6 +327,25 @@ def test_jpeg_progressive_raises(spark):
         extract_image_features(df, deterministic_fake=False).collect()
 
 
+def test_jpeg_non_interleaved_scan_raises(spark):
+    """A frame component absent from the first SOS (legal
+    non-interleaved baseline JPEG) raises the explicit
+    NotImplementedError, not a raw huff-table KeyError (r5 ADVICE)."""
+    blocks = [[_dc_block(90), _dc_block(100), _dc_block(110)]]
+    payload = bytearray(jpeg_bytes(blocks, 8, 8, n_comp=3))
+    idx = payload.find(b"\xff\xda")
+    # Replace the 3-component SOS (14 bytes incl. marker+length) with a
+    # 2-component one: component 3 stays in the SOF but leaves the scan.
+    assert payload[idx + 2:idx + 4] == (12).to_bytes(2, "big")
+    payload[idx:idx + 14] = (
+        b"\xff\xda" + (10).to_bytes(2, "big")
+        + bytes([2, 1, 0x00, 2, 0x00, 0, 63, 0]))
+    df = spark.createDataFrame(
+        [(0, bytes(payload))], "media_id long, payload binary")
+    with pytest.raises(Exception, match="absent from the first SOS"):
+        extract_image_features(df, deterministic_fake=False).collect()
+
+
 def test_jpeg_resize_to_grayscale_png(spark):
     """r5: resize_images accepts baseline-JPEG input — the shared T.81
     reader yields the Y plane, nearest-neighbor resample, grayscale-PNG

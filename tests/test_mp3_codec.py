@@ -136,6 +136,15 @@ def test_truncated_final_frame_raises(spark):
         _run(spark, [(1, full + b"\x00\x00")])
 
 
+def test_truncated_id3v1_trailer_raises(spark):
+    """'TAG' + fewer than 125 bytes must raise a named error, not walk
+    past the payload end and report a NEGATIVE trailing-byte count
+    (r5 ADVICE)."""
+    body = _frame(9, 0) * 2
+    with pytest.raises(Exception, match="truncated ID3v1"):
+        _run(spark, [(1, body + b"TAG" + bytes(50))])
+
+
 def test_mp3_walk_property_fuzz(spark):
     """Property fuzz (SURVEY §5.4 style): arbitrary valid MPEG-1 L3
     streams — any bitrate-index sequence (VBR), any padding schedule,
