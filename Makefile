@@ -50,6 +50,18 @@ scaledata:
 scaleprobe: scaledata
 	$(PY) tools/scaleprobe.py
 
+# Exponents for the shared pair-relation COLD BUILDS (bench.py's
+# cold_builds numbers) — at 100 TB the build is the job.
+scaleprobe-cold: scaledata
+	$(PY) tools/scaleprobe.py --cold-builds
+
+# Scaling row for the hierarchical exact pair search (the
+# embedding_close_pairs auto path past max_side_bytes): generates
+# clustered 50k/150k/500k corpora and probes cold builds, with an x1
+# equality gate against the blocked exact path.
+embpairs-probe:
+	$(PY) tools/embpairs_probe.py
+
 # Measure ANN recall@10 at 1x/3x/10x corpus (fit params at production
 # caps) into SCALING.json's ann_recall section; CI pins x10 floors.
 ann-recall-scale: scaledata

@@ -100,6 +100,85 @@ def es_mapping_for_schema(
     }
 
 
+def _json_safe(v):
+    """JSON-encodable form of a collected Spark value, matching what an
+    OpenSearch document accepts: datetimes/dates → isoformat (the
+    reference does the same per-row, ``streaming/elk_sender.py:120-123``),
+    Decimal → str (no silent precision loss), binary → base64 (the OS
+    ``binary`` field type), Row/struct → dict, NaN/Inf → null (JSON has
+    no literal for them; ``json.dumps(allow_nan=False)`` would raise)."""
+    import base64
+    import decimal
+    import math as _math
+
+    if v is None or isinstance(v, (bool, int, str)):
+        return v
+    if isinstance(v, float):
+        return v if _math.isfinite(v) else None
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return base64.b64encode(bytes(v)).decode("ascii")
+    if isinstance(v, dict):
+        return {k: _json_safe(x) for k, x in v.items()}
+    if hasattr(v, "asDict"):
+        return {k: _json_safe(x) for k, x in v.asDict().items()}
+    if isinstance(v, (list, tuple)):
+        return [_json_safe(x) for x in v]
+    return str(v)
+
+
+def opensearch_bulk_payload(
+    rows: "list[dict]", index_name: str, id_field: str | None = None
+) -> bytes:
+    """The exact body an OpenSearch/Elasticsearch ``_bulk`` endpoint
+    expects (replaces the reference's per-document HTTP posts,
+    ``streaming/elk_sender.py:85-128``): one compact-JSON ACTION line
+    then one SOURCE line per document, newline-separated, INCLUDING the
+    trailing newline — the API rejects a body whose last line is not
+    newline-terminated.  ``id_field`` routes idempotent upserts via
+    ``_id`` (exactly-once sinks re-deliver on retry; without an id the
+    server assigns one and re-delivery duplicates).  Ship with
+    ``Content-Type: application/x-ndjson``."""
+    import json
+
+    lines: list[str] = []
+    for row in rows:
+        doc = {k: _json_safe(v) for k, v in row.items()}
+        action: dict = {"index": {"_index": index_name}}
+        if id_field is not None:
+            action["index"]["_id"] = str(doc[id_field])
+        lines.append(json.dumps(action, separators=(",", ":")))
+        lines.append(json.dumps(doc, separators=(",", ":")))
+    return ("\n".join(lines) + "\n").encode("utf-8") if lines else b""
+
+
+def make_opensearch_bulk_send(
+    post: "Callable[[str, bytes, dict], Any]",
+    index_name: str,
+    id_field: str | None = None,
+) -> "Callable[[list[dict]], None]":
+    """Adapter giving :class:`~..streaming.runner.BufferedExternalSink`
+    a real bulk-protocol ``send``: each chunk becomes ONE ``_bulk``
+    request through the injectable ``post(path, body, headers)``
+    boundary (tests inject a recorder; production injects an HTTP
+    client — no cluster exists in this sandbox, so the payload contract
+    is what the tests pin)."""
+
+    def send(rows: "list[dict]") -> None:
+        if not rows:
+            return
+        post(
+            "/_bulk",
+            opensearch_bulk_payload(rows, index_name, id_field),
+            {"Content-Type": "application/x-ndjson"},
+        )
+
+    return send
+
+
 class RecordingTransport:
     """Default transport: records DDL calls instead of sending them.
 

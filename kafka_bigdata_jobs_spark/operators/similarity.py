@@ -263,7 +263,9 @@ def embedding_near_dup_pairs_blocked(
     # interpreted eval).  Same left-to-right sums, same oracle parity.
     base = spread(df).select(
         F.col(id_col).alias("__id"), as_double_vec(F.col(vec_col)).alias("__v")
-    ).withColumn("__n2", F.expr(dot_sql("__v", "__v", dim))).cache()
+    ).withColumn("__n2", F.expr(dot_sql("__v", "__v", dim))).where(
+        F.col("__n2") > 0  # undefined-cosine rows pair with nothing
+    ).cache()
     n_rows = base.count()
     est_bytes = n_rows * dim * 8
     if est_bytes > max_side_bytes:
@@ -339,6 +341,12 @@ def embedding_near_dup_pairs(
     Brute self-join bounded to the upper triangle; with ``cell_col``
     the pair search stays within cells (the LSH/IVF scale path — near
     dups land in the same cell by construction of the quantizer).
+
+    Zero-norm vectors have no defined cosine and participate in no
+    pair — excluded up front in every pair path (under ANSI mode the
+    ``/ sqrt(0)`` would otherwise fail the whole query; the celled
+    paths additionally need the exclusion so a NaN angle can't poison
+    a covering radius).
     """
     from .relational import spread
 
@@ -346,7 +354,9 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("__id"),
         as_double_vec(F.col(vec_col)).alias("__v"),
         *([F.col(cell_col).alias("__cell")] if cell_col else []),
-    ).withColumn("__n2", F.expr(dot_sql("__v", "__v", dim))).cache()
+    ).withColumn("__n2", F.expr(dot_sql("__v", "__v", dim))).where(
+        F.col("__n2") > 0
+    ).cache()
     left = base.select(
         F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
         F.col("__n2").alias("__na2"),
@@ -372,6 +382,528 @@ def embedding_near_dup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def embedding_near_dup_pairs_celled(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_cells: int = 16,
+    seed: int = 42,
+    fit_sample_rows: int = 8192,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Exact-COMPLETE cosine pair search partitioned by k-means cells —
+    the 100-TB form of :func:`embedding_near_dup_pairs` (SemDeDup-style
+    corpora; Abbas et al. 2023 run the same cluster-then-pair shape but
+    accept boundary misses — here a covering-radius multi-assignment
+    makes the candidate set provably complete, so the output is
+    bit-identical to the brute-force upper-triangle join).
+
+    Completeness argument (angles on the unit sphere; scaling never
+    changes an angle, so raw vectors inherit it): let ``θ_t =
+    arccos(threshold)`` and ``R_c`` = covering radius of cell ``c``
+    (max angle from a member to its centroid).  For any qualifying pair
+    ``angle(a,b) ≤ θ_t`` with ``b`` home in cell ``c``, the triangle
+    inequality gives ``angle(a, center_c) ≤ angle(a,b) + angle(b,
+    center_c) ≤ θ_t + R_c`` — so replicating every point into every
+    cell within ``θ_t + R_c (+ ε for float acos)`` of it guarantees
+    ``a``'s replica set contains ``b``'s home cell.  Candidates are the
+    per-cell replica×home joins (deduped — a pair can co-occur in two
+    cells); every candidate is then re-verified with the same unrolled
+    exact-cosine expression the brute path uses, so over-assignment
+    costs time, never correctness.
+
+    Scale design: no per-worker corpus matrix anywhere (the blocked
+    path's bound disappears).  Cost is one k-means fit on a bounded
+    sample, one Θ(n·n_cells) centroid scoring pass, and per-cell
+    quadratic joins bounded by (cell size + replicas)² — ``n_cells``
+    grows with the corpus to hold cell populations flat.  The
+    replication factor is data-dependent: tight clusters and a high
+    threshold keep it near 1; a threshold so low that θ_t rivals the
+    inter-centroid angles degenerates toward all-pairs, which is the
+    honest cost of asking for *every* pair at that radius.
+    """
+    import math
+
+    # Zero-norm exclusion must precede the fit: l2_normalize inside the
+    # quantizer divides by the norm (ANSI: divide-by-zero fails loudly).
+    nz = df.where(F.expr(dot_sql(vec_col, vec_col, dim)) > 0)
+    assigned, centers = kmeans_ivf_cells(
+        nz, id_col, vec_col, n_cells=n_cells, seed=seed, dim=dim,
+        fit_sample_rows=fit_sample_rows, cache_key=cache_key,
+    )
+    base = (
+        assigned.select(
+            F.col(id_col).alias("__id"),
+            as_double_vec(F.col(vec_col)).alias("__v"),
+            F.col("__cell"),
+        )
+        .withColumn("__n2", F.expr(dot_sql("__v", "__v", dim)))
+        # Zero-norm vectors: their cosine is NaN, so they can never be
+        # in a qualifying pair (NaN >= t is false in both engines) —
+        # but left IN, one of them poisons its home cell's covering
+        # radius (max over a NaN angle is NaN, the replication filter
+        # then rejects every point, and the CELL's real pairs are
+        # lost).  Dropping them is output-equivalent and keeps the
+        # completeness proof clean.
+        .where(F.col("__n2") > 0)
+        .cache()
+    )
+    # Home-cell angles → per-cell covering radius (tiny relation).
+    cent = F.broadcast(centers)
+    ang_to = F.acos(
+        F.greatest(
+            F.lit(-1.0),
+            F.least(F.lit(1.0), F.expr(cosine_sql("__v", "center", dim))),
+        )
+    )
+    radii = (
+        base.join(cent, base["__cell"] == centers["cell_id"])
+        .select(F.col("cell_id"), ang_to.alias("__ang"))
+        .groupBy("cell_id")
+        .agg(F.max("__ang").alias("__radius"))
+    )
+    theta_t = math.acos(max(-1.0, min(1.0, threshold)))
+    # ε absorbs float64 acos/triangle slack; over-assignment is verified
+    # away, under-assignment would lose pairs — so err wide.
+    eps = 1e-6
+    rep = (
+        base.crossJoin(F.broadcast(centers.join(radii, "cell_id")))
+        .where(ang_to <= F.lit(theta_t + eps) + F.col("__radius"))
+        .select(F.col("__id").alias("__rid"), F.col("cell_id").alias("__rcell"))
+    )
+    home = base.select(F.col("__id").alias("__hid"), F.col("__cell").alias("__hcell"))
+    cands = (
+        rep.join(home, (F.col("__rcell") == F.col("__hcell"))
+                 & (F.col("__rid") != F.col("__hid")))
+        .select(
+            F.least("__rid", "__hid").alias("id_a"),
+            F.greatest("__rid", "__hid").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = base.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
+        F.col("__n2").alias("__na2"),
+    )
+    b = base.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
+        F.col("__n2").alias("__nb2"),
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(cosine_prenormed_sql("__va", "__vb", "__na2", "__nb2", dim)),
+                6,
+            ),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+#: Memo for sample-fitted two-level quantizers, keyed like
+#: _KMEANS_MODEL_CACHE (evicted with its session's application id).
+_TWO_LEVEL_FIT_CACHE: dict[tuple, tuple] = {}
+
+
+def _lloyd_rounds(points, k: int, seed: int, iters: int = 8):
+    """Driver-side spherical k-means over a BOUNDED point set (a seeded
+    corpus sample or quantizer metadata — never the data).
+    Deterministic: seeded init, fixed iterations, argmax ties broken by
+    index."""
+    import numpy as np
+
+    pts = np.asarray(points, dtype=np.float64)
+    pts = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    k = min(k, len(pts))
+    centers = pts[rng.choice(len(pts), size=k, replace=False)].copy()
+    assign = np.zeros(len(pts), dtype=np.int64)
+    for _ in range(iters):
+        assign = (pts @ centers.T).argmax(axis=1)
+        for j in range(k):
+            m = pts[assign == j]
+            if len(m):
+                c = m.mean(axis=0)
+                nrm = np.linalg.norm(c)
+                if nrm > 0:
+                    centers[j] = c / nrm
+    return centers, assign
+
+
+def _fit_two_level(sample_mat, k_leaf: int, n_branches: int, seed: int):
+    """Two-level quantizer fit on a bounded sample: branches first, then
+    per-branch leaves sized proportionally to branch population — the
+    fit cost is Θ(sample · (B + K/B) · dim · iters) regardless of corpus
+    size, the same bounded-fit contract as ``kmeans_ivf_cells`` but
+    yielding K cells for a √K-per-row assignment cost."""
+    import numpy as np
+
+    bcenters, bassign = _lloyd_rounds(sample_mat, n_branches, seed)
+    leaf_centers, leaf_branch = [], []
+    n = len(sample_mat)
+    for b in range(len(bcenters)):
+        m = sample_mat[bassign == b]
+        if not len(m):
+            continue
+        kb = max(1, min(len(m), round(k_leaf * len(m) / n)))
+        cs, _ = _lloyd_rounds(m, kb, seed + 7919 * (b + 1))
+        for c in cs:
+            leaf_centers.append(c)
+            leaf_branch.append(b)
+    return (
+        np.asarray(bcenters),
+        np.asarray(leaf_centers),
+        np.asarray(leaf_branch, dtype=np.int64),
+    )
+
+
+def embedding_near_dup_pairs_hier(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    dim: int = 64,
+    leaf_target: int = 64,
+    seed: int = 42,
+    fit_sample_rows: int = 32768,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Exact-COMPLETE cosine pair search with a TWO-LEVEL quantizer —
+    the 100-TB form.  Same covering-radius completeness argument as
+    :func:`embedding_near_dup_pairs_celled`, lifted one level: with
+    ``branch_R(β) = max over leaves c∈β of (angle(β,c) + R_c)``, any
+    qualifying partner ``a`` of a point ``b`` home in leaf ``c`` of
+    branch ``β`` satisfies ``angle(a, β) ≤ angle(a,c) + angle(c,β) ≤
+    (θ_t + R_c) + angle(c,β) ≤ θ_t + branch_R(β)`` — so pruning
+    branches first loses nothing, and the leaf filter ``angle(a, c) ≤
+    θ_t + R_c`` finishes exactly as in the flat form.  The argument
+    never depends on HOW homes were chosen, only that ``R_c`` is the
+    max home-member angle — so a vectorized assignment is safe.  Every
+    candidate is re-verified with the exact unrolled cosine expression,
+    so the output is bit-identical to brute force.
+
+    Why two levels (the inverted-multi-index shape; Babenko & Lempitsky
+    2012): the flat form scores every row against every cell — Θ(n·K)
+    with K ∝ n is a hidden quadratic — and the per-leaf pair matmul
+    needs SMALL cells (``leaf_target`` rows) to keep the candidate
+    surface ≈ n·leaf_target·replication.  Small cells mean large K,
+    which only a hierarchical assignment (Θ(n·(B + K/B)) = Θ(n·√K))
+    and a bounded-sample hierarchical FIT can afford.
+
+    Execution shape (measured on the x1 probe corpus; see
+    tools/embpairs_probe.py): assignment and replication are
+    ``mapInArrow`` passes emitting ID-ONLY rows — Arrow list columns
+    flatten to a dense (rows × dim) matrix with zero per-row Python
+    objects, and the angle math is one numpy matmul per batch (the
+    blocked path's candidates-only contract: numpy decides what gets
+    VERIFIED, never a final value).  Vectors re-attach to the replica
+    relation through a JVM hash join (an early version shipped vectors
+    through the pandas passes as object arrays — 42 of the path's 82
+    seconds at x1).  In-leaf candidate nomination is a grouped
+    replicas·homesᵀ matmul at ``threshold − margin``; survivors (an
+    output-sized relation) get the exact expression.  The quantizer
+    (≤ K·dim doubles) is driver-held metadata shipped in task
+    closures; the corpus never leaves executors.
+
+    Full-corpus passes are all linear in n at fixed ``leaf_target``
+    (with a √K assignment factor a third level would flatten):
+    Arrow assignment, Arrow replication, one groupBy over K radius
+    rows, the vector-attach join (replication-factor × corpus volume),
+    the leaf-grain matmul, and exact verification of ~output-sized
+    candidates.  The replication factor is the honest data-dependence:
+    tight content clusters keep it small; uniform high-dim noise makes
+    covering radii rival θ_t and degenerates toward all-pairs — the
+    unavoidable cost of EXACT completeness on structureless data (the
+    approximate alternatives are the SemDeDup/ANN paths).
+    """
+    import math
+
+    import numpy as np
+
+    spark = df.sparkSession
+    id_field = df.select(F.col(id_col).alias("__id")).schema[0]
+    base = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            as_double_vec(F.col(vec_col)).alias("__v"),
+        )
+        .withColumn("__n2", F.expr(dot_sql("__v", "__v", dim)))
+        # Zero-norm rows: cosine undefined, can never qualify (NaN >= t
+        # is false; ANSI division would fail loudly) — and one of them
+        # would poison its home leaf's covering radius.  See
+        # embedding_near_dup_pairs.
+        .where(F.col("__n2") > 0)
+        .cache()
+    )
+    n_rows = base.count()
+    if n_rows == 0:
+        return base.select(
+            F.col("__id").alias("id_a"),
+            F.col("__id").alias("id_b"),
+            F.lit(0.0).alias("cosine"),
+        ).where(F.lit(False))
+
+    # --- bounded-sample two-level fit (memoized per corpus snapshot) ---
+    app = spark.sparkContext.applicationId
+    memo_key = None
+    if cache_key is not None:
+        memo_key = (cache_key, leaf_target, seed, dim, fit_sample_rows, app)
+        for dead in [x for x in _TWO_LEVEL_FIT_CACHE if x[-1] != app]:
+            del _TWO_LEVEL_FIT_CACHE[dead]
+    fit = _TWO_LEVEL_FIT_CACHE.get(memo_key) if memo_key else None
+    if fit is None:
+        frac = min(1.0, 1.05 * fit_sample_rows / n_rows)
+        sample_pdf = (
+            base.select("__v").sample(fraction=frac, seed=seed)
+            .limit(fit_sample_rows).toPandas()
+        )
+        sample = np.array(list(sample_pdf["__v"]), dtype=np.float64)
+        k_leaf = max(4, min(n_rows // leaf_target, len(sample) // 4))
+        n_branches = max(2, math.isqrt(k_leaf - 1) + 1)
+        fit = _fit_two_level(sample, k_leaf, n_branches, seed)
+        if memo_key is not None:
+            _TWO_LEVEL_FIT_CACHE[memo_key] = fit
+    bcenters, leaf_centers, leaf_branch = fit
+    n_b = len(bcenters)
+    leaves_of = [np.nonzero(leaf_branch == b)[0] for b in range(n_b)]
+    theta_t = math.acos(max(-1.0, min(1.0, threshold)))
+    eps = 1e-6  # float-acos slack; over-assignment is verified away
+
+    def _vecs(batch):
+        """Arrow list<double> column -> dense (rows, dim) float64 matrix
+        with no per-row Python objects."""
+        import numpy as _np
+
+        col = batch.column(batch.schema.get_field_index("__v"))
+        flat = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+        return flat.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim).astype(_np.float64, copy=False)
+
+    def _angles(block, centers):
+        import numpy as _np
+
+        return _np.arccos(_np.clip(block @ centers.T, -1.0, 1.0))
+
+    # --- pass 1: hierarchical HOME assignment (id -> leaf, home angle) —
+    # one Arrow map, Θ(n·(B + K/B)) flops, id-only output, no shuffle.
+    home_schema = T.StructType([
+        T.StructField("__id", id_field.dataType),
+        T.StructField("leaf_id", T.IntegerType()),
+        T.StructField("__hang", T.DoubleType()),
+    ])
+
+    def assign_home(it):
+        import numpy as _np
+        import pyarrow as _pa
+
+        for batch in it:
+            if not batch.num_rows:
+                continue
+            x = _vecs(batch)
+            xn = x / _np.linalg.norm(x, axis=1, keepdims=True)
+            hb = _angles(xn, bcenters).argmin(axis=1)
+            leaf = _np.zeros(len(xn), dtype=_np.int32)
+            hang = _np.zeros(len(xn), dtype=_np.float64)
+            for b in _np.unique(hb):
+                rows = _np.nonzero(hb == b)[0]
+                lidx = leaves_of[b]
+                langs = _angles(xn[rows], leaf_centers[lidx])
+                j = langs.argmin(axis=1)
+                leaf[rows] = lidx[j].astype(_np.int32)
+                hang[rows] = langs[_np.arange(len(rows)), j]
+            yield _pa.RecordBatch.from_arrays(
+                [batch.column(batch.schema.get_field_index("__id")),
+                 _pa.array(leaf, type=_pa.int32()),
+                 _pa.array(hang, type=_pa.float64())],
+                names=["__id", "leaf_id", "__hang"],
+            )
+
+    home = base.select("__id", "__v").mapInArrow(assign_home, home_schema).cache()
+
+    # --- radii: one K-row aggregate, collected as quantizer metadata
+    # (bounded by the leaf count, not the data).
+    radius_rows = (
+        home.groupBy("leaf_id").agg(F.max("__hang").alias("__radius")).collect()
+    )
+    radius = np.full(len(leaf_centers), np.nan)
+    for r in radius_rows:
+        radius[r["leaf_id"]] = r["__radius"]
+    live = ~np.isnan(radius)  # leaves with no home can't host a partner
+    branch_r = np.full(n_b, -1.0)
+    for b in range(n_b):
+        lidx = leaves_of[b][live[leaves_of[b]]]
+        if len(lidx):
+            lb_ang = _angles(bcenters[b:b + 1], leaf_centers[lidx])[0]
+            branch_r[b] = float((lb_ang + radius[lidx]).max())
+
+    # --- pass 2: covering-radius REPLICATION (id -> every leaf that can
+    # host a qualifying partner) — same Arrow shape, id-only output.
+    rep_schema = T.StructType([
+        T.StructField("__id", id_field.dataType),
+        T.StructField("leaf_id", T.IntegerType()),
+    ])
+
+    def replicate(it):
+        import numpy as _np
+        import pyarrow as _pa
+
+        for batch in it:
+            if not batch.num_rows:
+                continue
+            x = _vecs(batch)
+            xn = x / _np.linalg.norm(x, axis=1, keepdims=True)
+            ids = batch.column(batch.schema.get_field_index("__id"))
+            bang = _angles(xn, bcenters)
+            ok_b = bang <= theta_t + eps + branch_r[None, :]
+            src_list, leaf_list = [], []
+            for b in range(n_b):
+                rows = _np.nonzero(ok_b[:, b])[0]
+                if not len(rows):
+                    continue
+                lidx = leaves_of[b][live[leaves_of[b]]]
+                if not len(lidx):
+                    continue
+                langs = _angles(xn[rows], leaf_centers[lidx])
+                ri, lj = _np.nonzero(
+                    langs <= theta_t + eps + radius[lidx][None, :])
+                if not len(ri):
+                    continue
+                src_list.append(rows[ri])
+                leaf_list.append(lidx[lj])
+            if not src_list:
+                continue
+            src = _np.concatenate(src_list)
+            yield _pa.RecordBatch.from_arrays(
+                [ids.take(_pa.array(src, type=_pa.int64())),
+                 _pa.array(_np.concatenate(leaf_list).astype(_np.int32),
+                           type=_pa.int32())],
+                names=["__id", "leaf_id"],
+            )
+
+    rep = base.select("__id", "__v").mapInArrow(replicate, rep_schema)
+
+    # --- leaf-grain CANDIDATE generation: vectors re-attach to the
+    # replica relation via a JVM hash join (never through a Python
+    # pass), then inside each leaf a numpy replicas·homesᵀ matmul
+    # nominates the pairs at cosine ≥ threshold − margin, so the exact
+    # verify join only ships vectors for an OUTPUT-sized relation —
+    # the blocked path's candidates-only contract, applied per leaf.
+    margin = 1e-6
+    cut = threshold - margin
+    tagged = (
+        rep.withColumn("__side", F.lit("r"))
+        .unionByName(home.select("__id", "leaf_id",
+                                 F.lit("h").alias("__side")))
+        .join(base.select("__id", "__v"), "__id")
+        .select("leaf_id", "__id", "__v", "__side")
+    )
+    cand_schema = T.StructType([
+        T.StructField("id_a", id_field.dataType),
+        T.StructField("id_b", id_field.dataType),
+    ])
+
+    def leaf_pairs(key, pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        r = pdf[pdf["__side"] == "r"]
+        h = pdf[pdf["__side"] == "h"]
+        if not len(r) or not len(h):
+            return _pd.DataFrame({"id_a": [], "id_b": []})
+        rm = _np.array(list(r["__v"]), dtype=_np.float64)
+        hm = _np.array(list(h["__v"]), dtype=_np.float64)
+        sims = (rm @ hm.T) / _np.outer(
+            _np.linalg.norm(rm, axis=1), _np.linalg.norm(hm, axis=1))
+        ri, hj = _np.nonzero(sims >= cut)
+        ra = r["__id"].to_numpy()[ri]
+        hb = h["__id"].to_numpy()[hj]
+        keep = ra != hb
+        ra, hb = ra[keep], hb[keep]
+        lo = _np.where(ra < hb, ra, hb)
+        hi = _np.where(ra < hb, hb, ra)
+        return _pd.DataFrame({"id_a": lo, "id_b": hi}).drop_duplicates()
+
+    cands = (
+        tagged.groupBy("leaf_id")
+        .applyInPandas(leaf_pairs, cand_schema)
+        .distinct()  # a pair can co-occur in two leaves
+    )
+    a = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
+                    F.col("__n2").alias("__na2"))
+    b = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
+                    F.col("__n2").alias("__nb2"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(cosine_prenormed_sql("__va", "__vb", "__na2", "__nb2", dim)),
+                6,
+            ),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_near_dup_pairs_auto(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    dim: int = 64,
+    max_side_bytes: int = MAX_SIDE_MATRIX_BYTES,
+    n_cells: int | None = None,
+    seed: int = 42,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Size-dispatched exact cosine pair search (r5 verdict item 1):
+    below ``max_side_bytes`` the numpy-blocked matmul candidate path
+    (:func:`embedding_near_dup_pairs_blocked` — fastest when every
+    worker can hold the corpus matrix), above it the two-level
+    cell-partitioned :func:`embedding_near_dup_pairs_hier` path, which
+    has no per-worker matrix and no per-row full-cell scan.  All paths
+    verify candidates with the same exact expression, so the OUTPUT is
+    identical either side of the cutover — this mirrors
+    ``stats.series_corr_pairs_auto``, closing the last operator where
+    a 100× scale-up needed a human decision.
+
+    The dispatch count is a parquet-metadata count on the raw input
+    (no materialization).  ``n_cells`` forces the FLAT celled form with
+    that many cells (testing/diagnostics); by default the hierarchical
+    form sizes itself (≈ n/512 leaves, √leaves branches).
+    """
+    n_rows = df.count()
+    est_bytes = n_rows * dim * 8
+    if est_bytes <= max_side_bytes:
+        embedding_near_dup_pairs_auto.last_path = "blocked"
+        return embedding_near_dup_pairs_blocked(
+            df, id_col, vec_col, threshold=threshold, dim=dim,
+            max_side_bytes=max_side_bytes,
+        )
+    if n_cells is not None:
+        embedding_near_dup_pairs_auto.last_path = "celled"
+        return embedding_near_dup_pairs_celled(
+            df, id_col, vec_col, threshold=threshold, dim=dim,
+            n_cells=n_cells, seed=seed, cache_key=cache_key,
+        )
+    embedding_near_dup_pairs_auto.last_path = "hier"
+    return embedding_near_dup_pairs_hier(
+        df, id_col, vec_col, threshold=threshold, dim=dim,
+        seed=seed, cache_key=cache_key,
+    )
+
+
+#: Test/diagnostic introspection: which path the last auto call chose.
+embedding_near_dup_pairs_auto.last_path = None
 
 
 def l2_normalize(vec_col: str, dim: int) -> Column:

@@ -24,6 +24,35 @@ from pyspark.sql import types as T
 from ..schemas import TWEET_SCHEMA
 
 
+#: Maven coordinate a deployment must add for the two functions below —
+#: the ONLY missing piece in this sandbox (no broker, no connector jar,
+#: no network; decision recorded in SCALE.md).  Version must match the
+#: running Spark/Scala build.
+KAFKA_PACKAGE = "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>"
+
+
+def kafka_reader_options(
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = 100_000,
+) -> dict[str, str]:
+    """The exact option map the Kafka source receives — a pure function
+    so the spelling of every key/value is pinned by a unit test without
+    a broker (an option typo fails silently at runtime: unknown options
+    are IGNORED by the source, which is why this is the
+    highest-probability user-facing breakage in untested code)."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topics,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "false",
+    }
+    if max_offsets_per_trigger:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def read_kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -32,15 +61,12 @@ def read_kafka_stream(
     max_offsets_per_trigger: int | None = 100_000,
 ) -> DataFrame:
     """Subscribe to topics; returns the raw key/value binary frame."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topics)
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", "false")
+    reader = spark.readStream.format("kafka").options(
+        **kafka_reader_options(
+            bootstrap_servers, topics, starting_offsets,
+            max_offsets_per_trigger,
+        )
     )
-    if max_offsets_per_trigger:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
     return reader.load()
 
 
@@ -64,13 +90,33 @@ def decode_json_events(
     return decoded
 
 
+def to_kafka_payload(df: DataFrame, key_col: str | None = None) -> DataFrame:
+    """The WIRE projection: JSON-serialize all columns into binary
+    ``value`` (plus an optional binary ``key`` for partition affinity) —
+    exactly the frame the Kafka sink ships and the broker hands back to
+    a subscriber.  Factored out of :func:`write_kafka` so the
+    serialize→decode round trip is testable in batch without a broker:
+    ``decode_json_events(to_kafka_payload(df))`` must reproduce ``df``
+    (pinned in tests/test_sources.py)."""
+    # value carries the FULL record (the key is routing metadata, not a
+    # projection — consumers must not need to re-join it).
+    out = [F.to_json(F.struct(*df.columns)).cast("binary").alias("value")]
+    if key_col is not None:
+        out.insert(0, F.col(key_col).cast("string").cast("binary").alias("key"))
+    return df.select(*out)
+
+
 def write_kafka(
-    df: DataFrame, bootstrap_servers: str, topic: str, checkpoint: str
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint: str,
+    key_col: str | None = None,
 ):
     """JSON-serialize all columns into ``value`` and stream to a topic —
     the engine-side replacement for the reference's Python producer
     loop (``producers/kafka_producer_bitcoin.py:92-124``)."""
-    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    payload = to_kafka_payload(df, key_col=key_col)
     return (
         payload.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)

@@ -200,13 +200,17 @@ _EMB_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _shared_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import embedding_near_dup_pairs_blocked
+    # Size-dispatched (r5 verdict item 1): blocked matmul below the
+    # side-matrix bound (all driver SFs — bit-exact vs the oracle),
+    # cell-partitioned exact pair search above it, same output either
+    # side of the cutover (tests/test_embedding_auto.py).
+    from .operators.similarity import embedding_near_dup_pairs_auto
 
     return _session_cached_df(
         _EMB_PAIRS_CACHE, spark, sf_dir,
-        lambda: embedding_near_dup_pairs_blocked(
+        lambda: embedding_near_dup_pairs_auto(
             _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-            threshold=0.45,
+            threshold=0.45, cache_key=f"embpairs:{sf_dir}",
         ),
     )
 

@@ -1,0 +1,136 @@
+"""Size-dispatched exact embedding pair search (r5 verdict item 1).
+
+``embedding_near_dup_pairs_auto`` must produce IDENTICAL output on both
+sides of the ``max_side_bytes`` cutover: the numpy-blocked matmul path
+below it, the cell-partitioned (k-means + covering-radius
+multi-assignment) path above it.  The celled path's completeness is a
+theorem (triangle inequality on sphere angles — see the operator
+docstring); these tests check the implementation against the
+brute-force upper-triangle join bit-for-bit, including on synthetic
+data engineered so qualifying pairs STRADDLE cell boundaries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from kafka_bigdata_jobs_spark.operators.similarity import (
+    embedding_near_dup_pairs,
+    embedding_near_dup_pairs_auto,
+    embedding_near_dup_pairs_celled,
+    embedding_near_dup_pairs_hier,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _pairs(df) -> list[tuple]:
+    return sorted((r["id_a"], r["id_b"], r["cosine"]) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.mark.parametrize("threshold", [0.45, 0.9])
+def test_celled_matches_bruteforce_fixture(spark, emb, threshold):
+    brute = _pairs(embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=threshold))
+    celled = _pairs(embedding_near_dup_pairs_celled(
+        emb, "vec_id", "embedding", threshold=threshold, n_cells=8))
+    assert celled == brute
+
+
+@pytest.mark.parametrize("threshold", [0.45, 0.9])
+def test_hier_matches_bruteforce_fixture(spark, emb, threshold):
+    brute = _pairs(embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=threshold))
+    hier = _pairs(embedding_near_dup_pairs_hier(
+        emb, "vec_id", "embedding", threshold=threshold))
+    assert hier == brute
+
+
+def test_auto_identical_output_across_cutover(spark, emb):
+    """The dispatch decision must be invisible in the result: force each
+    path via max_side_bytes and compare against brute force."""
+    brute = _pairs(embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.45))
+    below = _pairs(embedding_near_dup_pairs_auto(
+        emb, "vec_id", "embedding", threshold=0.45,
+        max_side_bytes=1 << 30))
+    assert embedding_near_dup_pairs_auto.last_path == "blocked"
+    above = _pairs(embedding_near_dup_pairs_auto(
+        emb, "vec_id", "embedding", threshold=0.45, max_side_bytes=1))
+    assert embedding_near_dup_pairs_auto.last_path == "hier"
+    forced_flat = _pairs(embedding_near_dup_pairs_auto(
+        emb, "vec_id", "embedding", threshold=0.45, max_side_bytes=1,
+        n_cells=8))
+    assert embedding_near_dup_pairs_auto.last_path == "celled"
+    assert below == brute
+    assert above == brute
+    assert forced_flat == brute
+
+
+def test_celled_complete_on_boundary_straddling_pairs(spark):
+    """Synthetic stress: tight planted near-dup pairs whose members sit
+    in DIFFERENT k-means cells unless the covering-radius replication
+    works.  Two broad arcs of points with planted pairs at the arc
+    boundary; many more cells than arcs so the quantizer is forced to
+    split arcs mid-way."""
+    rng = np.random.default_rng(7)
+    dim, n_background, n_planted = 8, 240, 30
+    rows = []
+    vid = 0
+    # background: points spread over two half-spaces
+    for _ in range(n_background):
+        v = rng.normal(size=dim)
+        rows.append((vid, [float(x) for x in v / np.linalg.norm(v)]))
+        vid += 1
+    # planted: pairs at angle ~10 degrees (cos ~0.985), random placement
+    for _ in range(n_planted):
+        a = rng.normal(size=dim)
+        a /= np.linalg.norm(a)
+        # random small rotation: mix with an orthogonalized direction
+        d = rng.normal(size=dim)
+        d -= d.dot(a) * a
+        d /= np.linalg.norm(d)
+        ang = np.deg2rad(10)
+        b = np.cos(ang) * a + np.sin(ang) * d
+        rows.append((vid, [float(x) for x in a])); vid += 1
+        rows.append((vid, [float(x) for x in b])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    brute = _pairs(embedding_near_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.97, dim=dim))
+    assert len(brute) >= n_planted  # the planted pairs qualify
+    celled = _pairs(embedding_near_dup_pairs_celled(
+        df, "vec_id", "embedding", threshold=0.97, dim=dim, n_cells=12))
+    assert celled == brute
+    hier = _pairs(embedding_near_dup_pairs_hier(
+        df, "vec_id", "embedding", threshold=0.97, dim=dim, leaf_target=24))
+    assert hier == brute
+
+
+def test_hier_zero_vector_does_not_poison_radii(spark):
+    """A zero-norm vector in a cell used to make that cell's covering
+    radius NaN, silently losing the cell's REAL pairs — now it is
+    excluded up front (output-equivalent: its cosine is NaN and can
+    never qualify in either engine)."""
+    rng = np.random.default_rng(3)
+    dim = 8
+    rows = []
+    for vid in range(60):
+        v = rng.normal(size=dim)
+        rows.append((vid, [float(x) for x in v / np.linalg.norm(v)]))
+    # planted twin pair + a zero vector
+    rows.append((100, rows[0][1]))
+    rows.append((101, [0.0] * dim))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    brute = _pairs(embedding_near_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.99, dim=dim))
+    assert (0, 100, 1.0) in brute
+    for fn, kw in ((embedding_near_dup_pairs_celled, {"n_cells": 6}),
+                   (embedding_near_dup_pairs_hier, {"leaf_target": 10})):
+        got = _pairs(fn(df, "vec_id", "embedding", threshold=0.99, dim=dim, **kw))
+        assert got == brute

@@ -128,11 +128,67 @@ def auto_probe_names(reg) -> list[str]:
     return names
 
 
+def probe_cold_builds(spark, attempts: int, out_path: str) -> None:
+    """x1/x3/x10 exponents for the shared pair-relation COLD BUILDS —
+    the two numbers bench.py names as ``cold_builds`` (r5 verdict item
+    6: at 100 TB the build IS the job, so it needs a measured exponent,
+    not just an sf0.1 cost).  Protocol mirrors bench.py's cold leg:
+    memo + cache cleared per attempt, full materialization via noop
+    write, min over attempts with one untimed warm-up discard per
+    (family, scale)."""
+    FAMILIES = {
+        "near_dup_funnel": (
+            suite._shared_near_dup_pairs, suite._NEAR_DUP_PAIRS_CACHE,
+            "128-hash signature agg + banded LSH self-join; "
+            "shingle/signature passes are linear, the banded join is "
+            "candidate-bound",
+        ),
+        "embedding_pairs": (
+            suite._shared_embedding_pairs, suite._EMB_PAIRS_CACHE,
+            "blocked matmul candidate gen at these sizes (auto path "
+            "below max_side_bytes): linear scan x per-worker matrix",
+        ),
+    }
+    results: dict[str, dict] = {}
+    for fam, (get, memo, why) in FAMILIES.items():
+        row: dict = {"rationale": why}
+        for scale, d in SCALES.items():
+            def once():
+                spark.catalog.clearCache()
+                memo.clear()
+                t0 = time.monotonic()
+                get(spark, d).write.mode("overwrite").format("noop").save()
+                return time.monotonic() - t0
+            once()  # warm-up discard (codegen cache, parquet footers)
+            best = min(once() for _ in range(max(2, attempts)))
+            row[scale] = round(best, 3)
+            print(f"{scale:4s} cold {fam:20s} {best:8.2f}s", flush=True)
+        row["exp_x3_x10"] = round(
+            math.log(max(row["x10"], 1e-3) / max(row["x3"], 1e-3))
+            / math.log(10 / 3), 2)
+        row["exp_x1_x10"] = round(
+            math.log(max(row["x10"], 1e-3) / max(row["x1"], 1e-3))
+            / math.log(10), 2)
+        results[fam] = row
+    try:
+        with open(out_path, encoding="utf-8") as fh:
+            out = json.load(fh)
+    except (OSError, ValueError):
+        out = {}
+    out.setdefault("cold_builds", {}).update(results)
+    with open(out_path, "w", encoding="utf-8") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(f"wrote {out_path} cold_builds section ({len(results)} families)")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--attempts", type=int, default=2)
     ap.add_argument("--out", default="SCALING.json")
     ap.add_argument("--queries", nargs="*", default=None)
+    ap.add_argument("--cold-builds", action="store_true",
+                    help="probe the shared pair-relation cold builds "
+                    "instead of registry queries")
     args = ap.parse_args()
 
     for scale, d in SCALES.items():
@@ -145,6 +201,10 @@ def main() -> None:
     names = args.queries or auto_probe_names(reg)
     spark = get_spark("kbj-spark-scaleprobe")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cold_builds:
+        probe_cold_builds(spark, args.attempts, args.out)
+        return
 
     RETRY_OVER = 2.5  # seconds — same stall-escape policy as bench.py
     MAX_ATTEMPTS = max(args.attempts + 1, 3)
