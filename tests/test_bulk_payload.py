@@ -108,3 +108,23 @@ def test_buffered_sink_sends_conformant_chunks(spark):
             seen_ids.append(action["index"]["_id"])
             assert source["ts"].startswith("2024-01-01T00:00:0")
     assert sorted(seen_ids) == [str(i) for i in range(5)]
+
+
+def test_id_routing_makes_redelivery_idempotent(spark):
+    """foreachBatch sinks re-deliver whole micro-batches on recovery;
+    with _id routing the second delivery produces byte-identical _bulk
+    payloads, so the index converges instead of duplicating (the
+    reason make_opensearch_bulk_send takes id_field at all)."""
+    posts: list[bytes] = []
+    sink = BufferedExternalSink(
+        send=make_opensearch_bulk_send(
+            lambda path, body, headers: posts.append(body), "t",
+            id_field="k"),
+        chunk_size=10,
+    )
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string") \
+        .orderBy("k")
+    sink(df, batch_id=0)
+    sink(df, batch_id=0)  # recovery re-delivery
+    assert len(posts) == 2 and posts[0] == posts[1]
+    assert b'"_id":"1"' in posts[0] and b'"_id":"2"' in posts[0]
