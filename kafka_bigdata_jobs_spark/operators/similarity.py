@@ -575,6 +575,7 @@ def embedding_near_dup_pairs_hier(
     seed: int = 42,
     fit_sample_rows: int = 32768,
     cache_key: str | None = None,
+    home_probes: int = 8,
 ) -> DataFrame:
     """Exact-COMPLETE cosine pair search with a TWO-LEVEL quantizer —
     the 100-TB form.  Same covering-radius completeness argument as
@@ -589,6 +590,20 @@ def embedding_near_dup_pairs_hier(
     max home-member angle — so a vectorized assignment is safe.  Every
     candidate is re-verified with the exact unrolled cosine expression,
     so the output is bit-identical to brute force.
+
+    HOME assignment searches the ``home_probes`` NEAREST BRANCHES, not
+    just the top one.  Completeness never depends on it (above), but
+    covering-radius QUALITY does, catastrophically: a point whose
+    single nearest branch holds no leaf near it gets force-homed ~90°
+    away, and that one leaf's radius then admits half the corpus as
+    replicas.  Measured on the 500k-row probe corpus
+    (tools/embpairs_probe.py, 500 content clusters): top-1 homes leave
+    p95 leaf radius at 67° and a mean replication factor of 210 —
+    a ~55 GB shuffle that filled the probe host's disk — while top-8
+    homes restore p95 radius to 31° (the cluster band width, i.e. the
+    data's own floor) and replication to 9.  The assignment stays
+    Θ(n·(B + P·K/B)) flops — the extra P−1 leaf-set probes cost less
+    than the branch scan they share.
 
     Why two levels (the inverted-multi-index shape; Babenko & Lempitsky
     2012): the flat form scores every row against every cell — Θ(n·K)
@@ -660,12 +675,25 @@ def embedding_near_dup_pairs_hier(
             del _TWO_LEVEL_FIT_CACHE[dead]
     fit = _TWO_LEVEL_FIT_CACHE.get(memo_key) if memo_key else None
     if fit is None:
+        # Bernoulli sample, NO .limit(): limit keeps the FIRST rows in
+        # file order, so on a corpus written in content-cluster order it
+        # silently excludes the tail clusters from the fit — their
+        # points then home ~90° away, poison those leaves' covering
+        # radii, and the replication pass degenerates toward all-pairs
+        # (measured on the 500k probe corpus: the last 24 of 500
+        # clusters unsampled -> mean replication 210, a ~55 GB shuffle).
+        # The expected sample size is 1.05·fit_sample_rows (±3σ ≈ ±600
+        # at these caps, ~17 MB driver-side); the exact cap is enforced
+        # by a seeded driver-side downsample, which stays uniform.
         frac = min(1.0, 1.05 * fit_sample_rows / n_rows)
         sample_pdf = (
-            base.select("__v").sample(fraction=frac, seed=seed)
-            .limit(fit_sample_rows).toPandas()
+            base.select("__v").sample(fraction=frac, seed=seed).toPandas()
         )
         sample = np.array(list(sample_pdf["__v"]), dtype=np.float64)
+        if len(sample) > fit_sample_rows:
+            keep = np.random.default_rng(seed).choice(
+                len(sample), size=fit_sample_rows, replace=False)
+            sample = sample[np.sort(keep)]
         k_leaf = max(4, min(n_rows // leaf_target, len(sample) // 4))
         n_branches = max(2, math.isqrt(k_leaf - 1) + 1)
         fit = _fit_two_level(sample, k_leaf, n_branches, seed)
@@ -699,6 +727,8 @@ def embedding_near_dup_pairs_hier(
         T.StructField("__hang", T.DoubleType()),
     ])
 
+    n_probe = max(1, min(home_probes, n_b))
+
     def assign_home(it):
         import numpy as _np
         import pyarrow as _pa
@@ -708,16 +738,35 @@ def embedding_near_dup_pairs_hier(
                 continue
             x = _vecs(batch)
             xn = x / _np.linalg.norm(x, axis=1, keepdims=True)
-            hb = _angles(xn, bcenters).argmin(axis=1)
+            bang = _angles(xn, bcenters)
+            # top-P branches per row (see docstring: home QUALITY sets
+            # the covering radii; a top-1 misassignment poisons a leaf)
+            if n_probe < n_b:
+                top = _np.argpartition(bang, n_probe - 1, axis=1)[:, :n_probe]
+            else:
+                top = _np.broadcast_to(_np.arange(n_b), (len(xn), n_b))
             leaf = _np.zeros(len(xn), dtype=_np.int32)
-            hang = _np.zeros(len(xn), dtype=_np.float64)
-            for b in _np.unique(hb):
-                rows = _np.nonzero(hb == b)[0]
-                lidx = leaves_of[b]
-                langs = _angles(xn[rows], leaf_centers[lidx])
+            hang = _np.full(len(xn), _np.inf)
+            for p in range(top.shape[1]):
+                hb = top[:, p]
+                for b in _np.unique(hb):
+                    rows = _np.nonzero(hb == b)[0]
+                    lidx = leaves_of[b]
+                    if not len(lidx):
+                        continue
+                    langs = _angles(xn[rows], leaf_centers[lidx])
+                    j = langs.argmin(axis=1)
+                    best = langs[_np.arange(len(rows)), j]
+                    better = best < hang[rows]
+                    rr = rows[better]
+                    leaf[rr] = lidx[j][better].astype(_np.int32)
+                    hang[rr] = best[better]
+            miss = _np.nonzero(_np.isinf(hang))[0]
+            if len(miss):  # every probed branch leaf-less: exact fallback
+                langs = _angles(xn[miss], leaf_centers)
                 j = langs.argmin(axis=1)
-                leaf[rows] = lidx[j].astype(_np.int32)
-                hang[rows] = langs[_np.arange(len(rows)), j]
+                leaf[miss] = j.astype(_np.int32)
+                hang[miss] = langs[_np.arange(len(miss)), j]
             yield _pa.RecordBatch.from_arrays(
                 [batch.column(batch.schema.get_field_index("__id")),
                  _pa.array(leaf, type=_pa.int32()),
@@ -795,45 +844,73 @@ def embedding_near_dup_pairs_hier(
     # nominates the pairs at cosine ≥ threshold − margin, so the exact
     # verify join only ships vectors for an OUTPUT-sized relation —
     # the blocked path's candidates-only contract, applied per leaf.
-    margin = 1e-6
+    # Nomination ships FLOAT32 vectors: the tagged relation (replicas ×
+    # vector payload) is the path's one big shuffle (2.1 GB at the 500k
+    # probe corpus), and candidate NOMINATION tolerates rounding — a
+    # float32-cast unit vector perturbs a cosine by < 1e-5, so widening
+    # the nomination margin to 1e-4 strictly over-nominates, and the
+    # exact float64 verification expression below decides every final
+    # row.  Halves the shuffle bytes for free.
+    margin = 1e-4
     cut = threshold - margin
     tagged = (
-        rep.withColumn("__side", F.lit("r"))
+        rep.withColumn("__side", F.lit(0))
         .unionByName(home.select("__id", "leaf_id",
-                                 F.lit("h").alias("__side")))
-        .join(base.select("__id", "__v"), "__id")
-        .select("leaf_id", "__id", "__v", "__side")
+                                 F.lit(1).alias("__side")))
+        .join(base.select(
+            "__id", F.col("__v").cast("array<float>").alias("__vf")),
+            "__id")
+        .select("leaf_id", "__id", "__vf", "__side")
     )
     cand_schema = T.StructType([
         T.StructField("id_a", id_field.dataType),
         T.StructField("id_b", id_field.dataType),
     ])
 
-    def leaf_pairs(key, pdf):
+    def leaf_pairs(key, tbl):
+        # applyInArrow, not applyInPandas: the group payload is a dense
+        # numeric matrix, and Arrow -> numpy is a flat-buffer reshape
+        # with no per-row Python objects (the pandas twin spent its
+        # time building object Series of small arrays).  IDs are
+        # selected from the Arrow column by INDEX (take), so the output
+        # type matches the input id type exactly whatever it is.
         import numpy as _np
-        import pandas as _pd
+        import pyarrow as _pa
 
-        r = pdf[pdf["__side"] == "r"]
-        h = pdf[pdf["__side"] == "h"]
+        side = tbl.column("__side").to_numpy(zero_copy_only=False)
+        idcol = tbl.column("__id").combine_chunks()
+        vcol = tbl.column("__vf").combine_chunks()
+        mat = (vcol.flatten().to_numpy(zero_copy_only=False)
+               .reshape(-1, dim).astype(_np.float64, copy=False))
+        r = _np.nonzero(side == 0)[0]
+        h = _np.nonzero(side == 1)[0]
+        empty = _pa.array([], type=_pa.int64())
         if not len(r) or not len(h):
-            return _pd.DataFrame({"id_a": [], "id_b": []})
-        rm = _np.array(list(r["__v"]), dtype=_np.float64)
-        hm = _np.array(list(h["__v"]), dtype=_np.float64)
+            return _pa.table(
+                {"id_a": idcol.take(empty), "id_b": idcol.take(empty)})
+        rm, hm = mat[r], mat[h]
         sims = (rm @ hm.T) / _np.outer(
             _np.linalg.norm(rm, axis=1), _np.linalg.norm(hm, axis=1))
         ri, hj = _np.nonzero(sims >= cut)
-        ra = r["__id"].to_numpy()[ri]
-        hb = h["__id"].to_numpy()[hj]
-        keep = ra != hb
-        ra, hb = ra[keep], hb[keep]
-        lo = _np.where(ra < hb, ra, hb)
-        hi = _np.where(ra < hb, hb, ra)
-        return _pd.DataFrame({"id_a": lo, "id_b": hi}).drop_duplicates()
+        ids = idcol.to_numpy(zero_copy_only=False)
+        ra_idx, hb_idx = r[ri], h[hj]
+        keep = ids[ra_idx] != ids[hb_idx]
+        ra_idx, hb_idx = ra_idx[keep], hb_idx[keep]
+        a_first = ids[ra_idx] < ids[hb_idx]
+        lo = _np.where(a_first, ra_idx, hb_idx)
+        hi = _np.where(a_first, hb_idx, ra_idx)
+        # no per-group dedup: the same unordered pair CAN surface twice
+        # in one leaf (a-as-replica x b-as-home and vice versa) but the
+        # relation is output-sized and .distinct() below owns dedup.
+        return _pa.table({
+            "id_a": idcol.take(_pa.array(lo, type=_pa.int64())),
+            "id_b": idcol.take(_pa.array(hi, type=_pa.int64())),
+        })
 
     cands = (
         tagged.groupBy("leaf_id")
-        .applyInPandas(leaf_pairs, cand_schema)
-        .distinct()  # a pair can co-occur in two leaves
+        .applyInArrow(leaf_pairs, cand_schema)
+        .distinct()  # cross-leaf AND in-leaf mirrored duplicates
     )
     a = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
                     F.col("__n2").alias("__na2"))

@@ -134,3 +134,61 @@ def test_hier_zero_vector_does_not_poison_radii(spark):
                    (embedding_near_dup_pairs_hier, {"leaf_target": 10})):
         got = _pairs(fn(df, "vec_id", "embedding", threshold=0.99, dim=dim, **kw))
         assert got == brute
+
+
+def test_hier_fit_sample_covers_file_tail(spark, monkeypatch):
+    """Regression (r6): the fit sample must be ORDER-INDEPENDENT.
+
+    The original hier fit used ``.sample(frac).limit(cap)`` — ``limit``
+    keeps the first rows in FILE ORDER, so on a corpus written in
+    content-cluster order the tail clusters contributed zero fit
+    points.  Their members then homed ~90° away and poisoned those
+    leaves' covering radii: measured on the 500k-row probe corpus, the
+    last 24 of 500 clusters went unsampled and the mean replication
+    factor exploded from 9 to 210 (a ~55 GB shuffle that filled the
+    host disk).  Output stayed bit-exact — the failure is quadratic
+    COST, which no correctness gate sees — so this pins the sample
+    itself: fit input must include rows from the corpus tail.
+
+    The corpus here has two well-separated clusters written in order;
+    the second (tail) cluster is the last 3% of rows — smaller than the
+    ~4.7% file-order window the biased sampler drops (cap/expected =
+    1/1.05), so under the old code the captured sample contains ZERO
+    tail rows (verified by inverting this assert against it); the
+    unbiased sampler carries ~3%.
+    """
+    import kafka_bigdata_jobs_spark.operators.similarity as sim
+
+    rng = np.random.default_rng(7)
+    n, dim = 4000, 8
+    c1 = rng.normal(size=dim); c1 /= np.linalg.norm(c1)
+    c2 = -c1  # antipodal: no fit point of cluster 1 is near cluster 2
+    rows = []
+    for i in range(n):
+        c = c1 if i < 0.97 * n else c2
+        d = rng.normal(size=dim); d -= d.dot(c) * c; d /= np.linalg.norm(d)
+        phi = np.deg2rad(5 + 10 * rng.random())
+        v = np.cos(phi) * c + np.sin(phi) * d
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    df = df.coalesce(1).sortWithinPartitions("vec_id")  # file order = cluster order
+
+    captured = {}
+    real_fit = sim._fit_two_level
+
+    def spy(sample_mat, k_leaf, n_branches, seed):
+        captured["sample"] = np.asarray(sample_mat)
+        return real_fit(sample_mat, k_leaf, n_branches, seed)
+
+    monkeypatch.setattr(sim, "_fit_two_level", spy)
+    embedding_near_dup_pairs_hier(
+        df, "vec_id", "embedding", threshold=0.95, dim=dim,
+        fit_sample_rows=512).count()
+    sample = captured["sample"]
+    # tail-cluster membership: closer to c2 than c1
+    tail = (sample @ c2) > (sample @ c1)
+    frac = tail.mean()
+    assert len(sample) <= 512
+    assert 0.005 <= frac, (
+        f"fit sample carries {frac:.1%} tail-cluster rows — the sampler "
+        "is file-order biased again (expected ~3%)")

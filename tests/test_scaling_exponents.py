@@ -198,3 +198,93 @@ def test_enrollment_survives_simulated_driver_clobber(scaling):
         "a stall-inflated driver clobber would re-redden the suite: "
         f"{missing[:10]} — the quiet artifact no longer covers the "
         "registry; rerun `make bench-quiet` and probe the new heavies")
+
+
+#: r5 verdict item 5: every probe row whose measured x3->x10 exponent
+#: is >= 1.0 carries a one-line rationale saying why linear(-ish) IS
+#: the floor for that shape — so the next reader never has to re-derive
+#: it.  Rows under the ceiling but over 1.0 are legitimate (linear
+#: full-scan work + jitter); rows over the CEILING need the separate
+#: EXP_ALLOWLIST with its stronger justification.
+SUPERUNIT_RATIONALE: dict[str, str] = {
+    "dedup_exact_summary": (
+        "full-corpus hash-groupBy summary — every row is hashed and "
+        "aggregated once, so linear is the algorithmic floor; 1.13 is "
+        "linear plus sub-second-scale jitter (x10 wall < 1 s)"),
+}
+
+
+def test_every_superunit_exponent_has_rationale(scaling):
+    missing = {}
+    for name, row in scaling["queries"].items():
+        e = row.get("exp_x3_x10")
+        if e is None or e < 1.0:
+            continue
+        if name in SUPERUNIT_RATIONALE or name in EXP_ALLOWLIST:
+            continue
+        missing[name] = e
+    assert not missing, (
+        f"probe rows measured e >= 1.0 without a written rationale: "
+        f"{missing} — add a SUPERUNIT_RATIONALE line (linear-floor "
+        "shapes) or an EXP_ALLOWLIST entry (genuinely superlinear)")
+
+
+def test_stale_superunit_rationales_removed(scaling):
+    for name in SUPERUNIT_RATIONALE:
+        row = scaling["queries"].get(name)
+        assert row is not None, f"rationale for unprobed query {name}"
+        assert row.get("exp_x3_x10", 0) >= 1.0, (
+            f"{name} no longer measures e >= 1.0 — drop its rationale")
+
+
+#: r5 verdict item 6: the shared pair-relation COLD BUILDS (bench.py's
+#: cold_builds numbers) carry measured x1/x3/x10 exponents — at 100 TB
+#: the build IS the job.  Signature agg + banded join should be
+#: linear-ish; the ceiling mirrors the query rule.
+COLD_BUILD_FAMILIES = ("near_dup_funnel", "embedding_pairs")
+
+
+def test_cold_builds_probed_and_linear(scaling):
+    cb = scaling.get("cold_builds")
+    assert cb, "SCALING.json lacks cold_builds — run `make scaleprobe-cold`"
+    for fam in COLD_BUILD_FAMILIES:
+        row = cb.get(fam)
+        assert row, f"cold_builds missing family {fam}"
+        assert str(row.get("rationale", "")).strip(), (
+            f"cold_builds[{fam}] needs a one-line shape rationale")
+        assert row["exp_x3_x10"] <= EXP_CEILING, (
+            f"cold build {fam} measures superlinear "
+            f"(e={row['exp_x3_x10']}) — the build is the job at scale")
+
+
+def test_hier_pair_search_probed_and_bounded(scaling):
+    """r5 verdict item 1's last "Done =" criterion: a SCALING row for
+    the cell-partitioned exact pair path (`embedding_near_dup_pairs_hier`,
+    the `embedding_close_pairs` auto dispatch past max_side_bytes),
+    measured on clustered corpora where qualifying pairs grow linearly
+    by construction (tools/embpairs_probe.py).
+
+    Exponent ceiling 1.35 on the x1->x10 leg, NOT the query rule's 1.1:
+    the path's assignment pass is Θ(n·√K) with K ∝ n — a DOCUMENTED
+    n^1.5 term (measured 1.23 with a FLAT replication factor
+    12.4/10.5/9.0, so no pair surface grows; an inverted-multi-index
+    third level flattens it, see SCALE.md round 6).  The output-size
+    pin (rows ∝ n) is what catches a genuine pair explosion — the
+    covering-radius poisoning this probe caught produced a ~55 GB
+    shuffle at UNCHANGED output, and the exponent pin catches that
+    class.
+    """
+    row = scaling.get("operator_variants", {}).get(
+        "embedding_near_dup_pairs_hier")
+    assert row, ("SCALING.json lacks the hier pair-search row — run "
+                 "`make embpairs-probe`")
+    assert row["verified_vs_blocked_x1"] is True, (
+        "hier output no longer matches the blocked exact path at x1")
+    assert row["exp_x1_x10"] <= 1.35, (
+        f"hier pair search e(x1→x10)={row['exp_x1_x10']} exceeds the "
+        "documented √K-assignment budget — a pair/replication surface "
+        "is growing (check covering radii / fit sample coverage)")
+    # qualifying pairs are planted to grow ∝ n (10% twins per corpus):
+    # superlinear OUTPUT growth means the generator or threshold broke.
+    assert row["rows_x10"] <= 12 * row["rows_x1"], (
+        "pair count grew faster than the corpus — probe data defect")

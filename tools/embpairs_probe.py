@@ -105,10 +105,7 @@ def main() -> None:
             _gen_corpus(n, seed=1234, path=p)
         paths[scale] = p
 
-    spark = get_spark("kbj-spark-embpairs-probe")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    def run_cold(path: str):
+    def run_cold(spark, path: str):
         spark.catalog.clearCache()
         sim._TWO_LEVEL_FIT_CACHE.clear()
         df = spark.read.parquet(path)
@@ -116,21 +113,37 @@ def main() -> None:
         out = sim.embedding_near_dup_pairs_hier(
             df, "vec_id", "embedding", threshold=THRESHOLD, dim=DIM)
         n_pairs = out.count()
+        # Shuffle files (the tagged replicas·vectors relation) only get
+        # deleted when the JVM GCs the dropped RDD references; without
+        # this nudge nine probe runs ACCUMULATE ~8 GB each and the x10
+        # warm-up dies on SPILL_OUT_OF_MEMORY / no-space-left (measured,
+        # 2026-08-16).  Belt: GC after every run.  Suspenders: a fresh
+        # session per scale below.
+        import gc
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
         return time.monotonic() - t0, n_pairs
 
     row: dict = {}
     for scale, path in SIZES.items():
         p = paths[scale]
-        run_cold(p)  # untimed warm-up: codegen/JIT, parquet footers
+        # Fresh session per scale: its blockmgr dir (accumulated shuffle
+        # files) is removed on stop(), so each scale starts disk-clean.
+        spark = get_spark("kbj-spark-embpairs-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        run_cold(spark, p)  # untimed warm-up: codegen/JIT, parquet footers
         best, rows = math.inf, -1
         for _ in range(max(2, args.attempts)):
-            dt, rows = run_cold(p)
+            dt, rows = run_cold(spark, p)
             best = min(best, dt)
         row[scale] = round(best, 3)
         row[f"rows_{scale}"] = rows
         print(f"{scale:4s} hier {best:8.2f}s pairs={rows}", flush=True)
+        spark.stop()
 
     # x1 equality gate vs the blocked exact path (the auto twin).
+    spark = get_spark("kbj-spark-embpairs-probe")
+    spark.sparkContext.setLogLevel("ERROR")
     df1 = spark.read.parquet(paths["x1"])
     hier = {(r["id_a"], r["id_b"], r["cosine"])
             for r in sim.embedding_near_dup_pairs_hier(
