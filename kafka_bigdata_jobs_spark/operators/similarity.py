@@ -695,7 +695,17 @@ def embedding_near_dup_pairs_hier(
                 len(sample), size=fit_sample_rows, replace=False)
             sample = sample[np.sort(keep)]
         k_leaf = max(4, min(n_rows // leaf_target, len(sample) // 4))
-        n_branches = max(2, math.isqrt(k_leaf - 1) + 1)
+        # 8·√K branches, not √K: the branch-level prune only bites when
+        # branch covering radii are tight.  Measured on the 500k probe
+        # corpus (per-point leaf-filter dots in the replication pass /
+        # assignment dots / branch_r p50): B=√K → 4413 / 791 / 94°
+        # (88 of 89 branches admitted — NO pruning), B=4√K → 1560 /
+        # 531 / 50°, B=8√K → 110 / 800 / 45° (7 of 712 admitted),
+        # B=16√K → 12 / 1469 (the branch scan itself starts to
+        # dominate).  8√K minimizes the total; the driver-side Lloyd
+        # fit grows ~8× but is memoized per corpus and stays seconds.
+        n_branches = max(
+            2, min(k_leaf, 8 * (math.isqrt(k_leaf - 1) + 1)))
         fit = _fit_two_level(sample, k_leaf, n_branches, seed)
         if memo_key is not None:
             _TWO_LEVEL_FIT_CACHE[memo_key] = fit

@@ -265,10 +265,12 @@ def test_hier_pair_search_probed_and_bounded(scaling):
     by construction (tools/embpairs_probe.py).
 
     Exponent ceiling 1.35 on the x1->x10 leg, NOT the query rule's 1.1:
-    the path's assignment pass is Θ(n·√K) with K ∝ n — a DOCUMENTED
-    n^1.5 term (measured 1.23 with a FLAT replication factor
-    12.4/10.5/9.0, so no pair surface grows; an inverted-multi-index
-    third level flattens it, see SCALE.md round 6).  The output-size
+    the path carries a Θ(n·√K)-flops assignment term with K ∝ n.
+    After the 8·√K branch sizing it measures ~linear (e=0.94 with a
+    FLAT replication factor 12.4/10.5/9.0), but the √K term is still
+    the asymptote, so the ceiling keeps headroom for it rather than
+    flapping on probe noise (an inverted-multi-index third level is
+    the documented flattening, see SCALE.md round 6).  The output-size
     pin (rows ∝ n) is what catches a genuine pair explosion — the
     covering-radius poisoning this probe caught produced a ~55 GB
     shuffle at UNCHANGED output, and the exponent pin catches that
