@@ -57,10 +57,15 @@ scaleprobe-cold: scaledata
 
 # Scaling row for the hierarchical exact pair search (the
 # embedding_close_pairs auto path past max_side_bytes): generates
-# clustered 50k/150k/500k corpora and probes cold builds, with an x1
-# equality gate against the blocked exact path.
+# clustered 50k/150k/500k/1.5M corpora and probes cold builds, with an
+# x1 equality gate against the blocked exact path.
 embpairs-probe:
 	$(PY) tools/embpairs_probe.py
+
+# Round-notes headline numbers, generated FROM the committed artifacts
+# so notes can never drift from what the tree actually records.
+round-numbers:
+	$(PY) tools/round_numbers.py
 
 # Measure ANN recall@10 at 1x/3x/10x corpus (fit params at production
 # caps) into SCALING.json's ann_recall section; CI pins x10 floors.

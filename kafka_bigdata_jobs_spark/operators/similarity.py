@@ -222,6 +222,26 @@ def topk_neighbors_hyperplane_lsh(
 MAX_SIDE_MATRIX_BYTES = 2 << 30
 
 
+class CoveringRadiusBlowupError(RuntimeError):
+    """The covering-radius replication factor exploded: the corpus has
+    no cluster structure at this threshold, so EXACT completeness
+    degenerates toward all-pairs (every leaf can host a partner for
+    every point).  Raised BEFORE the pair matmul ships the replicated
+    vector relation — the r6 probe incidents where this failure mode
+    filled the host disk (~55 GB shuffle on a 256 MB corpus) had no
+    machine tripwire; now they fail loudly with the alternatives named.
+
+    Remedies: (a) the approximate SemDeDup-style path — cluster with
+    ``kmeans_ivf_cells`` and pair WITHIN cells only
+    (``embedding_near_dup_pairs(cell_col=...)``), accepting boundary
+    misses; (b) ANN top-k per point (``topk_neighbors_ivf_kmeans`` /
+    ``topk_neighbors_hyperplane_lsh`` / PQ) and threshold the neighbor
+    lists; (c) raise ``threshold`` so θ_t stops rivaling the data's
+    own angular spread; (d) ``max_replication=None`` to accept the
+    quadratic cost knowingly.
+    """
+
+
 def embedding_near_dup_pairs_blocked(
     df: DataFrame,
     id_col: str,
@@ -394,6 +414,8 @@ def embedding_near_dup_pairs_celled(
     seed: int = 42,
     fit_sample_rows: int = 8192,
     cache_key: str | None = None,
+    max_replication: float | None = 32.0,
+    guard_min_rows: int = 50_000,
 ) -> DataFrame:
     """Exact-COMPLETE cosine pair search partitioned by k-means cells —
     the 100-TB form of :func:`embedding_near_dup_pairs` (SemDeDup-style
@@ -475,6 +497,16 @@ def embedding_near_dup_pairs_celled(
         .where(ang_to <= F.lit(theta_t + eps) + F.col("__radius"))
         .select(F.col("__id").alias("__rid"), F.col("cell_id").alias("__rcell"))
     )
+    embedding_near_dup_pairs_celled.last_replication = None
+    if max_replication is not None:
+        n_rows = base.count()
+        if n_rows >= guard_min_rows:
+            # Same runtime blowup guard as the hier path (see
+            # CoveringRadiusBlowupError): count the id-only replica
+            # relation before the per-cell quadratic joins.
+            rep, mean_rep = _guard_replication(
+                rep, n_rows, max_replication, threshold)
+            embedding_near_dup_pairs_celled.last_replication = mean_rep
     home = base.select(F.col("__id").alias("__hid"), F.col("__cell").alias("__hcell"))
     cands = (
         rep.join(home, (F.col("__rcell") == F.col("__hcell"))
@@ -506,6 +538,37 @@ def embedding_near_dup_pairs_celled(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def _guard_replication(rep: DataFrame, n_rows: int, max_replication: float,
+                       threshold: float) -> tuple[DataFrame, float]:
+    """Cache + count the id-only replica relation BEFORE the expensive
+    vector-attach shuffle and pair matmul (the point of no return for
+    the quadratic failure mode), and raise
+    :class:`CoveringRadiusBlowupError` past ``max_replication``.
+    Returns the cached relation (reused by the downstream join, so the
+    guard costs one pass over cached ids, not a recompute) and the
+    measured mean replication factor."""
+    rep = rep.cache()
+    mean_rep = rep.count() / float(n_rows)
+    if mean_rep > max_replication:
+        rep.unpersist()
+        raise CoveringRadiusBlowupError(
+            f"mean covering-radius replication factor {mean_rep:.1f} "
+            f"exceeds max_replication={max_replication}: at threshold "
+            f"{threshold} the corpus has no usable cluster structure and "
+            "the EXACT pair search degenerates toward all-pairs. Use the "
+            "approximate paths instead — SemDeDup-style within-cell "
+            "pairs (embedding_near_dup_pairs(cell_col=...) over "
+            "kmeans_ivf_cells) or ANN top-k (topk_neighbors_ivf_kmeans "
+            "/ hyperplane LSH / PQ) — or raise the threshold, or pass "
+            "max_replication=None to accept the quadratic cost knowingly."
+        )
+    return rep, mean_rep
+
+
+#: Diagnostic twin of the hier attribute (see below).
+embedding_near_dup_pairs_celled.last_replication = None
 
 
 #: Memo for sample-fitted two-level quantizers, keyed like
@@ -576,16 +639,21 @@ def embedding_near_dup_pairs_hier(
     fit_sample_rows: int = 32768,
     cache_key: str | None = None,
     home_probes: int = 8,
+    max_replication: float | None = 32.0,
+    guard_min_rows: int = 50_000,
 ) -> DataFrame:
-    """Exact-COMPLETE cosine pair search with a TWO-LEVEL quantizer —
-    the 100-TB form.  Same covering-radius completeness argument as
-    :func:`embedding_near_dup_pairs_celled`, lifted one level: with
-    ``branch_R(β) = max over leaves c∈β of (angle(β,c) + R_c)``, any
-    qualifying partner ``a`` of a point ``b`` home in leaf ``c`` of
+    """Exact-COMPLETE cosine pair search with a THREE-LEVEL quantizer
+    (supers → branches → leaves) — the 100-TB form.  Same
+    covering-radius completeness argument as
+    :func:`embedding_near_dup_pairs_celled`, lifted level by level:
+    with ``branch_R(β) = max over leaves c∈β of (angle(β,c) + R_c)``,
+    any qualifying partner ``a`` of a point ``b`` home in leaf ``c`` of
     branch ``β`` satisfies ``angle(a, β) ≤ angle(a,c) + angle(c,β) ≤
     (θ_t + R_c) + angle(c,β) ≤ θ_t + branch_R(β)`` — so pruning
     branches first loses nothing, and the leaf filter ``angle(a, c) ≤
-    θ_t + R_c`` finishes exactly as in the flat form.  The argument
+    θ_t + R_c`` finishes exactly as in the flat form.  The identical
+    step applies once more at the super level with ``super_R(σ) = max
+    over branches β∈σ of (angle(σ,β) + branch_R(β))``.  The argument
     never depends on HOW homes were chosen, only that ``R_c`` is the
     max home-member angle — so a vectorized assignment is safe.  Every
     candidate is re-verified with the exact unrolled cosine expression,
@@ -605,13 +673,21 @@ def embedding_near_dup_pairs_hier(
     Θ(n·(B + P·K/B)) flops — the extra P−1 leaf-set probes cost less
     than the branch scan they share.
 
-    Why two levels (the inverted-multi-index shape; Babenko & Lempitsky
-    2012): the flat form scores every row against every cell — Θ(n·K)
-    with K ∝ n is a hidden quadratic — and the per-leaf pair matmul
-    needs SMALL cells (``leaf_target`` rows) to keep the candidate
-    surface ≈ n·leaf_target·replication.  Small cells mean large K,
-    which only a hierarchical assignment (Θ(n·(B + K/B)) = Θ(n·√K))
-    and a bounded-sample hierarchical FIT can afford.
+    Why three levels (the inverted-multi-index shape; Babenko &
+    Lempitsky 2012): the flat form scores every row against every cell
+    — Θ(n·K) with K ∝ n is a hidden quadratic — and the per-leaf pair
+    matmul needs SMALL cells (``leaf_target`` rows) to keep the
+    candidate surface ≈ n·leaf_target·replication.  Small cells mean
+    large K.  A two-level assignment costs Θ(n·(B + P·K/B)), minimized
+    at B ∝ √K — still a Θ(n·√K) term, which r6 measured as the one
+    remaining scale ceiling.  Balancing THREE levels (``S`` supers over
+    ``B`` branches over ``K`` leaves, B ∝ K^⅔, S ∝ √(P·B) ∝ K^⅓)
+    makes every per-row term — super scan, probed-branch scan, probed-
+    leaf scan — Θ(K^⅓): Θ(n·K^⅓) total assignment/replication flops.
+    The supers are fit driver-side over the BRANCH CENTERS (B points,
+    milliseconds), so the bounded-sample fit contract is unchanged;
+    below 24 branches the super level is skipped (the scan is already
+    trivial and the extra indirection would only add overhead).
 
     Execution shape (measured on the x1 probe corpus; see
     tools/embpairs_probe.py): assignment and replication are
@@ -629,7 +705,7 @@ def embedding_near_dup_pairs_hier(
     closures; the corpus never leaves executors.
 
     Full-corpus passes are all linear in n at fixed ``leaf_target``
-    (with a √K assignment factor a third level would flatten):
+    (the residual per-row factor is K^⅓ after the three-level balance):
     Arrow assignment, Arrow replication, one groupBy over K radius
     rows, the vector-attach join (replication-factor × corpus volume),
     the leaf-grain matmul, and exact verification of ~output-sized
@@ -638,6 +714,17 @@ def embedding_near_dup_pairs_hier(
     covering radii rival θ_t and degenerates toward all-pairs — the
     unavoidable cost of EXACT completeness on structureless data (the
     approximate alternatives are the SemDeDup/ANN paths).
+
+    RUNTIME GUARD (r6 verdict item 2): once ``n ≥ guard_min_rows`` the
+    replica relation — already materialized before the expensive pair
+    matmul — is counted, and a mean replication factor above
+    ``max_replication`` raises :class:`CoveringRadiusBlowupError`
+    naming the approximate alternatives instead of silently shuffling
+    a quadratic candidate surface (the r6 disk-filling incidents were
+    exactly this, caught only by a human reading ``df -h``).  Clustered
+    corpora measure ~9–12 (tools/embpairs_probe.py); structureless
+    ones measure ≈ the live-leaf count.  The measured factor is
+    exposed as ``embedding_near_dup_pairs_hier.last_replication``.
     """
     import math
 
@@ -695,23 +782,39 @@ def embedding_near_dup_pairs_hier(
                 len(sample), size=fit_sample_rows, replace=False)
             sample = sample[np.sort(keep)]
         k_leaf = max(4, min(n_rows // leaf_target, len(sample) // 4))
-        # 8·√K branches, not √K: the branch-level prune only bites when
-        # branch covering radii are tight.  Measured on the 500k probe
-        # corpus (per-point leaf-filter dots in the replication pass /
-        # assignment dots / branch_r p50): B=√K → 4413 / 791 / 94°
-        # (88 of 89 branches admitted — NO pruning), B=4√K → 1560 /
-        # 531 / 50°, B=8√K → 110 / 800 / 45° (7 of 712 admitted),
-        # B=16√K → 12 / 1469 (the branch scan itself starts to
-        # dominate).  8√K minimizes the total; the driver-side Lloyd
-        # fit grows ~8× but is memoized per corpus and stays seconds.
+        # 2·K^⅔ branches: the three-level balance (see docstring) wants
+        # B ∝ K^⅔ so leaves-per-branch is Θ(K^⅓); the constant keeps
+        # branch covering radii at least as tight as r6's measured-best
+        # 8·√K sizing at the probe scales where that was tuned (K≈7800:
+        # 2K^⅔=790 vs 8√K=707 — branch-radius p50 stays ~45°, the
+        # cluster band width) and GROWS past it for K > 4096, which
+        # only improves the prune now that the super level absorbs the
+        # branch-scan cost.  The r6 measurement that drove 8√K —
+        # radii p50 94°→45° and 40× fewer leaf-filter dots as B rose —
+        # is the same physics; only the scan-cost tradeoff moved.
         n_branches = max(
-            2, min(k_leaf, 8 * (math.isqrt(k_leaf - 1) + 1)))
+            2, min(k_leaf, round(2.0 * k_leaf ** (2.0 / 3.0))))
         fit = _fit_two_level(sample, k_leaf, n_branches, seed)
         if memo_key is not None:
             _TWO_LEVEL_FIT_CACHE[memo_key] = fit
     bcenters, leaf_centers, leaf_branch = fit
     n_b = len(bcenters)
     leaves_of = [np.nonzero(leaf_branch == b)[0] for b in range(n_b)]
+    # --- third level: supers clustered over the BRANCH CENTERS (B
+    # points, driver-side, milliseconds — recomputed per call, so the
+    # memoized two-level fit tuple is unchanged).  S = √(P·B) minimizes
+    # the per-row super-scan + probed-branch-scan sum S + P·B/S; with
+    # B ∝ K^⅔ that is Θ(K^⅓).  Skipped below 24 branches, where the
+    # branch scan is already trivial.
+    scenters = None
+    branches_of_super: list = []
+    if n_b >= 24:
+        n_s = max(2, min(n_b // 3,
+                         round(math.sqrt(float(home_probes * n_b)))))
+        scenters, s_of_b = _lloyd_rounds(bcenters, n_s, seed + 104729)
+        n_s = len(scenters)
+        branches_of_super = [np.nonzero(s_of_b == s)[0] for s in range(n_s)]
+    embedding_near_dup_pairs_hier.last_levels = 3 if scenters is not None else 2
     theta_t = math.acos(max(-1.0, min(1.0, threshold)))
     eps = 1e-6  # float-acos slack; over-assignment is verified away
 
@@ -739,6 +842,56 @@ def embedding_near_dup_pairs_hier(
 
     n_probe = max(1, min(home_probes, n_b))
 
+    def _top_branches(xn):
+        """Per-row candidate home branches (n × ≤P), -1-padded.
+
+        With supers: scan the S super centers, probe the top-P supers'
+        branch sets, keep the best P branches by center angle —
+        Θ(S + P·B/S) per row instead of the full Θ(B) branch scan.
+        The preselection is approximate (the true nearest branch could
+        sit in an unprobed super); completeness NEVER depends on home
+        choice (docstring), only radius quality does, and top-P supers
+        cover ~P·B/S branches — more than the flat form's exact top-P.
+        Without supers: the exact top-P over the full branch scan.
+        """
+        import numpy as _np
+
+        if scenters is None:
+            bang = _angles(xn, bcenters)
+            if n_probe < n_b:
+                return _np.argpartition(bang, n_probe - 1, axis=1)[:, :n_probe]
+            return _np.broadcast_to(_np.arange(n_b), (len(xn), n_b)).copy()
+        n_s = len(scenters)
+        sang = _angles(xn, scenters)
+        ps = min(n_probe, n_s)
+        if ps < n_s:
+            stop = _np.argpartition(sang, ps - 1, axis=1)[:, :ps]
+        else:
+            stop = _np.broadcast_to(_np.arange(n_s), (len(xn), n_s))
+        cand_ang = _np.full((len(xn), n_probe), _np.inf)
+        cand_b = _np.full((len(xn), n_probe), -1, dtype=_np.int64)
+        for p in range(stop.shape[1]):
+            col = stop[:, p]
+            for s in _np.unique(col):
+                bl = branches_of_super[s]
+                if not len(bl):
+                    continue
+                rows = _np.nonzero(col == s)[0]
+                langs = _angles(xn[rows], bcenters[bl])
+                # merge this super's branches into the per-row best-P
+                # (supers partition branches and probed supers are
+                # distinct per row, so no duplicate candidates)
+                m_ang = _np.concatenate([cand_ang[rows], langs], axis=1)
+                m_b = _np.concatenate(
+                    [cand_b[rows], _np.broadcast_to(bl, langs.shape)],
+                    axis=1)
+                idx = _np.argpartition(
+                    m_ang, n_probe - 1, axis=1)[:, :n_probe]
+                rr = _np.arange(len(rows))[:, None]
+                cand_ang[rows] = m_ang[rr, idx]
+                cand_b[rows] = m_b[rr, idx]
+        return cand_b
+
     def assign_home(it):
         import numpy as _np
         import pyarrow as _pa
@@ -748,18 +901,17 @@ def embedding_near_dup_pairs_hier(
                 continue
             x = _vecs(batch)
             xn = x / _np.linalg.norm(x, axis=1, keepdims=True)
-            bang = _angles(xn, bcenters)
-            # top-P branches per row (see docstring: home QUALITY sets
-            # the covering radii; a top-1 misassignment poisons a leaf)
-            if n_probe < n_b:
-                top = _np.argpartition(bang, n_probe - 1, axis=1)[:, :n_probe]
-            else:
-                top = _np.broadcast_to(_np.arange(n_b), (len(xn), n_b))
+            # candidate branches per row (see docstring: home QUALITY
+            # sets the covering radii; a top-1 misassignment poisons a
+            # leaf)
+            top = _top_branches(xn)
             leaf = _np.zeros(len(xn), dtype=_np.int32)
             hang = _np.full(len(xn), _np.inf)
             for p in range(top.shape[1]):
                 hb = top[:, p]
                 for b in _np.unique(hb):
+                    if b < 0:  # -1 padding: fewer than P branches probed
+                        continue
                     rows = _np.nonzero(hb == b)[0]
                     lidx = leaves_of[b]
                     if not len(lidx):
@@ -801,6 +953,19 @@ def embedding_near_dup_pairs_hier(
         if len(lidx):
             lb_ang = _angles(bcenters[b:b + 1], leaf_centers[lidx])[0]
             branch_r[b] = float((lb_ang + radius[lidx]).max())
+    # super covering radii: the branch-level bound lifted once more
+    # (super_R(σ) = max over live branches β∈σ of angle(σ,β) +
+    # branch_R(β)); -inf for supers with no live branch, so the
+    # replication prune rejects them outright.
+    super_r = None
+    if scenters is not None:
+        super_r = np.full(len(scenters), -np.inf)
+        for s in range(len(scenters)):
+            bl = branches_of_super[s]
+            bl = bl[branch_r[bl] >= 0.0]
+            if len(bl):
+                sb_ang = _angles(scenters[s:s + 1], bcenters[bl])[0]
+                super_r[s] = float((sb_ang + branch_r[bl]).max())
 
     # --- pass 2: covering-radius REPLICATION (id -> every leaf that can
     # host a qualifying partner) — same Arrow shape, id-only output.
@@ -819,23 +984,44 @@ def embedding_near_dup_pairs_hier(
             x = _vecs(batch)
             xn = x / _np.linalg.norm(x, axis=1, keepdims=True)
             ids = batch.column(batch.schema.get_field_index("__id"))
-            bang = _angles(xn, bcenters)
-            ok_b = bang <= theta_t + eps + branch_r[None, :]
             src_list, leaf_list = [], []
-            for b in range(n_b):
-                rows = _np.nonzero(ok_b[:, b])[0]
-                if not len(rows):
-                    continue
-                lidx = leaves_of[b][live[leaves_of[b]]]
-                if not len(lidx):
-                    continue
-                langs = _angles(xn[rows], leaf_centers[lidx])
-                ri, lj = _np.nonzero(
-                    langs <= theta_t + eps + radius[lidx][None, :])
-                if not len(ri):
-                    continue
-                src_list.append(rows[ri])
-                leaf_list.append(lidx[lj])
+
+            def probe_leaves(rows0, bl, bang):
+                # bang: |rows0| × |bl| branch-center angles; leaf-filter
+                # the branch-admitted rows exactly as the flat form did
+                ok = bang <= theta_t + eps + branch_r[bl][None, :]
+                for j in range(len(bl)):
+                    b = bl[j]
+                    rows = rows0[_np.nonzero(ok[:, j])[0]]
+                    if not len(rows):
+                        continue
+                    lidx = leaves_of[b][live[leaves_of[b]]]
+                    if not len(lidx):
+                        continue
+                    langs = _angles(xn[rows], leaf_centers[lidx])
+                    ri, lj = _np.nonzero(
+                        langs <= theta_t + eps + radius[lidx][None, :])
+                    if not len(ri):
+                        continue
+                    src_list.append(rows[ri])
+                    leaf_list.append(lidx[lj])
+
+            all_rows = _np.arange(len(xn))
+            if scenters is None:
+                probe_leaves(all_rows, _np.arange(n_b),
+                             _angles(xn, bcenters))
+            else:
+                # super-level prune first (Θ(S) per row): only branches
+                # of covering-radius-admitted supers get scored
+                sang = _angles(xn, scenters)
+                ok_s = sang <= theta_t + eps + super_r[None, :]
+                for s in range(len(scenters)):
+                    rows_s = all_rows[ok_s[:, s]]
+                    bl = branches_of_super[s]
+                    if not len(rows_s) or not len(bl):
+                        continue
+                    probe_leaves(rows_s, bl,
+                                 _angles(xn[rows_s], bcenters[bl]))
             if not src_list:
                 continue
             src = _np.concatenate(src_list)
@@ -847,6 +1033,14 @@ def embedding_near_dup_pairs_hier(
             )
 
     rep = base.select("__id", "__v").mapInArrow(replicate, rep_schema)
+    embedding_near_dup_pairs_hier.last_replication = None
+    if max_replication is not None and n_rows >= guard_min_rows:
+        # Runtime blowup guard (docstring): small corpora skip it — a
+        # sub-guard_min_rows worst case is trivial, and the extra count
+        # action would dominate unit-test-sized runs.
+        rep, mean_rep = _guard_replication(
+            rep, n_rows, max_replication, threshold)
+        embedding_near_dup_pairs_hier.last_replication = mean_rep
 
     # --- leaf-grain CANDIDATE generation: vectors re-attach to the
     # replica relation via a JVM hash join (never through a Python
@@ -854,13 +1048,17 @@ def embedding_near_dup_pairs_hier(
     # nominates the pairs at cosine ≥ threshold − margin, so the exact
     # verify join only ships vectors for an OUTPUT-sized relation —
     # the blocked path's candidates-only contract, applied per leaf.
-    # Nomination ships FLOAT32 vectors: the tagged relation (replicas ×
-    # vector payload) is the path's one big shuffle (2.1 GB at the 500k
-    # probe corpus), and candidate NOMINATION tolerates rounding — a
-    # float32-cast unit vector perturbs a cosine by < 1e-5, so widening
-    # the nomination margin to 1e-4 strictly over-nominates, and the
-    # exact float64 verification expression below decides every final
-    # row.  Halves the shuffle bytes for free.
+    # Nomination ships UNIT-NORMALIZED FLOAT32 vectors: the tagged
+    # relation (replicas × vector payload) is the path's one big
+    # shuffle (2.1 GB at the 500k probe corpus), and candidate
+    # NOMINATION tolerates rounding.  Normalizing in float64 FIRST and
+    # casting the unit vector (ADVICE r6) keeps every component in
+    # [-1, 1], so the < 1e-5 cosine-perturbation bound holds
+    # unconditionally — a RAW vector whose components under/overflow
+    # float32 range would cast to zeros/Inf and silently drop
+    # qualifying pairs.  The 1e-4 margin strictly over-nominates, and
+    # the exact float64 verification expression below decides every
+    # final row.  Halves the shuffle bytes for free.
     margin = 1e-4
     cut = threshold - margin
     tagged = (
@@ -868,7 +1066,9 @@ def embedding_near_dup_pairs_hier(
         .unionByName(home.select("__id", "leaf_id",
                                  F.lit(1).alias("__side")))
         .join(base.select(
-            "__id", F.col("__v").cast("array<float>").alias("__vf")),
+            "__id",
+            F.expr("transform(__v, x -> x / sqrt(__n2))")
+            .cast("array<float>").alias("__vf")),
             "__id")
         .select("leaf_id", "__id", "__vf", "__side")
     )
@@ -899,8 +1099,10 @@ def embedding_near_dup_pairs_hier(
             return _pa.table(
                 {"id_a": idcol.take(empty), "id_b": idcol.take(empty)})
         rm, hm = mat[r], mat[h]
-        sims = (rm @ hm.T) / _np.outer(
-            _np.linalg.norm(rm, axis=1), _np.linalg.norm(hm, axis=1))
+        # __vf is unit-normalized upstream (float64 normalize, then
+        # float32 cast) — the matmul IS the cosine to ~1e-7, so no
+        # per-group norm recompute (ADVICE r6).
+        sims = rm @ hm.T
         ri, hj = _np.nonzero(sims >= cut)
         ids = idcol.to_numpy(zero_copy_only=False)
         ra_idx, hb_idx = r[ri], h[hj]
@@ -941,6 +1143,14 @@ def embedding_near_dup_pairs_hier(
     )
 
 
+#: Diagnostic: mean replication factor from the last guarded run
+#: (None when the guard was skipped — small corpus or disabled).
+embedding_near_dup_pairs_hier.last_replication = None
+#: Diagnostic: 3 when the super level was active on the last run, 2
+#: when it was skipped (fewer than 24 branches).
+embedding_near_dup_pairs_hier.last_levels = None
+
+
 def embedding_near_dup_pairs_auto(
     df: DataFrame,
     id_col: str,
@@ -951,11 +1161,12 @@ def embedding_near_dup_pairs_auto(
     n_cells: int | None = None,
     seed: int = 42,
     cache_key: str | None = None,
+    max_replication: float | None = 32.0,
 ) -> DataFrame:
     """Size-dispatched exact cosine pair search (r5 verdict item 1):
     below ``max_side_bytes`` the numpy-blocked matmul candidate path
     (:func:`embedding_near_dup_pairs_blocked` — fastest when every
-    worker can hold the corpus matrix), above it the two-level
+    worker can hold the corpus matrix), above it the three-level
     cell-partitioned :func:`embedding_near_dup_pairs_hier` path, which
     has no per-worker matrix and no per-row full-cell scan.  All paths
     verify candidates with the same exact expression, so the OUTPUT is
@@ -966,7 +1177,12 @@ def embedding_near_dup_pairs_auto(
     The dispatch count is a parquet-metadata count on the raw input
     (no materialization).  ``n_cells`` forces the FLAT celled form with
     that many cells (testing/diagnostics); by default the hierarchical
-    form sizes itself (≈ n/512 leaves, √leaves branches).
+    form sizes itself (≈ n/64 leaves capped by the fit sample,
+    2·K^⅔ branches, √(P·B) supers).  ``max_replication`` forwards to
+    the partitioned paths' runtime blowup guard
+    (:class:`CoveringRadiusBlowupError`) — the big-corpus default path
+    fails loudly on structureless data instead of shuffling a
+    quadratic candidate surface.
     """
     n_rows = df.count()
     est_bytes = n_rows * dim * 8
@@ -981,11 +1197,12 @@ def embedding_near_dup_pairs_auto(
         return embedding_near_dup_pairs_celled(
             df, id_col, vec_col, threshold=threshold, dim=dim,
             n_cells=n_cells, seed=seed, cache_key=cache_key,
+            max_replication=max_replication,
         )
     embedding_near_dup_pairs_auto.last_path = "hier"
     return embedding_near_dup_pairs_hier(
         df, id_col, vec_col, threshold=threshold, dim=dim,
-        seed=seed, cache_key=cache_key,
+        seed=seed, cache_key=cache_key, max_replication=max_replication,
     )
 
 

@@ -136,6 +136,103 @@ def test_hier_zero_vector_does_not_poison_radii(spark):
         assert got == brute
 
 
+def _clustered_corpus(rng, n_clusters, per_cluster, dim, width_deg=8.0,
+                      antipodal_spread=True):
+    """Unit vectors in tight content clusters (the SemDeDup-class
+    workload the hier path exists for)."""
+    rows, vid = [], 0
+    for _ in range(n_clusters):
+        c = rng.normal(size=dim)
+        c /= np.linalg.norm(c)
+        for _ in range(per_cluster):
+            d = rng.normal(size=dim)
+            d -= d.dot(c) * c
+            d /= np.linalg.norm(d)
+            phi = np.deg2rad(width_deg * rng.random())
+            v = np.cos(phi) * c + np.sin(phi) * d
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return rows
+
+
+def test_hier_three_level_supers_bit_equal(spark):
+    """r6 verdict item 1: with enough branches the SUPER level must
+    activate (last_levels == 3) and the output must stay bit-identical
+    to the numpy-blocked exact path — the same contract the x1 probe
+    gate enforces at 50k rows, pinned here at unit-test scale.
+    leaf_target=4 over 3000 rows yields ~750 leaves → ~165 branches →
+    ~36 supers, so every three-level code path (super scan, probed-
+    branch merge, super-radius replication prune) executes."""
+    from kafka_bigdata_jobs_spark.operators.similarity import (
+        embedding_near_dup_pairs_blocked,
+    )
+
+    rng = np.random.default_rng(11)
+    dim = 8
+    rows = _clustered_corpus(rng, n_clusters=60, per_cluster=50, dim=dim)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    blocked = _pairs(embedding_near_dup_pairs_blocked(
+        df, "vec_id", "embedding", threshold=0.97, dim=dim))
+    assert len(blocked) > 0  # in-cluster pairs qualify by construction
+    hier = _pairs(embedding_near_dup_pairs_hier(
+        df, "vec_id", "embedding", threshold=0.97, dim=dim, leaf_target=4))
+    assert embedding_near_dup_pairs_hier.last_levels == 3
+    assert hier == blocked
+
+
+def test_replication_guard_trips_on_structureless_corpus(spark):
+    """r6 verdict item 2: uniform high-dim noise at a θ_t that rivals
+    the data's own angular spread degenerates the exact pair search
+    toward all-pairs; the guard must fail loudly BEFORE the pair
+    matmul, naming the approximate alternatives — not fill the disk
+    (the r6 probe incidents)."""
+    from kafka_bigdata_jobs_spark.operators.similarity import (
+        CoveringRadiusBlowupError,
+        embedding_near_dup_pairs_celled,
+    )
+
+    rng = np.random.default_rng(5)
+    dim, n = 16, 3000
+    rows = []
+    for vid in range(n):
+        v = rng.normal(size=dim)
+        rows.append((vid, [float(x) for x in v / np.linalg.norm(v)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(CoveringRadiusBlowupError, match="replication factor"):
+        embedding_near_dup_pairs_hier(
+            df, "vec_id", "embedding", threshold=0.7, dim=dim,
+            leaf_target=16, guard_min_rows=0)
+    with pytest.raises(CoveringRadiusBlowupError, match="all-pairs"):
+        embedding_near_dup_pairs_celled(
+            df, "vec_id", "embedding", threshold=0.7, dim=dim,
+            n_cells=64, guard_min_rows=0)
+
+
+def test_replication_guard_passes_clustered_corpus(spark):
+    """The guard must NOT trip on the workload the operator exists for:
+    tight content clusters keep the measured replication factor far
+    under the ceiling, and the guarded run still returns the exact
+    output (the cached replica relation is REUSED, not recomputed)."""
+    from kafka_bigdata_jobs_spark.operators.similarity import (
+        embedding_near_dup_pairs_blocked,
+    )
+
+    rng = np.random.default_rng(13)
+    dim = 8
+    rows = _clustered_corpus(rng, n_clusters=40, per_cluster=40, dim=dim)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    blocked = _pairs(embedding_near_dup_pairs_blocked(
+        df, "vec_id", "embedding", threshold=0.97, dim=dim))
+    hier = _pairs(embedding_near_dup_pairs_hier(
+        df, "vec_id", "embedding", threshold=0.97, dim=dim,
+        leaf_target=8, guard_min_rows=0))
+    assert hier == blocked
+    rep = embedding_near_dup_pairs_hier.last_replication
+    assert rep is not None and rep < 32.0, (
+        f"clustered corpus measured replication {rep} — the guard "
+        "would reject the operator's own workload")
+
+
 def test_hier_fit_sample_covers_file_tail(spark, monkeypatch):
     """Regression (r6): the fit sample must be ORDER-INDEPENDENT.
 

@@ -5,8 +5,11 @@ the celled path").
 
 The suite's ``embeddings`` fixture is 2 000 rows at sf0.1 — three
 orders below where the hier path dispatches — so this probe generates
-its own corpora at 50k/150k/500k rows with the structure the operator
-exists for (and that real embedding corpora have): content CLUSTERS.
+its own corpora at 50k/150k/500k/1.5M rows with the structure the
+operator exists for (and that real embedding corpora have): content
+CLUSTERS.  The x30 leg (r6 verdict item 6) confirms the three-level
+quantizer's flattening EMPIRICALLY one scale past where the r6
+two-level Θ(n·√K) term was measured, rather than by stage math alone.
 Cluster count grows with the corpus (more distinct content regions at
 larger crawls), cluster width 15–30° so random same-cluster pairs stay
 BELOW the 0.95 threshold (cos 15°² ≈ 0.933 plus ≤0.008 cross-term
@@ -44,7 +47,7 @@ import numpy as np  # noqa: E402
 
 from kafka_bigdata_jobs_spark.session import get_spark  # noqa: E402
 
-SIZES = {"x1": 50_000, "x3": 150_000, "x10": 500_000}
+SIZES = {"x1": 50_000, "x3": 150_000, "x10": 500_000, "x30": 1_500_000}
 DIM = 64
 THRESHOLD = 0.95
 CONE_POINTS = 1_000  # flat cluster size: regions grow in NUMBER with n
@@ -122,7 +125,8 @@ def main() -> None:
         import gc
         gc.collect()
         spark.sparkContext._jvm.System.gc()
-        return time.monotonic() - t0, n_pairs
+        return (time.monotonic() - t0, n_pairs,
+                sim.embedding_near_dup_pairs_hier.last_replication)
 
     row: dict = {}
     for scale, path in SIZES.items():
@@ -132,37 +136,50 @@ def main() -> None:
         spark = get_spark("kbj-spark-embpairs-probe")
         spark.sparkContext.setLogLevel("ERROR")
         run_cold(spark, p)  # untimed warm-up: codegen/JIT, parquet footers
-        best, rows = math.inf, -1
+        best, rows, rep = math.inf, -1, None
         for _ in range(max(2, args.attempts)):
-            dt, rows = run_cold(spark, p)
+            dt, rows, rep = run_cold(spark, p)
             best = min(best, dt)
         row[scale] = round(best, 3)
         row[f"rows_{scale}"] = rows
-        print(f"{scale:4s} hier {best:8.2f}s pairs={rows}", flush=True)
+        if rep is not None:
+            # mean covering-radius replication factor from the runtime
+            # guard — the cost-blowup early signal (flat == healthy)
+            row[f"rep_{scale}"] = round(rep, 1)
+        print(f"{scale:4s} hier {best:8.2f}s pairs={rows} rep={rep}",
+              flush=True)
         spark.stop()
 
     # x1 equality gate vs the blocked exact path (the auto twin).
+    # try/finally so the gate session's blockmgr dirs are removed even
+    # on a comparison crash — the same disk hygiene as the per-scale
+    # sessions (ADVICE r6).
     spark = get_spark("kbj-spark-embpairs-probe")
-    spark.sparkContext.setLogLevel("ERROR")
-    df1 = spark.read.parquet(paths["x1"])
-    hier = {(r["id_a"], r["id_b"], r["cosine"])
-            for r in sim.embedding_near_dup_pairs_hier(
-                df1, "vec_id", "embedding", threshold=THRESHOLD,
-                dim=DIM).collect()}
-    blocked = {(r["id_a"], r["id_b"], r["cosine"])
-               for r in sim.embedding_near_dup_pairs_blocked(
-                   df1, "vec_id", "embedding", threshold=THRESHOLD,
-                   dim=DIM).collect()}
-    row["verified_vs_blocked_x1"] = hier == blocked
-    print(f"x1 equality vs blocked: {row['verified_vs_blocked_x1']} "
-          f"({len(hier)} pairs)", flush=True)
+    try:
+        spark.sparkContext.setLogLevel("ERROR")
+        df1 = spark.read.parquet(paths["x1"])
+        hier = {(r["id_a"], r["id_b"], r["cosine"])
+                for r in sim.embedding_near_dup_pairs_hier(
+                    df1, "vec_id", "embedding", threshold=THRESHOLD,
+                    dim=DIM).collect()}
+        blocked = {(r["id_a"], r["id_b"], r["cosine"])
+                   for r in sim.embedding_near_dup_pairs_blocked(
+                       df1, "vec_id", "embedding", threshold=THRESHOLD,
+                       dim=DIM).collect()}
+        row["verified_vs_blocked_x1"] = hier == blocked
+        print(f"x1 equality vs blocked: {row['verified_vs_blocked_x1']} "
+              f"({len(hier)} pairs)", flush=True)
+    finally:
+        spark.stop()
 
-    row["exp_x3_x10"] = round(
-        math.log(max(row["x10"], 1e-3) / max(row["x3"], 1e-3))
-        / math.log(SIZES["x10"] / SIZES["x3"]), 2)
-    row["exp_x1_x10"] = round(
-        math.log(max(row["x10"], 1e-3) / max(row["x1"], 1e-3))
-        / math.log(SIZES["x10"] / SIZES["x1"]), 2)
+    def _exp(lo: str, hi: str) -> float:
+        return round(
+            math.log(max(row[hi], 1e-3) / max(row[lo], 1e-3))
+            / math.log(SIZES[hi] / SIZES[lo]), 2)
+
+    row["exp_x3_x10"] = _exp("x3", "x10")
+    row["exp_x1_x10"] = _exp("x1", "x10")
+    row["exp_x10_x30"] = _exp("x10", "x30")
     row["note"] = (
         "cold fit+assign+replicate+pair+exact-verify on clustered "
         f"corpora (cones of {CONE_POINTS}, 10% planted twins, "
