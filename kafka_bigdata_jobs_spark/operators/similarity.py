@@ -450,9 +450,13 @@ def embedding_near_dup_pairs_celled(
     """
     import math
 
+    from .relational import spread
+
     # Zero-norm exclusion must precede the fit: l2_normalize inside the
     # quantizer divides by the norm (ANSI: divide-by-zero fails loudly).
-    nz = df.where(F.expr(dot_sql(vec_col, vec_col, dim)) > 0)
+    # spread() first: the celled base feeds the same multi-pass numpy
+    # work as the hier path (see there).
+    nz = spread(df).where(F.expr(dot_sql(vec_col, vec_col, dim)) > 0)
     assigned, centers = kmeans_ivf_cells(
         nz, id_col, vec_col, n_cells=n_cells, seed=seed, dim=dim,
         fit_sample_rows=fit_sample_rows, cache_key=cache_key,
@@ -575,6 +579,14 @@ embedding_near_dup_pairs_celled.last_replication = None
 #: _KMEANS_MODEL_CACHE (evicted with its session's application id).
 _TWO_LEVEL_FIT_CACHE: dict[tuple, tuple] = {}
 
+#: Driver-memory ceiling on the auto-scaled hier fit sample (rows).
+#: 1M rows × 64 dims × 8 B = 512 MB driver-side during the fit — the
+#: point past which K stops tracking n/leaf_target and leaf
+#: populations start growing again (≈ corpora past 16M rows at the
+#: default leaf_target; the quantizer metadata shipped in task
+#: closures is then K·dim·8 ≈ 128 MB, the matching executor ceiling).
+FIT_SAMPLE_ROWS_CAP = 1 << 20
+
 
 def _lloyd_rounds(points, k: int, seed: int, iters: int = 8):
     """Driver-side spherical k-means over a BOUNDED point set (a seeded
@@ -589,16 +601,49 @@ def _lloyd_rounds(points, k: int, seed: int, iters: int = 8):
     k = min(k, len(pts))
     centers = pts[rng.choice(len(pts), size=k, replace=False)].copy()
     assign = np.zeros(len(pts), dtype=np.int64)
+    dim = pts.shape[1]
     for _ in range(iters):
-        assign = (pts @ centers.T).argmax(axis=1)
-        for j in range(k):
-            m = pts[assign == j]
-            if len(m):
-                c = m.mean(axis=0)
-                nrm = np.linalg.norm(c)
-                if nrm > 0:
-                    centers[j] = c / nrm
+        # chunked argmax keeps the similarity block under ~128 MB; the
+        # update is one bincount per dimension (the per-cluster mask
+        # loop measured ~10 s of python overhead at k≈1600 on the
+        # auto-scaled x30 fit sample).
+        chunk = max(1, (128 << 20) // (k * 8))
+        for lo in range(0, len(pts), chunk):
+            assign[lo:lo + chunk] = (
+                pts[lo:lo + chunk] @ centers.T).argmax(axis=1)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        sums = np.empty((k, dim))
+        for d in range(dim):
+            sums[:, d] = np.bincount(
+                assign, weights=pts[:, d], minlength=k)
+        nonempty = counts > 0
+        means = sums[nonempty] / counts[nonempty, None]
+        nrm = np.linalg.norm(means, axis=1)
+        ok = nrm > 0
+        upd = np.nonzero(nonempty)[0][ok]
+        centers[upd] = means[ok] / nrm[ok, None]
     return centers, assign
+
+
+def _exact_home_angles(mat, bcenters, leaf_centers, leaf_branch):
+    """Exact home angle (nearest leaf over ALL leaves) for each
+    (unit-normalized) row of ``mat``.  Driver-side, bounded point set
+    (the fit sample); chunked dense matmuls keep it one BLAS call per
+    ~128 MB block instead of thousands of per-branch numpy slices
+    (which measured 20-40 s of pure python overhead at the x30 sample).
+    The full-leaf minimum LOWER-bounds what the executor escalation
+    path (top-``n_probe``-branch scan) achieves, so a cap built from it
+    can only over-escalate — cost, never a radius."""
+    import numpy as np
+
+    xn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    hang = np.empty(len(xn))
+    chunk = max(1, (128 << 20) // (len(leaf_centers) * 8))
+    for lo in range(0, len(xn), chunk):
+        sims = xn[lo:lo + chunk] @ leaf_centers.T
+        hang[lo:lo + chunk] = np.arccos(
+            np.clip(sims.max(axis=1), -1.0, 1.0))
+    return hang
 
 
 def _fit_two_level(sample_mat, k_leaf: int, n_branches: int, seed: int):
@@ -659,19 +704,29 @@ def embedding_near_dup_pairs_hier(
     candidate is re-verified with the exact unrolled cosine expression,
     so the output is bit-identical to brute force.
 
-    HOME assignment searches the ``home_probes`` NEAREST BRANCHES, not
-    just the top one.  Completeness never depends on it (above), but
-    covering-radius QUALITY does, catastrophically: a point whose
-    single nearest branch holds no leaf near it gets force-homed ~90°
-    away, and that one leaf's radius then admits half the corpus as
-    replicas.  Measured on the 500k-row probe corpus
-    (tools/embpairs_probe.py, 500 content clusters): top-1 homes leave
-    p95 leaf radius at 67° and a mean replication factor of 210 —
-    a ~55 GB shuffle that filled the probe host's disk — while top-8
-    homes restore p95 radius to 31° (the cluster band width, i.e. the
-    data's own floor) and replication to 9.  The assignment stays
-    Θ(n·(B + P·K/B)) flops — the extra P−1 leaf-set probes cost less
-    than the branch scan they share.
+    HOME assignment searches the ``home_probes`` best branches found
+    through the top-``home_probes`` supers, not just the top one —
+    then RE-HOMES every point whose achieved home angle exceeds a
+    fit-derived absolute cap through an exact branch scan.
+    Completeness never depends on any of this (above), but
+    covering-radius QUALITY does, catastrophically, at both levels: a
+    point whose single nearest branch holds no leaf near it gets
+    force-homed ~90° away (r6: top-1 homes → mean replication 210, a
+    ~55 GB shuffle; top-8 → 9), and a point whose home super wasn't
+    among the probed ones fails the same way one level up (measured:
+    super-only preselection → replication 13.5/23.4/110/2145 at
+    x1/x3/x10/x30, each caught by the runtime guard below).  The cap
+    is the max exact-scan home angle of the FIT SAMPLE plus 3° — the
+    data's own home-angle ceiling — so no non-escalated point can sit
+    above it and the per-leaf radius max is immune to the miss RATE
+    (a quantile-based escalation is not: with K sample-capped, leaf
+    populations grow with n and any constant miss rate eventually
+    poisons every leaf's max — measured at x30, 5.17% misses → p50
+    radius 68° despite 2%-quantile escalation).  Assignment totals
+    Θ(n·(S + P·B/S + P·K/B + miss_rate·B)) flops — every term Θ(K^⅓)
+    except the measured-small escalation term, whose worst case
+    (structureless data, 100% escalation) degrades to the exact scan,
+    never below it.
 
     Why three levels (the inverted-multi-index shape; Babenko &
     Lempitsky 2012): the flat form scores every row against every cell
@@ -682,8 +737,16 @@ def embedding_near_dup_pairs_hier(
     at B ∝ √K — still a Θ(n·√K) term, which r6 measured as the one
     remaining scale ceiling.  Balancing THREE levels (``S`` supers over
     ``B`` branches over ``K`` leaves, B ∝ K^⅔, S ∝ √(P·B) ∝ K^⅓)
-    makes every per-row term — super scan, probed-branch scan, probed-
-    leaf scan — Θ(K^⅓): Θ(n·K^⅓) total assignment/replication flops.
+    makes every ASSIGNMENT term — super scan, probed-branch scan,
+    probed-leaf scan — Θ(K^⅓), plus the bounded 2%·B escalation term.
+    The REPLICATION pass keeps a Θ(B)-per-row branch-center scan in
+    the worst case: its super-level prune is covering-radius-sound but
+    the bound composes additively (super spread + branch radius), and
+    on high-dim data that sum can exceed 90° and admit every super —
+    the honest limit of angular pruning for a COMPLETE search, as
+    opposed to the assignment's nearest-search where escalation makes
+    approximation safe.  The branch-level prune (measured 7/712
+    branches admitted) still keeps the leaf-filter work output-sized.
     The supers are fit driver-side over the BRANCH CENTERS (B points,
     milliseconds), so the bounded-sample fit contract is unchanged;
     below 24 branches the super level is skipped (the scan is already
@@ -705,7 +768,8 @@ def embedding_near_dup_pairs_hier(
     closures; the corpus never leaves executors.
 
     Full-corpus passes are all linear in n at fixed ``leaf_target``
-    (the residual per-row factor is K^⅓ after the three-level balance):
+    (per-row factors: K^⅓ assignment after the three-level balance,
+    the pruned branch scan in replication):
     Arrow assignment, Arrow replication, one groupBy over K radius
     rows, the vector-attach join (replication-factor × corpus volume),
     the leaf-grain matmul, and exact verification of ~output-sized
@@ -730,10 +794,17 @@ def embedding_near_dup_pairs_hier(
 
     import numpy as np
 
+    from .relational import spread
+
     spark = df.sparkSession
     id_field = df.select(F.col(id_col).alias("__id")).schema[0]
+    # spread() BEFORE the cache: a single-file corpus reads as a
+    # handful of scan partitions (768 MB -> 6 at x30), and base feeds
+    # four full numpy/Arrow passes — under-partitioned, they serialize
+    # onto 6 of 32 cores (measured: the home+replicate passes alone
+    # ~150 s of the 248 s x30 wall before this line).
     base = (
-        df.select(
+        spread(df).select(
             F.col(id_col).alias("__id"),
             as_double_vec(F.col(vec_col)).alias("__v"),
         )
@@ -769,17 +840,29 @@ def embedding_near_dup_pairs_hier(
         # radii, and the replication pass degenerates toward all-pairs
         # (measured on the 500k probe corpus: the last 24 of 500
         # clusters unsampled -> mean replication 210, a ~55 GB shuffle).
-        # The expected sample size is 1.05·fit_sample_rows (±3σ ≈ ±600
-        # at these caps, ~17 MB driver-side); the exact cap is enforced
-        # by a seeded driver-side downsample, which stays uniform.
-        frac = min(1.0, 1.05 * fit_sample_rows / n_rows)
+        # The expected sample size is 1.05·the effective cap (±3σ ≈
+        # ±600 at these caps); the exact cap is enforced by a seeded
+        # driver-side downsample, which stays uniform.
+        #
+        # The cap AUTO-SCALES with the corpus: k_leaf below needs ≥4
+        # sample points per leaf, so a fixed sample silently caps K —
+        # and with K capped, leaf POPULATIONS grow ∝ n and the in-leaf
+        # pair matmul grows ∝ n²/K (measured: the x30 probe leg ran
+        # e(x10→x30)=1.37 with K stuck at 8192 and 183-row leaves,
+        # vs ≤1.0 everywhere K tracked n/leaf_target).  The
+        # FIT_SAMPLE_ROWS_CAP ceiling bounds driver memory; past it
+        # the quadratic-leaf regime honestly resumes (constant note).
+        eff_rows = min(
+            max(fit_sample_rows, 4 * max(1, n_rows // leaf_target)),
+            FIT_SAMPLE_ROWS_CAP)
+        frac = min(1.0, 1.05 * eff_rows / n_rows)
         sample_pdf = (
             base.select("__v").sample(fraction=frac, seed=seed).toPandas()
         )
         sample = np.array(list(sample_pdf["__v"]), dtype=np.float64)
-        if len(sample) > fit_sample_rows:
+        if len(sample) > eff_rows:
             keep = np.random.default_rng(seed).choice(
-                len(sample), size=fit_sample_rows, replace=False)
+                len(sample), size=eff_rows, replace=False)
             sample = sample[np.sort(keep)]
         k_leaf = max(4, min(n_rows // leaf_target, len(sample) // 4))
         # 2·K^⅔ branches: the three-level balance (see docstring) wants
@@ -794,10 +877,27 @@ def embedding_near_dup_pairs_hier(
         # is the same physics; only the scan-cost tradeoff moved.
         n_branches = max(
             2, min(k_leaf, round(2.0 * k_leaf ** (2.0 / 3.0))))
-        fit = _fit_two_level(sample, k_leaf, n_branches, seed)
+        two_level = _fit_two_level(sample, k_leaf, n_branches, seed)
+        # ESCALATION CAP: exact-home the (already in-memory) sample
+        # through the same top-P branch procedure the executor exact
+        # path runs; its max + 3° is the data's natural home-angle
+        # ceiling.  Any corpus point the approximate super preselection
+        # homes ABOVE this cap gets re-homed by the exact scan — so a
+        # preselection miss can never inflate a leaf's covering radius
+        # past the ceiling, it can only cost one exact rescan.  A
+        # quantile-based cap cannot give this guarantee: once K is
+        # sample-capped, leaf POPULATIONS grow with n and the per-leaf
+        # radius is a max over ever more draws, so ANY constant miss
+        # rate poisons essentially every leaf (measured at x30: 5.17%
+        # misses → p50 radius 68° → replication 2145 vs the exact
+        # scan's 3.8; with the absolute cap the radii match the exact
+        # scan at every probe scale).
+        esc_cap = float(
+            _exact_home_angles(sample, *two_level).max()) + 0.05
+        fit = (*two_level, esc_cap)
         if memo_key is not None:
             _TWO_LEVEL_FIT_CACHE[memo_key] = fit
-    bcenters, leaf_centers, leaf_branch = fit
+    bcenters, leaf_centers, leaf_branch, esc_cap = fit
     n_b = len(bcenters)
     leaves_of = [np.nonzero(leaf_branch == b)[0] for b in range(n_b)]
     # --- third level: supers clustered over the BRANCH CENTERS (B
@@ -896,6 +996,27 @@ def embedding_near_dup_pairs_hier(
         import numpy as _np
         import pyarrow as _pa
 
+        def probe(cand, rows_sel, xn, leaf, hang):
+            """Nearest leaf among the candidate branches' leaves;
+            cand rows are positions into rows_sel."""
+            for p in range(cand.shape[1]):
+                hb = cand[:, p]
+                for b in _np.unique(hb):
+                    if b < 0:  # -1 padding: fewer than P branches
+                        continue
+                    pos = _np.nonzero(hb == b)[0]
+                    rows = rows_sel[pos]
+                    lidx = leaves_of[b]
+                    if not len(lidx):
+                        continue
+                    langs = _angles(xn[rows], leaf_centers[lidx])
+                    j = langs.argmin(axis=1)
+                    best = langs[_np.arange(len(rows)), j]
+                    better = best < hang[rows]
+                    rr = rows[better]
+                    leaf[rr] = lidx[j][better].astype(_np.int32)
+                    hang[rr] = best[better]
+
         for batch in it:
             if not batch.num_rows:
                 continue
@@ -907,28 +1028,39 @@ def embedding_near_dup_pairs_hier(
             top = _top_branches(xn)
             leaf = _np.zeros(len(xn), dtype=_np.int32)
             hang = _np.full(len(xn), _np.inf)
-            for p in range(top.shape[1]):
-                hb = top[:, p]
-                for b in _np.unique(hb):
-                    if b < 0:  # -1 padding: fewer than P branches probed
-                        continue
-                    rows = _np.nonzero(hb == b)[0]
-                    lidx = leaves_of[b]
-                    if not len(lidx):
-                        continue
-                    langs = _angles(xn[rows], leaf_centers[lidx])
-                    j = langs.argmin(axis=1)
-                    best = langs[_np.arange(len(rows)), j]
-                    better = best < hang[rows]
-                    rr = rows[better]
-                    leaf[rr] = lidx[j][better].astype(_np.int32)
-                    hang[rr] = best[better]
+            probe(top, _np.arange(len(xn)), xn, leaf, hang)
             miss = _np.nonzero(_np.isinf(hang))[0]
             if len(miss):  # every probed branch leaf-less: exact fallback
                 langs = _angles(xn[miss], leaf_centers)
                 j = langs.argmin(axis=1)
                 leaf[miss] = j.astype(_np.int32)
                 hang[miss] = langs[_np.arange(len(miss)), j]
+            if scenters is not None:
+                # ESCALATION — the home-quality self-check that makes
+                # the approximate super preselection safe: a
+                # preselection miss homes a point far from any probed
+                # leaf (measured ~70° vs the ~30° cluster band), and
+                # ONE such point per leaf inflates that leaf's
+                # covering radius enough to admit a large corpus slice
+                # as replicas (the r6 top-1-branch lesson, one level
+                # up: probing supers by center angle alone measured
+                # replication 13.5/23.4/110/2145 at x1/x3/x10/x30 —
+                # exploding — vs the exact scan's flat ~4-12).  Every
+                # row homed above the fit-derived absolute cap (see
+                # the esc_cap comment at the fit) re-runs the exact
+                # top-P branch scan: radii stay under the data's own
+                # ceiling whatever the miss RATE, and the miss cost is
+                # one rescan, never a radius.
+                esc = _np.nonzero(hang > esc_cap)[0]
+                if len(esc):
+                    bang = _angles(xn[esc], bcenters)
+                    if n_probe < n_b:
+                        etop = _np.argpartition(
+                            bang, n_probe - 1, axis=1)[:, :n_probe]
+                    else:
+                        etop = _np.broadcast_to(
+                            _np.arange(n_b), (len(esc), n_b))
+                    probe(etop, esc, xn, leaf, hang)
             yield _pa.RecordBatch.from_arrays(
                 [batch.column(batch.schema.get_field_index("__id")),
                  _pa.array(leaf, type=_pa.int32()),

@@ -200,12 +200,16 @@ def test_enrollment_survives_simulated_driver_clobber(scaling):
         "registry; rerun `make bench-quiet` and probe the new heavies")
 
 
-#: r5 verdict item 5: every probe row whose measured x3->x10 exponent
-#: is >= 1.0 carries a one-line rationale saying why linear(-ish) IS
-#: the floor for that shape — so the next reader never has to re-derive
-#: it.  Rows under the ceiling but over 1.0 are legitimate (linear
-#: full-scan work + jitter); rows over the CEILING need the separate
-#: EXP_ALLOWLIST with its stronger justification.
+#: r5 verdict item 5 + r6 verdict item 3: every probe row — in EVERY
+#: measured SCALING section (queries, operator_variants, cold_builds)
+#: and for EVERY measured exp_* leg — whose exponent is >= 1.0 carries
+#: a one-line rationale here saying why linear(-ish) IS the floor for
+#: that shape, so the next reader never has to re-derive it.  In-JSON
+#: prose notes do NOT count (they can go stale silently — the r6 hier
+#: row's e_x3_x10=1.01 escaped the sweep exactly that way); only this
+#: reviewed dict gates.  Rows under the ceiling but over 1.0 are
+#: legitimate (linear full-scan work + jitter); rows over the CEILING
+#: need the separate EXP_ALLOWLIST with its stronger justification.
 SUPERUNIT_RATIONALE: dict[str, str] = {
     "dedup_exact_summary": (
         "full-corpus hash-groupBy summary — every row is hashed and "
@@ -213,16 +217,42 @@ SUPERUNIT_RATIONALE: dict[str, str] = {
         "linear plus sub-second-scale jitter (x10 wall < 1 s)"),
 }
 
+#: Sections of SCALING.json swept for superunit exponents.  Adding a
+#: new measured section without enrolling it here is caught by
+#: test_superunit_sweep_covers_every_section below.
+SWEPT_SECTIONS = ("queries", "operator_variants", "cold_builds")
+#: Sections that are not wall-clock-vs-scale rows (no exp_* keys of
+#: the probed kind, or different semantics — recall floors etc.).
+NON_EXPONENT_SECTIONS = (
+    "ann_recall", "probe_rationale", "scales", "attempts",
+    "auto_threshold_sec", "base")
+
+
+def _exponent_rows(scaling):
+    for section in SWEPT_SECTIONS:
+        for name, row in scaling.get(section, {}).items():
+            if not isinstance(row, dict):
+                continue
+            for key, e in row.items():
+                if key.startswith("exp_") and isinstance(e, (int, float)):
+                    yield section, name, key, e
+
+
+def test_superunit_sweep_covers_every_section(scaling):
+    unknown = [k for k in scaling
+               if k not in SWEPT_SECTIONS and k not in NON_EXPONENT_SECTIONS]
+    assert not unknown, (
+        f"SCALING.json grew sections {unknown} the superunit sweep "
+        "doesn't know — enroll them in SWEPT_SECTIONS or "
+        "NON_EXPONENT_SECTIONS")
+
 
 def test_every_superunit_exponent_has_rationale(scaling):
     missing = {}
-    for name, row in scaling["queries"].items():
-        e = row.get("exp_x3_x10")
-        if e is None or e < 1.0:
+    for section, name, key, e in _exponent_rows(scaling):
+        if e < 1.0 or name in SUPERUNIT_RATIONALE or name in EXP_ALLOWLIST:
             continue
-        if name in SUPERUNIT_RATIONALE or name in EXP_ALLOWLIST:
-            continue
-        missing[name] = e
+        missing[f"{section}.{name}.{key}"] = e
     assert not missing, (
         f"probe rows measured e >= 1.0 without a written rationale: "
         f"{missing} — add a SUPERUNIT_RATIONALE line (linear-floor "
@@ -230,11 +260,17 @@ def test_every_superunit_exponent_has_rationale(scaling):
 
 
 def test_stale_superunit_rationales_removed(scaling):
+    rows = {}
+    for section in SWEPT_SECTIONS:
+        rows.update(scaling.get(section, {}))
     for name in SUPERUNIT_RATIONALE:
-        row = scaling["queries"].get(name)
+        row = rows.get(name)
         assert row is not None, f"rationale for unprobed query {name}"
-        assert row.get("exp_x3_x10", 0) >= 1.0, (
-            f"{name} no longer measures e >= 1.0 — drop its rationale")
+        superunit = [e for k, e in row.items()
+                     if k.startswith("exp_") and isinstance(e, (int, float))
+                     and e >= 1.0]
+        assert superunit, (
+            f"{name} no longer measures any e >= 1.0 — drop its rationale")
 
 
 #: r5 verdict item 6: the shared pair-relation COLD BUILDS (bench.py's
@@ -258,23 +294,21 @@ def test_cold_builds_probed_and_linear(scaling):
 
 
 def test_hier_pair_search_probed_and_bounded(scaling):
-    """r5 verdict item 1's last "Done =" criterion: a SCALING row for
+    """r5 verdict item 1 + r6 verdict items 1/6: the SCALING row for
     the cell-partitioned exact pair path (`embedding_near_dup_pairs_hier`,
     the `embedding_close_pairs` auto dispatch past max_side_bytes),
     measured on clustered corpora where qualifying pairs grow linearly
-    by construction (tools/embpairs_probe.py).
+    by construction (tools/embpairs_probe.py), now through x30 (1.5M
+    rows) with the THREE-LEVEL quantizer.
 
-    Exponent ceiling 1.35 on the x1->x10 leg, NOT the query rule's 1.1:
-    the path carries a Θ(n·√K)-flops assignment term with K ∝ n.
-    After the 8·√K branch sizing it measures ~linear (e=0.94 with a
-    FLAT replication factor 12.4/10.5/9.0), but the √K term is still
-    the asymptote, so the ceiling keeps headroom for it rather than
-    flapping on probe noise (an inverted-multi-index third level is
-    the documented flattening, see SCALE.md round 6).  The output-size
-    pin (rows ∝ n) is what catches a genuine pair explosion — the
-    covering-radius poisoning this probe caught produced a ~55 GB
-    shuffle at UNCHANGED output, and the exponent pin catches that
-    class.
+    Round-7 measured row: 5.95/9.54/14.48/35.25 s at x1/x3/x10/x30,
+    e(x1→x10)=0.39, e(x10→x30)=0.81, replication flat
+    13.5/11.2/9.2/9.1 — so the ceilings tighten from r6's 1.35 (the
+    old Θ(n·√K)-assignment budget) to 1.0 / 1.1.  The replication pin
+    is the cost-blowup early signal: the probe caught two radius-
+    poisoning regressions this round (super-preselection misses at
+    x10 and x30) as GROWING replication at unchanged output, which no
+    correctness gate can see.
     """
     row = scaling.get("operator_variants", {}).get(
         "embedding_near_dup_pairs_hier")
@@ -282,11 +316,22 @@ def test_hier_pair_search_probed_and_bounded(scaling):
                  "`make embpairs-probe`")
     assert row["verified_vs_blocked_x1"] is True, (
         "hier output no longer matches the blocked exact path at x1")
-    assert row["exp_x1_x10"] <= 1.35, (
-        f"hier pair search e(x1→x10)={row['exp_x1_x10']} exceeds the "
-        "documented √K-assignment budget — a pair/replication surface "
-        "is growing (check covering radii / fit sample coverage)")
+    assert row["exp_x1_x10"] <= 1.0, (
+        f"hier pair search e(x1→x10)={row['exp_x1_x10']} regressed past "
+        "linear — a pair/replication/fit surface is growing")
+    assert row["exp_x10_x30"] <= 1.1, (
+        f"hier pair search e(x10→x30)={row['exp_x10_x30']} regressed — "
+        "check the auto-scaled fit sample (K must track n/leaf_target "
+        "below FIT_SAMPLE_ROWS_CAP) and the escalation cap")
+    # replication factor must stay FLAT and far under the runtime
+    # guard's ceiling: growth here is the radius-poisoning signature.
+    for s in ("x1", "x3", "x10", "x30"):
+        assert row[f"rep_{s}"] <= 20.0, (
+            f"replication factor at {s} = {row[f'rep_{s}']} — covering "
+            "radii are inflating (home-assignment quality regression)")
     # qualifying pairs are planted to grow ∝ n (10% twins per corpus):
     # superlinear OUTPUT growth means the generator or threshold broke.
     assert row["rows_x10"] <= 12 * row["rows_x1"], (
         "pair count grew faster than the corpus — probe data defect")
+    assert row["rows_x30"] <= 4 * row["rows_x10"], (
+        "pair count grew faster than the corpus on the x30 leg")

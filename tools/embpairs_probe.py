@@ -89,7 +89,12 @@ def _gen_corpus(n: int, seed: int, path: str) -> None:
         "embedding": pa.array(list(vecs)),
     })
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    pq.write_table(tbl, path)
+    # 64k-row row groups: parquet splits only at row-group boundaries,
+    # and pyarrow's default (~1M rows) makes the 1.5M-row corpus scan
+    # as TWO Spark tasks — the first cached pass then serializes ~100
+    # executor-seconds onto 2 of 32 cores (measured 49 s wall at x30).
+    # Real corpora arrive as thousands of files; this matches that.
+    pq.write_table(tbl, path, row_group_size=65536)
 
 
 def main() -> None:
@@ -184,7 +189,9 @@ def main() -> None:
         "cold fit+assign+replicate+pair+exact-verify on clustered "
         f"corpora (cones of {CONE_POINTS}, 10% planted twins, "
         f"threshold {THRESHOLD}); qualifying pairs grow linearly by "
-        "construction — see tools/embpairs_probe.py docstring")
+        "construction — see tools/embpairs_probe.py docstring; corpora "
+        "written with 64k-row parquet row groups so the scan "
+        "parallelizes like a real multi-file corpus")
 
     try:
         with open(args.out, encoding="utf-8") as fh:
