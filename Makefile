@@ -2,7 +2,7 @@
 
 PY ?= python
 
-.PHONY: test bench bench-quiet correctness-local correctness-local-incr coverage scaledata scaleprobe ann-recall-scale
+.PHONY: test bench bench-quiet correctness-local correctness-local-incr coverage scaledata scaleprobe ann-recall-scale embpairs-probe embpairs-fit-ceiling
 
 test:
 	$(PY) -m pytest tests/ -x -q
@@ -61,6 +61,11 @@ scaleprobe-cold: scaledata
 # x1 equality gate against the blocked exact path.
 embpairs-probe:
 	$(PY) tools/embpairs_probe.py
+
+# Distributed-fit ceiling demonstration (r8): x10 corpus under a
+# patched-down driver sample cap, driver vs two-stage executor fit.
+embpairs-fit-ceiling:
+	$(PY) tools/embpairs_probe.py --fit-ceiling
 
 # Round-notes headline numbers, generated FROM the committed artifacts
 # so notes can never drift from what the tree actually records.

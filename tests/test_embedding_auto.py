@@ -289,3 +289,153 @@ def test_hier_fit_sample_covers_file_tail(spark, monkeypatch):
     assert 0.005 <= frac, (
         f"fit sample carries {frac:.1%} tail-cluster rows — the sampler "
         "is file-order biased again (expected ~3%)")
+
+
+def test_replication_strategies_bit_equal(spark):
+    """r7 verdict item 2: pass 2 dispatches between the flat n×B
+    branch scan ('scan', pure GEMM, default below
+    REPLICATION_SCAN_MAX_BRANCHES) and the home-conditioned candidate
+    leaf lists ('cand', n-linear, no B term, the >50M-row form).  Both
+    must produce the SAME output as the numpy-blocked exact path — the
+    candidate lists are a sound superset of every branch admit, so the
+    replica relation is identical by construction; this pins it."""
+    from kafka_bigdata_jobs_spark.operators.similarity import (
+        embedding_near_dup_pairs_blocked,
+    )
+
+    rng = np.random.default_rng(17)
+    dim = 8
+    rows = _clustered_corpus(rng, n_clusters=50, per_cluster=40, dim=dim)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    blocked = _pairs(embedding_near_dup_pairs_blocked(
+        df, "vec_id", "embedding", threshold=0.97, dim=dim))
+    assert len(blocked) > 0
+    got = {}
+    for strat in ("scan", "cand"):
+        got[strat] = _pairs(embedding_near_dup_pairs_hier(
+            df, "vec_id", "embedding", threshold=0.97, dim=dim,
+            leaf_target=6, replication_strategy=strat))
+        assert (embedding_near_dup_pairs_hier.last_replication_strategy
+                == strat)
+        assert got[strat] == blocked
+    # auto resolves to 'scan' at this branch count
+    auto = _pairs(embedding_near_dup_pairs_hier(
+        df, "vec_id", "embedding", threshold=0.97, dim=dim,
+        leaf_target=6))
+    assert embedding_near_dup_pairs_hier.last_replication_strategy == "scan"
+    assert auto == blocked
+
+
+def test_distributed_fit_bit_equal_and_k_tracks_n(spark, monkeypatch):
+    """r7 verdict item 1: the two-stage executor-side leaf fit must
+    (a) produce the exact output (same covering-radius theorem — fit
+    choice is quality-only, every pair is exact-verified), and
+    (b) keep K tracking n/leaf_target where the DRIVER fit's sample
+    cap would clamp it.  The cap is monkeypatched down so the unit
+    corpus sits 'past the ceiling' the same way a 100M-row corpus
+    sits past the real 1M-row cap."""
+    import kafka_bigdata_jobs_spark.operators.similarity as sim
+    from kafka_bigdata_jobs_spark.operators.similarity import (
+        embedding_near_dup_pairs_blocked,
+    )
+
+    rng = np.random.default_rng(23)
+    dim = 8
+    rows = _clustered_corpus(rng, n_clusters=60, per_cluster=50, dim=dim)
+    n = len(rows)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    blocked = _pairs(embedding_near_dup_pairs_blocked(
+        df, "vec_id", "embedding", threshold=0.97, dim=dim))
+    assert len(blocked) > 0
+
+    # forced distributed, real cap: bit-equal output
+    dist = _pairs(embedding_near_dup_pairs_hier(
+        df, "vec_id", "embedding", threshold=0.97, dim=dim,
+        leaf_target=6, fit_mode="distributed"))
+    assert embedding_near_dup_pairs_hier.last_fit_mode == "distributed"
+    assert dist == blocked
+
+    # past-the-ceiling regime: driver fit clamps K, auto goes
+    # distributed and K keeps tracking n/leaf_target
+    monkeypatch.setattr(sim, "FIT_SAMPLE_ROWS_CAP", 256)
+    drv = _pairs(embedding_near_dup_pairs_hier(
+        df, "vec_id", "embedding", threshold=0.97, dim=dim,
+        leaf_target=6, fit_mode="driver", fit_sample_rows=64))
+    assert embedding_near_dup_pairs_hier.last_fit_mode == "driver"
+    k_driver = embedding_near_dup_pairs_hier.last_k
+    assert drv == blocked  # clamped K hurts cost, never correctness
+    auto = _pairs(embedding_near_dup_pairs_hier(
+        df, "vec_id", "embedding", threshold=0.97, dim=dim,
+        leaf_target=6, fit_mode="auto", fit_sample_rows=64))
+    assert embedding_near_dup_pairs_hier.last_fit_mode == "distributed"
+    k_dist = embedding_near_dup_pairs_hier.last_k
+    assert auto == blocked
+    # the cap clamped the driver fit's K to ~cap/4 (±per-branch
+    # rounding in _fit_two_level's proportional leaf allocation)
+    assert k_driver <= int(1.25 * 256 // 4)
+    assert k_dist >= 2 * k_driver, (
+        f"distributed fit K={k_dist} does not track n/leaf_target="
+        f"{n // 6} past the (patched) driver cap (driver K={k_driver})")
+
+
+def test_on_blowup_fallback_routes_to_semdedup(spark):
+    """r7 verdict item 5: an unattended 100-TB pipeline wants graceful
+    degradation, not death at hour N.  on_blowup='fallback' must
+    (a) on a structureless corpus: catch the guard's named error,
+    route to the APPROXIMATE SemDeDup within-cell pair search, tag
+    rows method='semdedup_cells', and produce exactly the within-cell
+    path's output; (b) on clustered data: NEVER activate — the exact
+    path runs and rows say method='exact'."""
+    from kafka_bigdata_jobs_spark.operators.similarity import (
+        CoveringRadiusBlowupError,
+        kmeans_ivf_cells,
+    )
+
+    # (a) structureless: uniform high-dim noise at a threshold that
+    # rivals its angular spread (same corpus family as the guard test)
+    rng = np.random.default_rng(29)
+    dim, n = 16, 3000
+    rows = []
+    for vid in range(n):
+        v = rng.normal(size=dim)
+        rows.append((vid, [float(x) for x in v / np.linalg.norm(v)]))
+    noise = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    # raise mode: the named error propagates (the default contract)
+    with pytest.raises(CoveringRadiusBlowupError):
+        embedding_near_dup_pairs_auto(
+            noise, "vec_id", "embedding", threshold=0.7, dim=dim,
+            max_side_bytes=1, guard_min_rows=0, max_replication=2.0)
+    got = embedding_near_dup_pairs_auto(
+        noise, "vec_id", "embedding", threshold=0.7, dim=dim,
+        max_side_bytes=1, guard_min_rows=0, max_replication=2.0,
+        on_blowup="fallback")
+    assert embedding_near_dup_pairs_auto.last_path == "semdedup_fallback"
+    assert embedding_near_dup_pairs_auto.last_method == "semdedup_cells"
+    assert got.columns == ["id_a", "id_b", "cosine", "method"]
+    got_rows = {(r["id_a"], r["id_b"], r["cosine"]) for r in got.collect()}
+    assert {r["method"] for r in got.select("method").distinct().collect()
+            } <= {"semdedup_cells"}
+    # the fallback must BE the SemDeDup within-cell path's output
+    fb_cells = max(16, min(4096, n // 256))
+    assigned, _ = kmeans_ivf_cells(
+        noise, "vec_id", "embedding", n_cells=fb_cells, seed=42, dim=dim)
+    want = {(r["id_a"], r["id_b"], r["cosine"])
+            for r in embedding_near_dup_pairs(
+                assigned, "vec_id", "embedding", threshold=0.7,
+                cell_col="__cell", dim=dim).collect()}
+    assert got_rows == want
+
+    # (b) clustered: fallback never silently activates
+    rng2 = np.random.default_rng(31)
+    crows = _clustered_corpus(rng2, n_clusters=40, per_cluster=40, dim=8)
+    cdf = spark.createDataFrame(
+        crows, "vec_id long, embedding array<double>")
+    brute = _pairs(embedding_near_dup_pairs(
+        cdf, "vec_id", "embedding", threshold=0.97, dim=8))
+    res = embedding_near_dup_pairs_auto(
+        cdf, "vec_id", "embedding", threshold=0.97, dim=8,
+        max_side_bytes=1, guard_min_rows=0, on_blowup="fallback")
+    assert embedding_near_dup_pairs_auto.last_method == "exact"
+    assert res.columns == ["id_a", "id_b", "cosine", "method"]
+    assert _pairs(res.drop("method")) == brute

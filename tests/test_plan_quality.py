@@ -279,13 +279,16 @@ def test_no_unbounded_driver_collects_in_engine_code():
             "DRIVER_EDGE_LIMIT (limit-probe before collect)",
         ),
         "operators/similarity.py": (
-            4,
+            5,
             "PQ: codebook fit collects a seeded sample capped at "
             "fit_sample_rows (~4 MB); PQ-ADC and IVF-PQ each collect "
             "the QUERY side only (the broadcast-small side by "
             "contract, never the corpus); hier pair search collects "
             "the K-row leaf-radius relation (quantizer metadata, "
-            "bounded by fit_sample_rows//4 leaves, never the data)",
+            "bounded by fit_sample_rows//4 leaves, never the data); "
+            "the distributed two-stage fit collects the K leaf-CENTER "
+            "rows (same K-bounded metadata relation — K*dim doubles, "
+            "the documented driver-metadata ceiling, never the data)",
         ),
         "operators/bpe.py": (
             2,

@@ -47,7 +47,8 @@ import numpy as np  # noqa: E402
 
 from kafka_bigdata_jobs_spark.session import get_spark  # noqa: E402
 
-SIZES = {"x1": 50_000, "x3": 150_000, "x10": 500_000, "x30": 1_500_000}
+SIZES = {"x1": 50_000, "x3": 150_000, "x10": 500_000, "x30": 1_500_000,
+         "x100": 5_000_000}
 DIM = 64
 THRESHOLD = 0.95
 CONE_POINTS = 1_000  # flat cluster size: regions grow in NUMBER with n
@@ -97,11 +98,92 @@ def _gen_corpus(n: int, seed: int, path: str) -> None:
     pq.write_table(tbl, path, row_group_size=65536)
 
 
+def fit_ceiling_probe(out_path: str) -> None:
+    """r7 verdict item 1 demonstration at probe scale: patch the
+    driver fit-sample cap DOWN to 8192 rows so the x10 corpus (500k
+    rows) sits past the ceiling the same way a 100M-row corpus sits
+    past the real 1M-row cap, then run the SAME corpus through the
+    clamped driver fit and the two-stage distributed fit.  Records K,
+    mean live-leaf population, cold wall, and pair-set equality —
+    'K tracks n/leaf_target with leaf populations pinned' is the
+    done-criterion, output equality the safety gate."""
+    import json as _json
+
+    from kafka_bigdata_jobs_spark.operators import similarity as sim
+
+    path = os.path.join(DATA_ROOT, "x10.parquet")
+    if not os.path.exists(path):
+        _gen_corpus(SIZES["x10"], seed=1234, path=path)
+    real_cap = sim.FIT_SAMPLE_ROWS_CAP
+    sim.FIT_SAMPLE_ROWS_CAP = 8192
+    row: dict = {"patched_cap_rows": 8192, "corpus_rows": SIZES["x10"]}
+    try:
+        spark = get_spark("kbj-spark-embpairs-fitceil")
+        spark.sparkContext.setLogLevel("ERROR")
+        pair_sets = {}
+        for mode in ("driver", "distributed"):
+            spark.catalog.clearCache()
+            sim._TWO_LEVEL_FIT_CACHE.clear()
+            df = spark.read.parquet(path)
+            t0 = time.monotonic()
+            out = sim.embedding_near_dup_pairs_hier(
+                df, "vec_id", "embedding", threshold=THRESHOLD,
+                dim=DIM, fit_mode=mode)
+            pair_sets[mode] = {(r["id_a"], r["id_b"], r["cosine"])
+                               for r in out.collect()}
+            wall = time.monotonic() - t0
+            assert (sim.embedding_near_dup_pairs_hier.last_fit_mode
+                    == mode)
+            k = sim.embedding_near_dup_pairs_hier.last_k
+            row[f"{mode}_wall"] = round(wall, 3)
+            row[f"{mode}_k_leaves"] = int(k)
+            row[f"{mode}_mean_leaf_rows"] = round(SIZES["x10"] / k, 1)
+            row[f"{mode}_replication"] = (
+                None if sim.embedding_near_dup_pairs_hier
+                .last_replication is None
+                else round(sim.embedding_near_dup_pairs_hier
+                           .last_replication, 1))
+            print(f"fit-ceiling {mode}: wall={wall:.1f}s K={k} "
+                  f"leaf_rows={SIZES['x10']/k:.0f} "
+                  f"pairs={len(pair_sets[mode])}", flush=True)
+            import gc
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        row["pairs_equal"] = pair_sets["driver"] == pair_sets["distributed"]
+        row["pairs"] = len(pair_sets["distributed"])
+        row["note"] = (
+            "driver cap patched to 8192 rows puts the 500k-row x10 "
+            "corpus ~4x past the K-tracking ceiling (the real 1M cap "
+            "binds at ~16M rows): the clamped driver fit's leaf "
+            "populations grow toward n^2/K pair work while the "
+            "two-stage executor fit keeps K ~ n/leaf_target; outputs "
+            "bit-equal either way (fit choice is quality-only)")
+        spark.stop()
+    finally:
+        sim.FIT_SAMPLE_ROWS_CAP = real_cap
+    try:
+        with open(out_path, encoding="utf-8") as fh:
+            out = _json.load(fh)
+    except (OSError, ValueError):
+        out = {}
+    out.setdefault("operator_variants", {})[
+        "embedding_hier_distributed_fit"] = row
+    with open(out_path, "w", encoding="utf-8") as fh:
+        _json.dump(out, fh, indent=1, sort_keys=True)
+    print(f"wrote {out_path} embedding_hier_distributed_fit row")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--attempts", type=int, default=2)
     ap.add_argument("--out", default="SCALING.json")
+    ap.add_argument("--fit-ceiling", action="store_true",
+                    help="run only the distributed-fit ceiling probe")
     args = ap.parse_args()
+
+    if args.fit_ceiling:
+        fit_ceiling_probe(args.out)
+        return
 
     from kafka_bigdata_jobs_spark.operators import similarity as sim
 
@@ -185,6 +267,7 @@ def main() -> None:
     row["exp_x3_x10"] = _exp("x3", "x10")
     row["exp_x1_x10"] = _exp("x1", "x10")
     row["exp_x10_x30"] = _exp("x10", "x30")
+    row["exp_x30_x100"] = _exp("x30", "x100")
     row["note"] = (
         "cold fit+assign+replicate+pair+exact-verify on clustered "
         f"corpora (cones of {CONE_POINTS}, 10% planted twins, "
