@@ -663,21 +663,116 @@ def _lloyd_rounds(points, k: int, seed: int, iters: int = 8):
 def _exact_home_angles(mat, bcenters, leaf_centers, leaf_branch):
     """Exact home angle (nearest leaf over ALL leaves) for each
     (unit-normalized) row of ``mat``.  Driver-side, bounded point set
-    (the fit sample); chunked dense matmuls keep it one BLAS call per
-    ~128 MB block instead of thousands of per-branch numpy slices
-    (which measured 20-40 s of pure python overhead at the x30 sample).
-    The full-leaf minimum LOWER-bounds what the executor escalation
-    path (top-``n_probe``-branch scan) achieves, so a cap built from it
-    can only over-escalate — cost, never a radius."""
+    (the fit sample).  The full-leaf minimum LOWER-bounds what the
+    executor escalation path (top-``n_probe``-branch scan) achieves, so
+    a cap built from it can only over-escalate — cost, never a radius.
+
+    The r7 form was one dense sample×K matmul — Θ(sample·K)·dim flops
+    with BOTH factors ∝ n below the sample cap, measured 60 s of the
+    126 s fit at the x100 probe shape (and ~20 min extrapolated at the
+    1M-row cap).  This form prunes through the branch layer with the
+    triangle inequality and stays EXACT: with ``off(β) = max over
+    leaves c∈β of angle(β,c)``, every leaf of β satisfies ``angle(x,c)
+    ≥ angle(x,β) − off(β)``, so after seeding ``best`` with an exact
+    scan of the nearest-center branch's leaves, only branches with
+    ``cos θ(β) > cos(best + off(β))`` can hold a nearer leaf.  The
+    per-(point, branch) threshold comes from the angle identity
+    ``cos(a+b) = cos a·cos b − sin a·sin b`` as two float32 in-place
+    outer products — no transcendentals and no ordering over the
+    block.  (Two cheaper forms were built and measured first: a GLOBAL
+    ``off_max`` bound — one compare per entry — is poisoned by a
+    single straggler leaf on real fits (off p50 31° but max 67° on the
+    x100 probe sample → threshold ~cos 82° → 15% of all branches
+    survive per point → 189 s, slower than brute); and an exact top-8
+    argpartition seed whose f64 outer products cost 7 s per 13k-row
+    chunk against the brute scan's 2.5 s.)  Survivors and the
+    per-point minimum are exact float64 dots, so the result is the
+    full-leaf exact minimum; the f32 dot and identity rounding are
+    covered by a cos-space epsilon (over-keep only), and entries where
+    ``best + off(β)`` passes π — where the identity value turns
+    non-monotonic — are force-kept by an explicit mask.  Worst case
+    (vacuous bound on structureless data) degrades to the r7 full
+    scan, chunked."""
     import numpy as np
 
     xn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    n_b = len(bcenters)
+    dim = bcenters.shape[1]
+    # off(β): one elementwise K-row dot, no per-branch loop
+    off = np.full(n_b, -np.inf)
+    leaf_ang = np.arccos(np.clip(
+        np.einsum("ij,ij->i", bcenters[leaf_branch], leaf_centers),
+        -1.0, 1.0))
+    np.maximum.at(off, leaf_branch, leaf_ang)
+    has_leaf = off > -np.inf
+    dead = np.nonzero(~has_leaf)[0]
+    leaves_of = [np.nonzero(leaf_branch == b)[0] for b in range(n_b)]
+    bc32 = (bcenters / np.linalg.norm(bcenters, axis=1, keepdims=True)
+            ).astype(np.float32)
+    offc = np.where(has_leaf, off, 0.0)
+    co32 = np.cos(offc).astype(np.float32)
+    so32 = np.sin(offc).astype(np.float32)
+    # π-mask threshold, shifted DOWN so the f32 compare can only
+    # over-keep; leafless branches get -inf → always "kept" by the
+    # mask, then removed by the has_leaf column mask
+    pmo32 = np.where(has_leaf, np.pi - offc - 1e-6,
+                     -np.inf).astype(np.float32)
+    # sound angle slack for a float32 dot of unit vectors: |Δcos| ≤
+    # 3·dim·2⁻²⁴ → |Δθ| ≤ √(2·|Δcos|) globally (the near-0 worst case)
+    ang_slack = float(np.sqrt(2.0 * 3.0 * dim * 2.0 ** -24))
+    # cos-space epsilon: 2× the f32 dot bound + identity rounding
+    eps32 = np.float32(2.0 * 3.0 * dim * 2.0 ** -24 + 1e-6)
+
+    def _scan(xc, rows, col, best):
+        """Exact f64 leaf scan of branch col[i] for point rows[i],
+        grouped by branch via sort-and-split (no per-branch full-column
+        nonzero)."""
+        order = np.argsort(col, kind="stable")
+        sc = col[order]
+        cuts = np.nonzero(np.diff(sc))[0] + 1
+        for pos, s0 in zip(np.split(order, cuts),
+                           np.concatenate(([0], cuts))):
+            lidx = leaves_of[sc[s0]]
+            if not len(lidx):
+                continue
+            r = rows[pos]
+            ang = np.arccos(np.clip(
+                (xc[r] @ leaf_centers[lidx].T).max(axis=1), -1.0, 1.0))
+            best[r] = np.minimum(best[r], ang)
+
     hang = np.empty(len(xn))
-    chunk = max(1, (128 << 20) // (len(leaf_centers) * 8))
-    for lo in range(0, len(xn), chunk):
-        sims = xn[lo:lo + chunk] @ leaf_centers.T
-        hang[lo:lo + chunk] = np.arccos(
-            np.clip(sims.max(axis=1), -1.0, 1.0))
+    rchunk = max(1024, (192 << 20) // max(4, n_b * 4))
+    for lo in range(0, len(xn), rchunk):
+        xc = xn[lo:lo + rchunk]
+        nc = len(xc)
+        d = xc.astype(np.float32) @ bc32.T
+        if len(dead):  # leafless branches: never a seed, never kept
+            d[:, dead] = np.float32(-2.0)
+        best = np.full(nc, np.inf)
+        seed = d.argmax(axis=1)
+        _scan(xc, np.arange(nc), seed, best)
+        # survivors: β can only beat best if angle(x,β) < best +
+        # off(β), i.e. cos θ(β) > cos(best + off(β)).  Per-entry
+        # threshold via the angle identity, f32 in-place (soundness
+        # argument in the docstring); everything kept is scanned
+        # exactly, so the minimum stays the full-leaf exact minimum.
+        bcl = np.minimum(best + ang_slack, np.pi)
+        cb = np.cos(bcl).astype(np.float32)
+        sb = np.sin(bcl).astype(np.float32)
+        thr = np.multiply.outer(cb, co32)
+        thr -= np.multiply.outer(sb, so32)
+        thr -= eps32
+        keep = d > thr
+        # past π the identity value turns non-monotonic: force-keep
+        # (any θ ≤ π trivially satisfies θ < best + off there)
+        keep |= bcl.astype(np.float32)[:, None] > pmo32[None, :]
+        if len(dead):
+            keep[:, dead] = False
+        keep[np.arange(nc), seed] = False
+        ri, bj = np.nonzero(keep)
+        if len(ri):
+            _scan(xc, ri, bj, best)
+        hang[lo:lo + rchunk] = best
     return hang
 
 
@@ -686,10 +781,35 @@ def _fit_two_level(sample_mat, k_leaf: int, n_branches: int, seed: int):
     per-branch leaves sized proportionally to branch population — the
     fit cost is Θ(sample · (B + K/B) · dim · iters) regardless of corpus
     size, the same bounded-fit contract as ``kmeans_ivf_cells`` but
-    yielding K cells for a √K-per-row assignment cost."""
+    yielding K cells for a √K-per-row assignment cost.
+
+    The branch Lloyd itself runs on a bounded SUB-sample of
+    max(8·B, 64k) rows (≥8 points per branch, the same bounded-stage
+    contract as the distributed fit's stage A): iterating 8 Lloyd
+    rounds over the FULL auto-scaled sample was Θ(sample·B)·8 driver
+    flops — 24 of the 126 s x100-probe fit — while the branch centers
+    only seed the partition refinement and their quality saturates
+    well below the full sample.  The full sample is then assigned to
+    the fitted branch centers in one chunked pass (the Lloyd
+    assignment step, once instead of ×8) so per-branch leaf fits keep
+    the complete sample and the ≥4-points-per-leaf contract."""
     import numpy as np
 
-    bcenters, bassign = _lloyd_rounds(sample_mat, n_branches, seed)
+    b_rows = max(8 * n_branches, 1 << 16)
+    if len(sample_mat) > b_rows:
+        keep = np.random.default_rng(seed + 13).choice(
+            len(sample_mat), size=b_rows, replace=False)
+        bcenters, _ = _lloyd_rounds(
+            sample_mat[np.sort(keep)], n_branches, seed)
+        pts = sample_mat / np.linalg.norm(
+            sample_mat, axis=1, keepdims=True)
+        bassign = np.empty(len(pts), dtype=np.int64)
+        chunk = max(1, (128 << 20) // max(1, len(bcenters) * 8))
+        for lo in range(0, len(pts), chunk):
+            bassign[lo:lo + chunk] = (
+                pts[lo:lo + chunk] @ bcenters.T).argmax(axis=1)
+    else:
+        bcenters, bassign = _lloyd_rounds(sample_mat, n_branches, seed)
     leaf_centers, leaf_branch = [], []
     n = len(sample_mat)
     for b in range(len(bcenters)):
@@ -763,7 +883,18 @@ def _fit_two_level_distributed(base, n_rows: int, leaf_target: int,
         keep = np.random.default_rng(seed).choice(
             len(sample), size=a_rows, replace=False)
         sample = sample[np.sort(keep)]
-    bcenters, _ = _lloyd_rounds(sample, n_branches, seed)
+    # branch Lloyd on a bounded sub-sample (≥8 points per branch) —
+    # same rationale as _fit_two_level: 8 rounds over the full stage-A
+    # sample is Θ(a_rows·B)·8 driver flops for center quality that
+    # saturates far below it
+    b_rows = max(8 * n_branches, 1 << 16)
+    if len(sample) > b_rows:
+        bkeep = np.random.default_rng(seed + 13).choice(
+            len(sample), size=b_rows, replace=False)
+        bcenters, _ = _lloyd_rounds(sample[np.sort(bkeep)],
+                                    n_branches, seed)
+    else:
+        bcenters, _ = _lloyd_rounds(sample, n_branches, seed)
     bc32 = (bcenters / np.linalg.norm(bcenters, axis=1, keepdims=True)
             ).astype(np.float32)
 
@@ -1377,6 +1508,54 @@ def embedding_near_dup_pairs_hier(
         - cos_slack).astype(np.float32)
     live_leaves_of = [leaves_of[b][live[leaves_of[b]]] for b in range(n_b)]
 
+    # --- leaf-radius TIERING for the 'scan' strategy (r8, measured at
+    # the x100 probe): branch_R(β) is a MAX over s_c = angle(β,c)+R_c,
+    # and the real fit's radius TAIL (s_c p50 ≈ 31° but p90 ≈ 56° on
+    # the x100 sample) drives every branch's admit threshold toward
+    # cos(θ_t + 67°) ≈ 0.08 — ~25% of ALL branches admitted per row,
+    # so the "pruned" leaf filter silently degraded to ~K/4 dots per
+    # row plus ~3k group gathers per 4k-row chunk (the 257 s
+    # replication pass; the n×B GEMM itself is ~5 s).  Fix: the top
+    # ~⅛ of live leaves by s_c move to a WIDE tier that every row
+    # dense-scans in one chunked f32 GEMM against the exact per-leaf
+    # thresholds (pure BLAS, no groups); the remaining branches keep a
+    # quantile-bounded radius, restoring the prune.  Both tests are
+    # the identical exact per-leaf admit, so tier-union produces the
+    # same replica relation (pinned by the strategies/blocked
+    # equality tests).  The wide tier is capped at 32k centers (8 MB
+    # f32 closure): past that the quantile slides up and branch
+    # bounds loosen gradually — an honest measured tradeoff, not a
+    # cliff (SCALE.md r8).
+    wide_idx = np.empty(0, dtype=np.int64)
+    tight_leaves_of = live_leaves_of
+    if len(live_idx) >= 64:
+        s_live = np.empty(len(leaf_centers))
+        s_live.fill(np.inf)
+        bl_ang = np.arccos(np.clip(np.einsum(
+            "ij,ij->i", bcenters[leaf_branch[live_idx]],
+            leaf_centers[live_idx]), -1.0, 1.0))
+        s_live[live_idx] = bl_ang + radius[live_idx]
+        n_wide = min(len(live_idx) // 8, 32768)
+        if n_wide:
+            q = np.partition(s_live[live_idx], -n_wide)[-n_wide]
+            wide_mask = np.zeros(len(leaf_centers), dtype=bool)
+            wide_mask[live_idx] = s_live[live_idx] >= q
+            wide_idx = np.nonzero(wide_mask)[0]
+            tight_leaves_of = [
+                lidx[~wide_mask[lidx]] for lidx in live_leaves_of]
+            branch_rt = np.full(n_b, -1.0)
+            for b in range(n_b):
+                if len(tight_leaves_of[b]):
+                    branch_rt[b] = s_live[tight_leaves_of[b]].max()
+            cos_thr_branch = np.full(n_b, 2.0, dtype=np.float32)
+            tb = np.nonzero(branch_rt >= 0.0)[0]
+            cos_thr_branch[tb] = (
+                np.cos(np.minimum(np.pi, theta_t + eps + branch_rt[tb]))
+                - cos_slack).astype(np.float32)
+    lcw32 = lc32[wide_idx]
+    cos_thr_wide = cos_thr_leaf[wide_idx]
+    embedding_near_dup_pairs_hier.last_wide_leaves = len(wide_idx)
+
     # --- replication STRATEGY dispatch (r7 verdict item 2): the flat
     # n×B branch scan is pure GEMM and, in cos-space float32, measured
     # 10.6 ms per 10k-row batch at B=787 — 14× under r7's f64+arccos
@@ -1509,21 +1688,56 @@ def embedding_near_dup_pairs_hier(
             leaf_list.append(lidx[lj])
 
     def _replicate_scan(xn32, src_list, leaf_list):
-        """Flat strategy: one n×B float32 GEMM admits (row, branch)
-        pairs (d ≥ cos(θ_t+eps+branch_R) − slack — implied by any
-        qualifying leaf of that branch, so completeness is the same
-        leaf-level theorem), then only admitted branches' live leaves
-        get the exact leaf test."""
+        """Flat strategy: row-chunked n×B float32 GEMMs admit
+        (row, branch) pairs (d ≥ cos(θ_t+eps+branch_R) − slack —
+        implied by any qualifying leaf of that branch, so completeness
+        is the same leaf-level theorem), then only admitted branches'
+        live leaves get the exact leaf test.
+
+        Row chunks keep the sim block ≤ ~48 MB: the first r8 form ran
+        the GEMM over the whole 64k-row flush, and at the x100 probe
+        shape (B=3652) that allocated a ~1 GB float32 block + 230 MB
+        bool mask in EVERY python worker per flush — 32 workers of
+        concurrent allocation churn measured as the dominant share of
+        a 357 s replication pass whose actual GEMM+filter math is
+        ~15 executor-seconds.  Admits are then grouped by branch from
+        one flat nonzero over the (tiny) admit set instead of a
+        per-branch strided column scan — the B-iteration python loop
+        with a 64k-element nonzero per branch was the other
+        Θ(flushes·B) term (measured 3.4 s vs 0.55 s per flush at the
+        x100 shape, driver microbench)."""
         import numpy as _np
 
-        bsim = xn32 @ bc32.T
-        okb = bsim >= cos_thr_branch[None, :]
-        for b in _np.nonzero(okb.any(axis=0))[0]:
-            lidx = live_leaves_of[b]
-            if not len(lidx):
+        # WIDE tier: the exact per-leaf admit as one dense chunked
+        # GEMM — covers the leaves whose radius tail would otherwise
+        # poison their branch's bound (tiering note at the driver)
+        if len(wide_idx):
+            wchunk = max(4096, (48 << 20) // max(1, len(wide_idx) * 4))
+            for lo in range(0, len(xn32), wchunk):
+                ws = xn32[lo:lo + wchunk] @ lcw32.T
+                ri, wj = _np.nonzero(ws >= cos_thr_wide[None, :])
+                if len(ri):
+                    src_list.append(lo + ri)
+                    leaf_list.append(wide_idx[wj])
+        # TIGHT tier: branch prune (quantile-bounded radius) + exact
+        # per-leaf admit on admitted branches' tight leaves
+        rchunk = max(4096, (48 << 20) // max(1, n_b * 4))
+        for lo in range(0, len(xn32), rchunk):
+            okb = (xn32[lo:lo + rchunk] @ bc32.T
+                   ) >= cos_thr_branch[None, :]
+            ri, bj = _np.nonzero(okb)
+            if not len(ri):
                 continue
-            rows = _np.nonzero(okb[:, b])[0]
-            _emit_leaf_filter(xn32, rows, lidx, src_list, leaf_list)
+            order = _np.argsort(bj, kind="stable")
+            rb, bb = ri[order], bj[order]
+            cuts = _np.nonzero(_np.diff(bb))[0] + 1
+            for rows, s0 in zip(_np.split(rb, cuts),
+                                _np.concatenate(([0], cuts))):
+                lidx = tight_leaves_of[bb[s0]]
+                if not len(lidx):
+                    continue
+                _emit_leaf_filter(
+                    xn32, lo + rows, lidx, src_list, leaf_list)
 
     def _replicate_cand(xn32, src_list, leaf_list):
         """Home-conditioned strategy: recompute the home (bit-identical
