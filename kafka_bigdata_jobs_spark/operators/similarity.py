@@ -614,12 +614,19 @@ CAND_BUILD_DIRECT_MAX_LEAVES = 1 << 17
 CAND_LISTS_MAX_BYTES = 1 << 30
 
 #: Replication-strategy cutover: up to this many branches pass 2 runs
-#: the flat n×B cos-space float32 branch scan (pure GEMM, measured
-#: 10.6 ms per 10k-row batch at B=787 — 14× under r7's f64+arccos
-#: form); past it, the home-conditioned candidate-list scan (n-linear,
-#: no B term, measured ~flat ~230 ms/batch regardless of B).  The
-#: kernel benchmark puts the true crossover at B ≈ 17k ≈ a 50M-row
-#: corpus at the default leaf_target; 8192 leaves a 2× safety margin.
+#: the tiered branch scan ('scan': wide-leaf dense GEMM + tight-branch
+#: prune); past it, the home-conditioned candidate-list scan ('cand',
+#: n-linear, no B term).  CAVEAT (r8, measured): the original
+#: crossover estimate (B ≈ 17k, from a GEMM-only kernel benchmark)
+#: ignored the leaf-filter share of the scan AND the cand path's
+#: per-home-group overhead, which explodes as K outgrows the flush
+#: size — at the x100 probe (B=3652, K=78k, 5M rows) 'cand' measured
+#: 577 s of replication + 129 s of Θ(K²) list build against the tiered
+#: scan's ~200 s.  The dispatch constant is therefore a conservative
+#: knob, not a measured optimum: past it the B-GEMM term Θ(n·B) is
+#: what's being traded away, and a >50M-row deployment should probe
+#: both strategies on its own data (replication_strategy= forces
+#: either; both produce the same replica relation, pinned bit-equal).
 REPLICATION_SCAN_MAX_BRANCHES = 8192
 
 

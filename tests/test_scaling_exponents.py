@@ -215,6 +215,18 @@ SUPERUNIT_RATIONALE: dict[str, str] = {
         "full-corpus hash-groupBy summary — every row is hashed and "
         "aggregated once, so linear is the algorithmic floor; 1.13 is "
         "linear plus sub-second-scale jitter (x10 wall < 1 s)"),
+    "embedding_near_dup_pairs_hier": (
+        "e(x30→x100)=1.35 on the FOURTH decade (5M rows), with "
+        "e≤0.84 on every earlier leg, flat replication, and pairs "
+        "bit-identical — the residual is attributed per stage in "
+        "SCALE.md 'The x100 leg' (fit Θ(sample·B) with sample ∝ n and "
+        "B ∝ n^⅔ below the cap; the replication B-GEMM + wide tier; "
+        "pair-join shuffle volume): the current price of exact "
+        "completeness with K tracking n, named as the next round's "
+        "target, NOT an unnoticed regression — r8 already cut the "
+        "leg from its first measurement (423 s → 347 s) by fixing "
+        "three such terms, and test_hier_pair_search_probed_and_"
+        "bounded pins the leg's ceiling so further regression fails"),
 }
 
 #: Sections of SCALING.json swept for superunit exponents.  Adding a
@@ -325,13 +337,26 @@ def test_hier_pair_search_probed_and_bounded(scaling):
         "below FIT_SAMPLE_ROWS_CAP) and the escalation cap")
     # replication factor must stay FLAT and far under the runtime
     # guard's ceiling: growth here is the radius-poisoning signature.
-    for s in ("x1", "x3", "x10", "x30"):
+    for s in ("x1", "x3", "x10", "x30", "x100"):
         assert row[f"rep_{s}"] <= 20.0, (
             f"replication factor at {s} = {row[f'rep_{s}']} — covering "
             "radii are inflating (home-assignment quality regression)")
+    # r8 fourth-decade leg (x100, 5M rows): honestly superlinear —
+    # e(x30→x100)=1.35 with the residual attributed per stage in
+    # SCALE.md "The x100 leg" (SUPERUNIT_RATIONALE carries the
+    # one-liner).  The pin is a regression CEILING, not a target:
+    # r8 cut the leg 423 s → 347 s by fixing three superlinear terms
+    # the three-decade probes had hidden; growth past 1.45 means a
+    # new one appeared.
+    assert row["exp_x30_x100"] <= 1.45, (
+        f"hier pair search e(x30→x100)={row['exp_x30_x100']} regressed "
+        "past the documented r8 ceiling — re-profile the stage marks "
+        "(last_stage_seconds) before anything else")
     # qualifying pairs are planted to grow ∝ n (10% twins per corpus):
     # superlinear OUTPUT growth means the generator or threshold broke.
     assert row["rows_x10"] <= 12 * row["rows_x1"], (
         "pair count grew faster than the corpus — probe data defect")
     assert row["rows_x30"] <= 4 * row["rows_x10"], (
         "pair count grew faster than the corpus on the x30 leg")
+    assert row["rows_x100"] <= 4 * row["rows_x30"], (
+        "pair count grew faster than the corpus on the x100 leg")
