@@ -20,3 +20,13 @@ Design stance (see SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+# Guarded OpenBLAS misdetection fix (r9): must run before numpy first
+# loads the BLAS — package import is the earliest hook shared by the
+# driver, bench.py, tests, and Spark python workers (which import this
+# package when unpickling operator closures).  No-op on hosts where
+# OpenBLAS detects the CPU correctly; see _blas.py.
+from ._blas import fix_openblas_env as _fix_openblas_env  # noqa: E402
+
+_fix_openblas_env()
+del _fix_openblas_env

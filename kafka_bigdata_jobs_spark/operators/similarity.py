@@ -646,18 +646,30 @@ def _lloyd_rounds(points, k: int, seed: int, iters: int = 8):
     dim = pts.shape[1]
     for _ in range(iters):
         # chunked argmax keeps the similarity block under ~128 MB; the
-        # update is one bincount per dimension (the per-cluster mask
-        # loop measured ~10 s of python overhead at k≈1600 on the
-        # auto-scaled x30 fit sample).
+        # update is one sort + segmented reduce over the whole point
+        # block (r9: the previous one-bincount-per-dimension form was
+        # dim+1 numpy calls per iteration — at the x100 fit shape the
+        # 3.6k sequential per-branch fits spent more time in that call
+        # overhead than in the math; sort+reduceat is 3 numpy calls and
+        # measured ~3x faster at per-branch sizes, no slower at the
+        # 64k-row branch fit).  Stable sort keeps original row order
+        # within each cluster, so each cluster's sum accumulates in the
+        # same order as before — the centers only move at the level of
+        # summation-order float drift, which the fit tolerates by
+        # construction (fit quality affects cost only; every emitted
+        # pair is exact-verified).
         chunk = max(1, (128 << 20) // (k * 8))
         for lo in range(0, len(pts), chunk):
             assign[lo:lo + chunk] = (
                 pts[lo:lo + chunk] @ centers.T).argmax(axis=1)
         counts = np.bincount(assign, minlength=k).astype(np.float64)
-        sums = np.empty((k, dim))
-        for d in range(dim):
-            sums[:, d] = np.bincount(
-                assign, weights=pts[:, d], minlength=k)
+        order = np.argsort(assign, kind="stable")
+        sa = assign[order]
+        starts = np.concatenate(
+            ([0], np.nonzero(np.diff(sa))[0] + 1))
+        seg = np.add.reduceat(pts[order], starts, axis=0)
+        sums = np.zeros((k, dim))
+        sums[sa[starts]] = seg
         nonempty = counts > 0
         means = sums[nonempty] / counts[nonempty, None]
         nrm = np.linalg.norm(means, axis=1)
@@ -783,6 +795,71 @@ def _exact_home_angles(mat, bcenters, leaf_centers, leaf_branch):
     return hang
 
 
+#: Above this many sample rows the esc-cap scan fans out to executors
+#: (below it the Spark job overhead exceeds the driver scan).
+ESC_SCAN_DRIVER_MAX_ROWS = 1 << 16
+
+
+def _esc_cap_max(spark, sample, bcenters, leaf_centers, leaf_branch):
+    """Max exact home angle of the fit sample — the esc-cap input.
+
+    Both fit paths only consume ``_exact_home_angles(...).max()``, and
+    the scan is embarrassingly parallel over sample rows with
+    PARTITION-INVARIANT per-row results (the seed argmax, the survivor
+    bound and the exact f64 re-scan are all row-local; chunking only
+    groups work).  r9: the driver-side scan was the largest single fit
+    term at the x100 probe shape (25-77 s measured, Θ(sample·B) with
+    both factors ∝ n below the cap, on ONE core's BLAS) — fanning the
+    row chunks out over executors with the quantizer broadcast turns it
+    into max-reduce of per-chunk maxima, bit-equal by row-invariance.
+    Small samples keep the driver scan: a Spark job costs more than the
+    scan below ~64k rows."""
+    if spark is None or len(sample) <= ESC_SCAN_DRIVER_MAX_ROWS:
+        return float(_exact_home_angles(
+            sample, bcenters, leaf_centers, leaf_branch).max())
+    # the partition closure references _exact_home_angles BY MODULE
+    # REFERENCE (unlike the hier function's self-contained local
+    # closures), so workers must be able to import this package even
+    # when the driver runs from an arbitrary cwd
+    from ..session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    sc = spark.sparkContext
+    bc = sc.broadcast((bcenters, leaf_centers, leaf_branch))
+    n_slices = int(min(256, max(32, len(sample) // 8192)))
+    import numpy as np
+
+    chunks = np.array_split(sample, n_slices)
+
+    def part_max(it):
+        bcv, lcv, lbv = bc.value
+        for mat in it:
+            if len(mat):
+                yield float(_exact_home_angles(mat, bcv, lcv, lbv).max())
+
+    try:
+        return max(sc.parallelize(chunks, n_slices)
+                   .mapPartitions(part_max).collect())
+    finally:
+        bc.unpersist()
+
+
+def _sample_vectors(df, frac: float, seed: int, dim: int):
+    """Bernoulli-sample ``__v`` and land it as a dense (rows, dim)
+    float64 matrix via Arrow (r9): ``toPandas`` + ``np.array(list(...))``
+    built one python object per row — measured as the dominant share of
+    the in-operator fit stage at the x100 probe (the fit math itself is
+    chunked BLAS).  ``toArrow`` keeps the list column as one flat buffer
+    end to end; the reshape is the same zero-object pattern the Arrow
+    passes use."""
+    import numpy as np
+
+    tbl = df.select("__v").sample(fraction=frac, seed=seed).toArrow()
+    col = tbl.column("__v").combine_chunks()
+    return (col.flatten().to_numpy(zero_copy_only=False)
+            .reshape(-1, dim).astype(np.float64, copy=False))
+
+
 def _fit_two_level(sample_mat, k_leaf: int, n_branches: int, seed: int):
     """Two-level quantizer fit on a bounded sample: branches first, then
     per-branch leaves sized proportionally to branch population — the
@@ -819,8 +896,17 @@ def _fit_two_level(sample_mat, k_leaf: int, n_branches: int, seed: int):
         bcenters, bassign = _lloyd_rounds(sample_mat, n_branches, seed)
     leaf_centers, leaf_branch = [], []
     n = len(sample_mat)
+    # one stable sort + O(1) slices instead of a full boolean mask scan
+    # per branch (r9: B scans of the whole sample were Θ(B·sample) —
+    # ~1.1e9 comparisons at the x100 fit shape — for work a single
+    # argsort does once; stable order keeps each branch's rows in
+    # original order, so the per-branch fits see identical inputs)
+    border = np.argsort(bassign, kind="stable")
+    sorted_sample = sample_mat[border]
+    bounds = np.searchsorted(bassign[border],
+                             np.arange(len(bcenters) + 1))
     for b in range(len(bcenters)):
-        m = sample_mat[bassign == b]
+        m = sorted_sample[bounds[b]:bounds[b + 1]]
         if not len(m):
             continue
         kb = max(1, min(len(m), round(k_leaf * len(m) / n)))
@@ -878,14 +964,18 @@ def _fit_two_level_distributed(base, n_rows: int, leaf_target: int,
     import numpy as np
     import pyarrow as pa
 
+    from ..session import ensure_package_shipped
+
+    # stage-B closures call _lloyd_rounds by module reference: ship the
+    # package so a driver running from an arbitrary cwd still works
+    ensure_package_shipped(base.sparkSession)
     k_target = max(4, n_rows // leaf_target)
     n_branches = max(2, min(k_target,
                             round(2.0 * k_target ** (2.0 / 3.0))))
     a_rows = min(max(fit_sample_rows, 4 * n_branches),
                  FIT_SAMPLE_ROWS_CAP)
     frac = min(1.0, 1.05 * a_rows / n_rows)
-    pdf = base.select("__v").sample(fraction=frac, seed=seed).toPandas()
-    sample = np.array(list(pdf["__v"]), dtype=np.float64)
+    sample = _sample_vectors(base, frac, seed, dim)
     if len(sample) > a_rows:
         keep = np.random.default_rng(seed).choice(
             len(sample), size=a_rows, replace=False)
@@ -963,8 +1053,8 @@ def _fit_two_level_distributed(base, n_rows: int, leaf_target: int,
     leaf_centers = np.array([r["__c"] for r in leaf_rows],
                             dtype=np.float64)
     leaf_branch = np.array([r["__b"] for r in leaf_rows], dtype=np.int64)
-    esc_cap = float(_exact_home_angles(
-        sample, bcenters, leaf_centers, leaf_branch).max()) + 0.05
+    esc_cap = _esc_cap_max(base.sparkSession, sample, bcenters,
+                           leaf_centers, leaf_branch) + 0.05
     return np.asarray(bcenters), leaf_centers, leaf_branch, esc_cap
 
 
@@ -1219,10 +1309,7 @@ def embedding_near_dup_pairs_hier(
             max(fit_sample_rows, 4 * max(1, n_rows // leaf_target)),
             FIT_SAMPLE_ROWS_CAP)
         frac = min(1.0, 1.05 * eff_rows / n_rows)
-        sample_pdf = (
-            base.select("__v").sample(fraction=frac, seed=seed).toPandas()
-        )
-        sample = np.array(list(sample_pdf["__v"]), dtype=np.float64)
+        sample = _sample_vectors(base, frac, seed, dim)
         if len(sample) > eff_rows:
             keep = np.random.default_rng(seed).choice(
                 len(sample), size=eff_rows, replace=False)
@@ -1260,8 +1347,7 @@ def embedding_near_dup_pairs_hier(
         # misses → p50 radius 68° → replication 2145 vs the exact
         # scan's 3.8; with the absolute cap the radii match the exact
         # scan at every probe scale).
-        esc_cap = float(
-            _exact_home_angles(sample, *two_level).max()) + 0.05
+        esc_cap = _esc_cap_max(spark, sample, *two_level) + 0.05
         fit = (*two_level, esc_cap)
         if memo_key is not None:
             _TWO_LEVEL_FIT_CACHE[memo_key] = fit
@@ -1535,6 +1621,13 @@ def embedding_near_dup_pairs_hier(
     # cliff (SCALE.md r8).
     wide_idx = np.empty(0, dtype=np.int64)
     tight_leaves_of = live_leaves_of
+    # tight-tier thresholds start as the full-radius branch thresholds
+    # and are REPLACED (under a distinct name — ADVICE r8 #3: rebinding
+    # cos_thr_branch itself left its semantics strategy-dependent) by
+    # the quantile-bounded ones when tiering engages; _replicate_scan
+    # closes over the tight variant, cos_thr_branch keeps meaning "full
+    # branch_R admit threshold" for any future consumer.
+    cos_thr_branch_tight = cos_thr_branch
     if len(live_idx) >= 64:
         s_live = np.empty(len(leaf_centers))
         s_live.fill(np.inf)
@@ -1544,9 +1637,17 @@ def embedding_near_dup_pairs_hier(
         s_live[live_idx] = bl_ang + radius[live_idx]
         n_wide = min(len(live_idx) // 8, 32768)
         if n_wide:
-            q = np.partition(s_live[live_idx], -n_wide)[-n_wide]
+            # exact n_wide selection by argpartition (ADVICE r8 #2: a
+            # >=-quantile mask lets ties at the quantile value push the
+            # wide tier arbitrarily past the cap — in the all-equal
+            # degenerate case EVERY live leaf went wide, emptying the
+            # tight tier and turning the scan into an unbounded dense
+            # n x K GEMM).  Tier membership is strategy only — both
+            # tiers apply the identical exact per-leaf admit test — so
+            # the replica relation is unchanged by the split choice.
+            sel = np.argpartition(s_live[live_idx], -n_wide)[-n_wide:]
             wide_mask = np.zeros(len(leaf_centers), dtype=bool)
-            wide_mask[live_idx] = s_live[live_idx] >= q
+            wide_mask[live_idx[sel]] = True
             wide_idx = np.nonzero(wide_mask)[0]
             tight_leaves_of = [
                 lidx[~wide_mask[lidx]] for lidx in live_leaves_of]
@@ -1554,9 +1655,9 @@ def embedding_near_dup_pairs_hier(
             for b in range(n_b):
                 if len(tight_leaves_of[b]):
                     branch_rt[b] = s_live[tight_leaves_of[b]].max()
-            cos_thr_branch = np.full(n_b, 2.0, dtype=np.float32)
+            cos_thr_branch_tight = np.full(n_b, 2.0, dtype=np.float32)
             tb = np.nonzero(branch_rt >= 0.0)[0]
-            cos_thr_branch[tb] = (
+            cos_thr_branch_tight[tb] = (
                 np.cos(np.minimum(np.pi, theta_t + eps + branch_rt[tb]))
                 - cos_slack).astype(np.float32)
     lcw32 = lc32[wide_idx]
@@ -1719,7 +1820,14 @@ def embedding_near_dup_pairs_hier(
         # GEMM — covers the leaves whose radius tail would otherwise
         # poison their branch's bound (tiering note at the driver)
         if len(wide_idx):
-            wchunk = max(4096, (48 << 20) // max(1, len(wide_idx) * 4))
+            # floor 512, not 4096 (ADVICE r8 #1): at the 32k wide-tier
+            # cap a 4096-row floor made the sim block 4096·32768·4 B =
+            # 512 MB per worker — >10x the ~48 MB bound this chunking
+            # exists to guarantee, partially re-creating the
+            # concurrent-allocation churn it was built to fix.  512
+            # rows keeps the block ≤ 48 MB up to 24k wide leaves and
+            # ≤ 64 MB at the cap.
+            wchunk = max(512, (48 << 20) // max(1, len(wide_idx) * 4))
             for lo in range(0, len(xn32), wchunk):
                 ws = xn32[lo:lo + wchunk] @ lcw32.T
                 ri, wj = _np.nonzero(ws >= cos_thr_wide[None, :])
@@ -1731,7 +1839,7 @@ def embedding_near_dup_pairs_hier(
         rchunk = max(4096, (48 << 20) // max(1, n_b * 4))
         for lo in range(0, len(xn32), rchunk):
             okb = (xn32[lo:lo + rchunk] @ bc32.T
-                   ) >= cos_thr_branch[None, :]
+                   ) >= cos_thr_branch_tight[None, :]
             ri, bj = _np.nonzero(okb)
             if not len(ri):
                 continue

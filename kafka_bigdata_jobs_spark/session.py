@@ -54,6 +54,15 @@ def get_spark(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    # Export the BLAS env for python WORKERS before the JVM launches
+    # (local mode: workers inherit the driver process env via the JVM;
+    # clusters: executorEnv below).  Must happen before getOrCreate —
+    # a running JVM's env is immutable.  The driver's own numpy was
+    # already initialized at package import, so the worker-only thread
+    # bound cannot shrink the driver's BLAS pool (see _blas.py).
+    from ._blas import export_worker_env
+
+    worker_env = export_worker_env()
     builder = SparkSession.builder.appName(app_name).master(master)
     conf: dict[str, str] = {
         # local-mode default heap is 1g; the 32-thread local runner needs
@@ -83,6 +92,9 @@ def get_spark(
         # streaming/job1_bots.py:25).
         "spark.streaming.stopGracefullyOnShutdown": "true",
         "spark.ui.enabled": "false",
+        # Cluster twin of the local-mode env inheritance above: python
+        # workers on executors get the same guarded BLAS settings.
+        **{f"spark.executorEnv.{k}": v for k, v in worker_env.items()},
         **(extra_conf or {}),
     }
     for k, v in conf.items():

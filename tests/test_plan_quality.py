@@ -279,7 +279,7 @@ def test_no_unbounded_driver_collects_in_engine_code():
             "DRIVER_EDGE_LIMIT (limit-probe before collect)",
         ),
         "operators/similarity.py": (
-            5,
+            6,
             "PQ: codebook fit collects a seeded sample capped at "
             "fit_sample_rows (~4 MB); PQ-ADC and IVF-PQ each collect "
             "the QUERY side only (the broadcast-small side by "
@@ -288,7 +288,9 @@ def test_no_unbounded_driver_collects_in_engine_code():
             "bounded by fit_sample_rows//4 leaves, never the data); "
             "the distributed two-stage fit collects the K leaf-CENTER "
             "rows (same K-bounded metadata relation — K*dim doubles, "
-            "the documented driver-metadata ceiling, never the data)",
+            "the documented driver-metadata ceiling, never the data); "
+            "the executor-side esc-cap scan (r9) collects one float "
+            "per sample chunk — ≤256 per-chunk maxima, a max-reduce",
         ),
         "operators/bpe.py": (
             2,
