@@ -26,19 +26,95 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     planning + whole-stage codegen compilation of the entire plan — a
     multi-second driver cost for the wide generated classes these
     operators build, paid once per partition probe.  Many files ≥
-    target ⇒ at least that many scan partitions; few files may still
-    split by size (maxPartitionBytes), so the only error mode is a
-    redundant repartition of an input that was already wide — one
-    cheap extra shuffle on exactly the small inputs where it doesn't
-    matter."""
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    target ⇒ at least that many scan partitions; FEW files are sized
+    (r9): Spark splits large splittable files by
+    ``min(maxPartitionBytes, max(openCostInBytes, total/minPartitionNum))``
+    (FilePartition.maxSplitBytes), so a single multi-GB parquet file
+    already reads as ≥ defaultParallelism scan partitions and the old
+    "few files ⇒ repartition" rule paid a FULL-CORPUS round-robin
+    shuffle for nothing — measured as the dominant share of the hier
+    pair path's scan_cache stage at the x30/x100 probes (the shuffle
+    grows superlinearly with spill while the scan itself is linear).
+    Compressed-suffix files (.gz/.bz2/...) are unsplittable: they count
+    one partition each, keeping the estimate conservative.  The only
+    remaining error mode is unchanged — a redundant repartition of a
+    small input, where the extra shuffle is cheap by construction."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
     try:
-        if len(df.inputFiles()) >= target:
+        files = df.inputFiles()
+        if len(files) >= target:
+            return df
+        if files and _estimated_scan_partitions(spark, files) >= target:
             return df
     except Exception:
         if df.rdd.getNumPartitions() >= target:
             return df
     return df.repartition(target)
+
+
+#: Suffixes Spark treats as unsplittable (stream-compressed whole-file
+#: codecs): one scan partition each regardless of size.
+_UNSPLITTABLE_SUFFIXES = (".gz", ".bz2", ".lz4", ".snappy", ".zst",
+                          ".deflate", ".xz", ".zip")
+
+
+def _estimated_scan_partitions(spark, files: list[str]) -> int:
+    """Lower-bound estimate of the scan partition count Spark's
+    FilePartition packing will produce for ``files``, mirroring
+    ``maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    (totalSize + files·openCost) / minPartitionNum))``.  File sizes
+    come from the Hadoop FileSystem (works for any scheme the session
+    can read; a local ``file:`` URI resolves through RawLocalFileSystem
+    with no extra RPC).  Raises on any I/O oddity — the caller treats
+    that as "unknown width" and keeps the conservative repartition."""
+    import math
+    import os
+    from urllib.parse import urlparse
+
+    def _bytes(v: str) -> int:
+        # Spark byte-conf strings: "134217728b", "128m", "1g", plain int
+        units = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30,
+                 "t": 1 << 40, "p": 1 << 50}
+        s = v.strip().lower()
+        num = s.rstrip("kmgtpb")
+        mult = 1
+        for ch in s[len(num):]:
+            if ch in units and ch != "b":
+                mult = units[ch]
+        return int(float(num or "0") * mult)
+
+    conf = spark.conf
+    max_pb = _bytes(conf.get("spark.sql.files.maxPartitionBytes",
+                             str(128 << 20)))
+    open_cost = _bytes(conf.get("spark.sql.files.openCostInBytes",
+                                str(4 << 20)))
+    try:
+        min_parts = int(conf.get("spark.sql.files.minPartitionNum"))
+    except Exception:  # unset: Spark falls back to default parallelism
+        min_parts = spark.sparkContext.defaultParallelism
+    sizes: list[int] = []
+    jvm_fs = None
+    for f in files:
+        parsed = urlparse(f)
+        if parsed.scheme in ("file", ""):
+            sizes.append(os.path.getsize(parsed.path or f))
+        else:
+            jvm = spark.sparkContext._jvm
+            path = jvm.org.apache.hadoop.fs.Path(f)
+            if jvm_fs is None:
+                jvm_fs = path.getFileSystem(
+                    spark.sparkContext._jsc.hadoopConfiguration())
+            sizes.append(jvm_fs.getFileStatus(path).getLen())
+    total = sum(sizes) + open_cost * len(sizes)
+    max_split = min(max_pb, max(open_cost, total // max(1, min_parts)))
+    n = 0
+    for f, size in zip(files, sizes):
+        if f.lower().endswith(_UNSPLITTABLE_SUFFIXES):
+            n += 1
+        else:
+            n += max(1, math.ceil(size / max(1, max_split)))
+    return n
 
 
 def cents(col: Column | str, scale: int = 2) -> Column:

@@ -25,6 +25,7 @@ string is a single call and yields the identical codegen'd plan.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -588,6 +589,19 @@ embedding_near_dup_pairs_celled.last_replication = None
 #: _KMEANS_MODEL_CACHE (evicted with its session's application id).
 _TWO_LEVEL_FIT_CACHE: dict[tuple, tuple] = {}
 
+#: Probe-only fit sub-step driver timings (seconds) from the most
+#: recent quantizer fit — same process-global introspection contract
+#: as ``last_stage_seconds``.  Cleared at each fit start.
+_FIT_TIMINGS: dict[str, float] = {}
+
+
+def _fit_mark(name: str, t0: float) -> float:
+    import time as _t
+
+    now = _t.monotonic()
+    _FIT_TIMINGS[name] = round(_FIT_TIMINGS.get(name, 0.0) + (now - t0), 3)
+    return now
+
 #: Driver-memory ceiling on the auto-scaled hier fit sample (rows).
 #: 1M rows × 64 dims × 8 B = 512 MB driver-side during the fit — the
 #: point past which K stops tracking n/leaf_target and leaf
@@ -800,24 +814,37 @@ def _exact_home_angles(mat, bcenters, leaf_centers, leaf_branch):
 ESC_SCAN_DRIVER_MAX_ROWS = 1 << 16
 
 
-def _esc_cap_max(spark, sample, bcenters, leaf_centers, leaf_branch):
+def _esc_cap_max(spark, sample, bcenters, leaf_centers, leaf_branch,
+                 base=None, frac=None, seed=None, dim=None):
     """Max exact home angle of the fit sample — the esc-cap input.
 
     Both fit paths only consume ``_exact_home_angles(...).max()``, and
     the scan is embarrassingly parallel over sample rows with
     PARTITION-INVARIANT per-row results (the seed argmax, the survivor
     bound and the exact f64 re-scan are all row-local; chunking only
-    groups work).  r9: the driver-side scan was the largest single fit
-    term at the x100 probe shape (25-77 s measured, Θ(sample·B) with
-    both factors ∝ n below the cap, on ONE core's BLAS) — fanning the
-    row chunks out over executors with the quantizer broadcast turns it
-    into max-reduce of per-chunk maxima, bit-equal by row-invariance.
-    Small samples keep the driver scan: a Spark job costs more than the
-    scan below ~64k rows."""
-    if spark is None or len(sample) <= ESC_SCAN_DRIVER_MAX_ROWS:
+    groups work).  Small samples keep the driver scan: a Spark job
+    costs more than the scan below ~64k rows.
+
+    Executor form (r9, second revision): the first fan-out
+    (``sc.parallelize`` over driver-held sample chunks) moved the GEMMs
+    off the driver but still paid a single-threaded driver
+    serialization of the whole sample out and per-task pickles back —
+    measured as the dominant share of the remaining 40-100 s esc-cap
+    term at the x100 probe.  This form never ships the sample at all:
+    it re-samples the SAME Bernoulli fraction/seed from the cached
+    ``base`` (the identical row set Spark's seeded per-partition
+    sampler produced for the fit — a SUPERSET of the driver's
+    eff_rows-downsampled fit sample, and a max over a superset of
+    same-distribution rows is still the data's own home-angle
+    ceiling; the cap bounds escalation COST, never completeness or
+    output pairs, which are exact-verified), scans each Arrow batch
+    against the broadcast quantizer in the python workers, and
+    max-reduces one double per batch through a JVM aggregate."""
+    if (spark is None or base is None
+            or len(sample) <= ESC_SCAN_DRIVER_MAX_ROWS):
         return float(_exact_home_angles(
             sample, bcenters, leaf_centers, leaf_branch).max())
-    # the partition closure references _exact_home_angles BY MODULE
+    # the batch closure references _exact_home_angles BY MODULE
     # REFERENCE (unlike the hier function's self-contained local
     # closures), so workers must be able to import this package even
     # when the driver runs from an arbitrary cwd
@@ -826,20 +853,33 @@ def _esc_cap_max(spark, sample, bcenters, leaf_centers, leaf_branch):
     ensure_package_shipped(spark)
     sc = spark.sparkContext
     bc = sc.broadcast((bcenters, leaf_centers, leaf_branch))
-    n_slices = int(min(256, max(32, len(sample) // 8192)))
-    import numpy as np
+    out_schema = T.StructType([T.StructField("__m", T.DoubleType())])
+    _dim = dim
 
-    chunks = np.array_split(sample, n_slices)
+    def batch_max(it):
+        import numpy as _np
+        import pyarrow as _pa
 
-    def part_max(it):
         bcv, lcv, lbv = bc.value
-        for mat in it:
-            if len(mat):
-                yield float(_exact_home_angles(mat, bcv, lcv, lbv).max())
+        for batch in it:
+            if not batch.num_rows:
+                continue
+            col = batch.column(0)
+            flat = (col.combine_chunks()
+                    if hasattr(col, "combine_chunks") else col)
+            mat = (flat.flatten().to_numpy(zero_copy_only=False)
+                   .reshape(-1, _dim).astype(_np.float64, copy=False))
+            yield _pa.RecordBatch.from_arrays(
+                [_pa.array(
+                    [float(_exact_home_angles(mat, bcv, lcv, lbv).max())],
+                    type=_pa.float64())],
+                names=["__m"])
 
     try:
-        return max(sc.parallelize(chunks, n_slices)
-                   .mapPartitions(part_max).collect())
+        row = (base.select("__v").sample(fraction=frac, seed=seed)
+               .mapInArrow(batch_max, out_schema)
+               .agg(F.max("__m").alias("m")).collect())
+        return float(row[0]["m"])
     finally:
         bc.unpersist()
 
@@ -851,13 +891,19 @@ def _sample_vectors(df, frac: float, seed: int, dim: int):
     the in-operator fit stage at the x100 probe (the fit math itself is
     chunked BLAS).  ``toArrow`` keeps the list column as one flat buffer
     end to end; the reshape is the same zero-object pattern the Arrow
-    passes use."""
+    passes use.  The collect ships FLOAT32 (second r9 revision): the
+    sample only seeds quantizer fits (centers and the small-path
+    esc-cap), whose quality tolerates the 2⁻²⁴ relative rounding —
+    every emitted pair is exact-verified in float64 regardless — and
+    the cast halves the one driver-bound transfer of the fit, which
+    grows ∝ n below FIT_SAMPLE_ROWS_CAP."""
     import numpy as np
 
-    tbl = df.select("__v").sample(fraction=frac, seed=seed).toArrow()
+    tbl = (df.select(F.col("__v").cast("array<float>").alias("__v"))
+           .sample(fraction=frac, seed=seed).toArrow())
     col = tbl.column("__v").combine_chunks()
     return (col.flatten().to_numpy(zero_copy_only=False)
-            .reshape(-1, dim).astype(np.float64, copy=False))
+            .reshape(-1, dim).astype(np.float64))
 
 
 def _fit_two_level(sample_mat, k_leaf: int, n_branches: int, seed: int):
@@ -877,14 +923,18 @@ def _fit_two_level(sample_mat, k_leaf: int, n_branches: int, seed: int):
     the fitted branch centers in one chunked pass (the Lloyd
     assignment step, once instead of ×8) so per-branch leaf fits keep
     the complete sample and the ≥4-points-per-leaf contract."""
+    import time as _time
+
     import numpy as np
 
+    _ft = _time.monotonic()
     b_rows = max(8 * n_branches, 1 << 16)
     if len(sample_mat) > b_rows:
         keep = np.random.default_rng(seed + 13).choice(
             len(sample_mat), size=b_rows, replace=False)
         bcenters, _ = _lloyd_rounds(
             sample_mat[np.sort(keep)], n_branches, seed)
+        _ft = _fit_mark("branch_lloyd", _ft)
         pts = sample_mat / np.linalg.norm(
             sample_mat, axis=1, keepdims=True)
         bassign = np.empty(len(pts), dtype=np.int64)
@@ -892,8 +942,10 @@ def _fit_two_level(sample_mat, k_leaf: int, n_branches: int, seed: int):
         for lo in range(0, len(pts), chunk):
             bassign[lo:lo + chunk] = (
                 pts[lo:lo + chunk] @ bcenters.T).argmax(axis=1)
+        _ft = _fit_mark("branch_assign", _ft)
     else:
         bcenters, bassign = _lloyd_rounds(sample_mat, n_branches, seed)
+        _ft = _fit_mark("branch_lloyd", _ft)
     leaf_centers, leaf_branch = [], []
     n = len(sample_mat)
     # one stable sort + O(1) slices instead of a full boolean mask scan
@@ -914,6 +966,7 @@ def _fit_two_level(sample_mat, k_leaf: int, n_branches: int, seed: int):
         for c in cs:
             leaf_centers.append(c)
             leaf_branch.append(b)
+    _fit_mark("leaf_fits", _ft)
     return (
         np.asarray(bcenters),
         np.asarray(leaf_centers),
@@ -961,6 +1014,8 @@ def _fit_two_level_distributed(base, n_rows: int, leaf_target: int,
     K=1M ≈ a 64M-row corpus at the default leaf_target; float32
     shipping and per-super center sharding are the next two doublings,
     documented in SCALE.md)."""
+    import time as _time
+
     import numpy as np
     import pyarrow as pa
 
@@ -975,7 +1030,10 @@ def _fit_two_level_distributed(base, n_rows: int, leaf_target: int,
     a_rows = min(max(fit_sample_rows, 4 * n_branches),
                  FIT_SAMPLE_ROWS_CAP)
     frac = min(1.0, 1.05 * a_rows / n_rows)
+    _FIT_TIMINGS.clear()
+    _ft = _time.monotonic()
     sample = _sample_vectors(base, frac, seed, dim)
+    _ft = _fit_mark("sample_collect", _ft)
     if len(sample) > a_rows:
         keep = np.random.default_rng(seed).choice(
             len(sample), size=a_rows, replace=False)
@@ -992,6 +1050,7 @@ def _fit_two_level_distributed(base, n_rows: int, leaf_target: int,
                                     n_branches, seed)
     else:
         bcenters, _ = _lloyd_rounds(sample, n_branches, seed)
+    _ft = _fit_mark("branch_lloyd", _ft)
     bc32 = (bcenters / np.linalg.norm(bcenters, axis=1, keepdims=True)
             ).astype(np.float32)
 
@@ -1053,8 +1112,12 @@ def _fit_two_level_distributed(base, n_rows: int, leaf_target: int,
     leaf_centers = np.array([r["__c"] for r in leaf_rows],
                             dtype=np.float64)
     leaf_branch = np.array([r["__b"] for r in leaf_rows], dtype=np.int64)
+    _ft = _fit_mark("dist_leaf_fit", _ft)
     esc_cap = _esc_cap_max(base.sparkSession, sample, bcenters,
-                           leaf_centers, leaf_branch) + 0.05
+                           leaf_centers, leaf_branch,
+                           base=base, frac=frac, seed=seed,
+                           dim=dim) + 0.05
+    _fit_mark("esc_cap", _ft)
     return np.asarray(bcenters), leaf_centers, leaf_branch, esc_cap
 
 
@@ -1309,7 +1372,10 @@ def embedding_near_dup_pairs_hier(
             max(fit_sample_rows, 4 * max(1, n_rows // leaf_target)),
             FIT_SAMPLE_ROWS_CAP)
         frac = min(1.0, 1.05 * eff_rows / n_rows)
+        _FIT_TIMINGS.clear()
+        _ft0 = _time.monotonic()
         sample = _sample_vectors(base, frac, seed, dim)
+        _ft0 = _fit_mark("sample_collect", _ft0)
         if len(sample) > eff_rows:
             keep = np.random.default_rng(seed).choice(
                 len(sample), size=eff_rows, replace=False)
@@ -1347,7 +1413,11 @@ def embedding_near_dup_pairs_hier(
         # misses → p50 radius 68° → replication 2145 vs the exact
         # scan's 3.8; with the absolute cap the radii match the exact
         # scan at every probe scale).
-        esc_cap = _esc_cap_max(spark, sample, *two_level) + 0.05
+        _ft0 = _time.monotonic()
+        esc_cap = _esc_cap_max(spark, sample, *two_level,
+                               base=base, frac=frac, seed=seed,
+                               dim=dim) + 0.05
+        _fit_mark("esc_cap", _ft0)
         fit = (*two_level, esc_cap)
         if memo_key is not None:
             _TWO_LEVEL_FIT_CACHE[memo_key] = fit
@@ -1405,12 +1475,22 @@ def embedding_near_dup_pairs_hier(
 
         return _np.arccos(_np.clip(block @ centers.T, -1.0, 1.0))
 
-    # --- pass 1: hierarchical HOME assignment (id -> leaf, home angle) —
-    # one Arrow map, Θ(n·(B + K/B)) flops, id-only output, no shuffle.
+    # --- pass 1: hierarchical HOME assignment (id -> leaf, home angle,
+    # f16 nomination vector) — one Arrow map, Θ(n·(B + K/B)) flops.
+    # ``__vh`` is the unit-normalized vector rounded to float16 and
+    # shipped as its int16 bit pattern (Spark has no half type): pass 1
+    # already holds the normalized rows in memory, so emitting it here
+    # costs one rounding pass and makes the cached ``home`` relation
+    # the tail's vector source — the tagged join then ships HALF the
+    # bytes of the old float32 form through the path's one big shuffle
+    # (measured r9: the exchange+sort+Arrow transfer of the tagged
+    # relation was ~69% of the pair-join tail at x30).  Nomination
+    # tolerates the rounding: margin note at the tail.
     home_schema = T.StructType([
         T.StructField("__id", id_field.dataType),
         T.StructField("leaf_id", T.IntegerType()),
         T.StructField("__hang", T.DoubleType()),
+        T.StructField("__vh", T.ArrayType(T.ShortType())),
     ])
 
     n_probe = max(1, min(home_probes, n_b))
@@ -1561,11 +1641,20 @@ def embedding_near_dup_pairs_hier(
             # dot — covering radii never under-cover (cos_slack note).
             hang = _np.arccos(_np.clip(
                 hsim.astype(_np.float64) - cos_slack, -1.0, 1.0))
+            # f16 bits of the unit row, zero per-row objects: one flat
+            # int16 buffer + arithmetic offsets
+            bits = _np.ascontiguousarray(
+                xn.astype(_np.float16)).view(_np.int16)
+            vh = _pa.ListArray.from_arrays(
+                _pa.array(_np.arange(0, (len(xn) + 1) * dim, dim,
+                                     dtype=_np.int32), type=_pa.int32()),
+                _pa.array(bits.ravel(), type=_pa.int16()))
             yield _pa.RecordBatch.from_arrays(
                 [batch.column(batch.schema.get_field_index("__id")),
                  _pa.array(leaf, type=_pa.int32()),
-                 _pa.array(hang, type=_pa.float64())],
-                names=["__id", "leaf_id", "__hang"],
+                 _pa.array(hang, type=_pa.float64()),
+                 vh],
+                names=["__id", "leaf_id", "__hang", "__vh"],
             )
 
     home = base.select("__id", "__v").mapInArrow(assign_home, home_schema).cache()
@@ -1939,29 +2028,32 @@ def embedding_near_dup_pairs_hier(
     # nominates the pairs at cosine ≥ threshold − margin, so the exact
     # verify join only ships vectors for an OUTPUT-sized relation —
     # the blocked path's candidates-only contract, applied per leaf.
-    # Nomination ships UNIT-NORMALIZED FLOAT32 vectors: the tagged
-    # relation (replicas × vector payload) is the path's one big
-    # shuffle (2.1 GB at the 500k probe corpus), and candidate
-    # NOMINATION tolerates rounding.  Normalizing in float64 FIRST and
-    # casting the unit vector (ADVICE r6) keeps every component in
-    # [-1, 1], so the < 1e-5 cosine-perturbation bound holds
-    # unconditionally — a RAW vector whose components under/overflow
-    # float32 range would cast to zeros/Inf and silently drop
-    # qualifying pairs.  The 1e-4 margin strictly over-nominates, and
-    # the exact float64 verification expression below decides every
-    # final row.  Halves the shuffle bytes for free.
-    margin = 1e-4
+    # Nomination ships UNIT-NORMALIZED FLOAT16 vectors (r9; the r6-r8
+    # form shipped float32): the tagged relation (replicas × vector
+    # payload) is the path's one big shuffle, measured as ~69% of the
+    # pair-join tail at the x30 probe, and candidate NOMINATION
+    # tolerates rounding.  The vectors come from the cached pass-1
+    # ``home`` relation (__vh, f16 bits as int16 — computed where the
+    # normalized rows were already in memory), so no recompute and no
+    # second corpus-side projection.  Soundness of the wider margin:
+    # normalizing in float64 FIRST keeps every component in [-1, 1]
+    # (no overflow on cast — ADVICE r6), a unit vector rounded to f16
+    # has ‖Δ‖₂ ≤ 2⁻¹¹, so for unit a, b:
+    #   |a16·b16 − a·b| ≤ ‖Δa‖ + ‖Δb‖ + ‖Δa‖‖Δb‖ < 9.8e-4,
+    # plus the float32 matmul accumulation (< dim·2⁻²⁴ ≈ 4e-6) — the
+    # 2e-3 margin covers the worst case 2× over.  Every qualifying
+    # pair therefore still clears the cut; the extra near-threshold
+    # nominations are decided by the exact float64 verification
+    # expression below, so the OUTPUT is unchanged (pinned by the
+    # hier≡blocked bit-equality tests).
+    margin = 2e-3
     cut = threshold - margin
     tagged = (
         rep.withColumn("__side", F.lit(0))
         .unionByName(home.select("__id", "leaf_id",
                                  F.lit(1).alias("__side")))
-        .join(base.select(
-            "__id",
-            F.expr("transform(__v, x -> x / sqrt(__n2))")
-            .cast("array<float>").alias("__vf")),
-            "__id")
-        .select("leaf_id", "__id", "__vf", "__side")
+        .join(home.select("__id", "__vh"), "__id")
+        .select("leaf_id", "__id", "__vh", "__side")
     )
     cand_schema = T.StructType([
         T.StructField("id_a", id_field.dataType),
@@ -1980,9 +2072,10 @@ def embedding_near_dup_pairs_hier(
 
         side = tbl.column("__side").to_numpy(zero_copy_only=False)
         idcol = tbl.column("__id").combine_chunks()
-        vcol = tbl.column("__vf").combine_chunks()
+        vcol = tbl.column("__vh").combine_chunks()
         mat = (vcol.flatten().to_numpy(zero_copy_only=False)
-               .reshape(-1, dim).astype(_np.float64, copy=False))
+               .reshape(-1, dim).view(_np.float16)
+               .astype(_np.float32))
         r = _np.nonzero(side == 0)[0]
         h = _np.nonzero(side == 1)[0]
         empty = _pa.array([], type=_pa.int64())
@@ -1990,9 +2083,9 @@ def embedding_near_dup_pairs_hier(
             return _pa.table(
                 {"id_a": idcol.take(empty), "id_b": idcol.take(empty)})
         rm, hm = mat[r], mat[h]
-        # __vf is unit-normalized upstream (float64 normalize, then
-        # float32 cast) — the matmul IS the cosine to ~1e-7, so no
-        # per-group norm recompute (ADVICE r6).
+        # __vh is the f16 rounding of the float64-normalized unit row —
+        # the f32 matmul is the cosine to < 1e-3 (margin bound at the
+        # tagged relation), so no per-group norm recompute (ADVICE r6).
         sims = rm @ hm.T
         ri, hj = _np.nonzero(sims >= cut)
         ids = idcol.to_numpy(zero_copy_only=False)
@@ -2015,6 +2108,15 @@ def embedding_near_dup_pairs_hier(
         .applyInArrow(leaf_pairs, cand_schema)
         .distinct()  # cross-leaf AND in-leaf mirrored duplicates
     )
+    if os.environ.get("SPARK_GRAFT_HIER_STAGE_DEBUG"):
+        # Probe-only tail attribution (r9): materialize the tail's two
+        # intermediates so their driver marks split "tail" into
+        # tagged-join / pair-matmul+distinct / exact-verify shares.
+        # EXTRA work (tagged recomputes for cands), never on by default.
+        tagged.write.mode("overwrite").format("noop").save()
+        _mark("dbg_tagged_join")
+        cands.write.mode("overwrite").format("noop").save()
+        _mark("dbg_pairs_distinct")
     a = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
                     F.col("__n2").alias("__na2"))
     b = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),

@@ -19,6 +19,15 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let AQE rewrite a sort-merge join to a shuffled-hash join when
+    # every post-shuffle partition of the build side fits under this
+    # bound (default 0 = never).  SHJ skips BOTH sort passes; the
+    # rewrite is a runtime decision from ACTUAL partition sizes, so it
+    # is safe at any scale — partitions above the bound keep the
+    # spill-graceful sort-merge path.  128 MB matches a comfortable
+    # per-task hash-table footprint against the worker heap here and
+    # on a typical 4-8 GB-per-core cluster executor.
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "128m",
     # The driver's events.parquet carries TIMESTAMP(NANOS) which Spark's
     # reader rejects by default; read as long and convert in the loader.
     "spark.sql.legacy.parquet.nanosAsLong": "true",

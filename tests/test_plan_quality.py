@@ -289,8 +289,9 @@ def test_no_unbounded_driver_collects_in_engine_code():
             "the distributed two-stage fit collects the K leaf-CENTER "
             "rows (same K-bounded metadata relation — K*dim doubles, "
             "the documented driver-metadata ceiling, never the data); "
-            "the executor-side esc-cap scan (r9) collects one float "
-            "per sample chunk — ≤256 per-chunk maxima, a max-reduce",
+            "the executor-side esc-cap scan (r9) collects ONE "
+            "aggregated row — per-Arrow-batch maxima reduced through "
+            "a JVM max aggregate before the collect",
         ),
         "operators/bpe.py": (
             2,
