@@ -547,19 +547,18 @@ def embedding_near_dup_pairs_celled(
 
 def _guard_replication(rep: DataFrame, n_rows: int, max_replication: float,
                        threshold: float) -> tuple[DataFrame, float]:
-    """Cache + count the id-only replica relation BEFORE the expensive
-    vector-attach shuffle and pair matmul (the point of no return for
-    the quadratic failure mode), and raise
-    :class:`CoveringRadiusBlowupError` past ``max_replication``.
-    Returns the cached relation (reused by the downstream join, so the
-    guard costs one pass over cached ids, not a recompute) and the
-    measured mean replication factor.
+    """Cache + count the replica relation BEFORE the leaf exchange and
+    pair matmul (the point of no return for the quadratic failure
+    mode), and raise :class:`CoveringRadiusBlowupError` past
+    ``max_replication``.  Returns the cached relation (reused by the
+    downstream tail, so the guard costs one pass over cached rows, not
+    a recompute) and the measured mean replication factor.
 
     Cache lifecycle (ADVICE r7): on the success path ``rep`` (and the
     caller's ``base``) stay cached deliberately — the returned
-    DataFrame's pair join re-reads both, and unpersisting before the
+    DataFrame's pair tail re-reads both, and unpersisting before the
     caller materializes it would recompute two full Arrow passes.  The
-    caches are id-only / corpus-sized respectively and evict LRU; a
+    caches are id+f16 / corpus-sized respectively and evict LRU; a
     long-lived driver looping over MANY corpora should call
     ``spark.catalog.clearCache()`` between them (the probe and bench
     harnesses do exactly this)."""
@@ -693,12 +692,59 @@ def _lloyd_rounds(points, k: int, seed: int, iters: int = 8):
     return centers, assign
 
 
-def _exact_home_angles(mat, bcenters, leaf_centers, leaf_branch):
+def _exact_home_prepare(bcenters, leaf_centers, leaf_branch):
+    """Quantizer-derived scan state for :func:`_exact_home_angles`,
+    factored out (r9) so callers that scan MANY matrices against ONE
+    quantizer build it once: the executor esc-cap pass scans one Arrow
+    batch per call, and rebuilding this state per batch — the
+    ``leaves_of`` table alone is Θ(B·K) via per-branch ``nonzero``
+    (~2.9e8 comparisons at the x100 probe shape), plus a K-row arccos
+    and three B-row transcendental tables — dominated the batch's
+    actual GEMM work (measured: esc_cap 121 s of the 223 s x100 fit
+    at HEAD, almost all per-batch setup).  ``leaves_of`` itself now
+    comes from one stable argsort + searchsorted (Θ(K log K)), same
+    ascending index lists as the nonzero form."""
+    import numpy as np
+
+    n_b = len(bcenters)
+    off = np.full(n_b, -np.inf)
+    leaf_ang = np.arccos(np.clip(
+        np.einsum("ij,ij->i", bcenters[leaf_branch], leaf_centers),
+        -1.0, 1.0))
+    np.maximum.at(off, leaf_branch, leaf_ang)
+    has_leaf = off > -np.inf
+    dead = np.nonzero(~has_leaf)[0]
+    order = np.argsort(leaf_branch, kind="stable")
+    bounds = np.searchsorted(leaf_branch[order], np.arange(n_b + 1))
+    leaves_of = [order[bounds[b]:bounds[b + 1]] for b in range(n_b)]
+    bc32 = (bcenters / np.linalg.norm(bcenters, axis=1, keepdims=True)
+            ).astype(np.float32)
+    offc = np.where(has_leaf, off, 0.0)
+    co32 = np.cos(offc).astype(np.float32)
+    so32 = np.sin(offc).astype(np.float32)
+    # π-mask threshold, shifted DOWN so the f32 compare can only
+    # over-keep; leafless branches get -inf → always "kept" by the
+    # mask, then removed by the has_leaf column mask
+    pmo32 = np.where(has_leaf, np.pi - offc - 1e-6,
+                     -np.inf).astype(np.float32)
+    dim = bcenters.shape[1]
+    # sound angle slack for a float32 dot of unit vectors: |Δcos| ≤
+    # 3·dim·2⁻²⁴ → |Δθ| ≤ √(2·|Δcos|) globally (the near-0 worst case)
+    ang_slack = float(np.sqrt(2.0 * 3.0 * dim * 2.0 ** -24))
+    # cos-space epsilon: 2× the f32 dot bound + identity rounding
+    eps32 = np.float32(2.0 * 3.0 * dim * 2.0 ** -24 + 1e-6)
+    return (dead, leaves_of, bc32, co32, so32, pmo32, ang_slack, eps32)
+
+
+def _exact_home_angles(mat, bcenters, leaf_centers, leaf_branch,
+                       prep=None):
     """Exact home angle (nearest leaf over ALL leaves) for each
     (unit-normalized) row of ``mat``.  Driver-side, bounded point set
     (the fit sample).  The full-leaf minimum LOWER-bounds what the
     executor escalation path (top-``n_probe``-branch scan) achieves, so
     a cap built from it can only over-escalate — cost, never a radius.
+    ``prep`` is the :func:`_exact_home_prepare` state (built here when
+    not supplied — single-matrix callers are unchanged).
 
     The r7 form was one dense sample×K matmul — Θ(sample·K)·dim flops
     with BOTH factors ∝ n below the sample cap, measured 60 s of the
@@ -730,31 +776,9 @@ def _exact_home_angles(mat, bcenters, leaf_centers, leaf_branch):
 
     xn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     n_b = len(bcenters)
-    dim = bcenters.shape[1]
-    # off(β): one elementwise K-row dot, no per-branch loop
-    off = np.full(n_b, -np.inf)
-    leaf_ang = np.arccos(np.clip(
-        np.einsum("ij,ij->i", bcenters[leaf_branch], leaf_centers),
-        -1.0, 1.0))
-    np.maximum.at(off, leaf_branch, leaf_ang)
-    has_leaf = off > -np.inf
-    dead = np.nonzero(~has_leaf)[0]
-    leaves_of = [np.nonzero(leaf_branch == b)[0] for b in range(n_b)]
-    bc32 = (bcenters / np.linalg.norm(bcenters, axis=1, keepdims=True)
-            ).astype(np.float32)
-    offc = np.where(has_leaf, off, 0.0)
-    co32 = np.cos(offc).astype(np.float32)
-    so32 = np.sin(offc).astype(np.float32)
-    # π-mask threshold, shifted DOWN so the f32 compare can only
-    # over-keep; leafless branches get -inf → always "kept" by the
-    # mask, then removed by the has_leaf column mask
-    pmo32 = np.where(has_leaf, np.pi - offc - 1e-6,
-                     -np.inf).astype(np.float32)
-    # sound angle slack for a float32 dot of unit vectors: |Δcos| ≤
-    # 3·dim·2⁻²⁴ → |Δθ| ≤ √(2·|Δcos|) globally (the near-0 worst case)
-    ang_slack = float(np.sqrt(2.0 * 3.0 * dim * 2.0 ** -24))
-    # cos-space epsilon: 2× the f32 dot bound + identity rounding
-    eps32 = np.float32(2.0 * 3.0 * dim * 2.0 ** -24 + 1e-6)
+    if prep is None:
+        prep = _exact_home_prepare(bcenters, leaf_centers, leaf_branch)
+    dead, leaves_of, bc32, co32, so32, pmo32, ang_slack, eps32 = prep
 
     def _scan(xc, rows, col, best):
         """Exact f64 leaf scan of branch col[i] for point rows[i],
@@ -861,6 +885,11 @@ def _esc_cap_max(spark, sample, bcenters, leaf_centers, leaf_branch,
         import pyarrow as _pa
 
         bcv, lcv, lbv = bc.value
+        # quantizer scan state ONCE per task, not per Arrow batch —
+        # the per-batch rebuild (Θ(B·K) leaves_of + transcendental
+        # tables) was the dominant share of the x100 esc-cap term
+        # (see _exact_home_prepare)
+        prep = _exact_home_prepare(bcv, lcv, lbv)
         for batch in it:
             if not batch.num_rows:
                 continue
@@ -871,7 +900,8 @@ def _esc_cap_max(spark, sample, bcenters, leaf_centers, leaf_branch,
                    .reshape(-1, _dim).astype(_np.float64, copy=False))
             yield _pa.RecordBatch.from_arrays(
                 [_pa.array(
-                    [float(_exact_home_angles(mat, bcv, lcv, lbv).max())],
+                    [float(_exact_home_angles(mat, bcv, lcv, lbv,
+                                              prep=prep).max())],
                     type=_pa.float64())],
                 names=["__m"])
 
@@ -1235,26 +1265,31 @@ def embedding_near_dup_pairs_hier(
 
     Execution shape (measured on the x1 probe corpus; see
     tools/embpairs_probe.py): assignment and replication are
-    ``mapInArrow`` passes emitting ID-ONLY rows — Arrow list columns
-    flatten to a dense (rows × dim) matrix with zero per-row Python
-    objects, and the angle math is one numpy matmul per batch (the
-    blocked path's candidates-only contract: numpy decides what gets
-    VERIFIED, never a final value).  Vectors re-attach to the replica
-    relation through a JVM hash join (an early version shipped vectors
-    through the pandas passes as object arrays — 42 of the path's 82
-    seconds at x1).  In-leaf candidate nomination is a grouped
-    replicas·homesᵀ matmul at ``threshold − margin``; survivors (an
-    output-sized relation) get the exact expression.  The quantizer
-    (≤ K·dim doubles) is driver-held metadata shipped in task
-    closures; the corpus never leaves executors.
+    ``mapInArrow`` passes emitting rows of ids + the f16 nomination
+    vector — Arrow list columns flatten to a dense (rows × dim) matrix
+    with zero per-row Python objects, and the angle math is one numpy
+    matmul per batch (the blocked path's candidates-only contract:
+    numpy decides what gets VERIFIED, never a final value).  Shipping
+    the f16 bits from the passes themselves (r9) removed the r6-r8
+    vector-attach hash join (and the even earlier form that shipped
+    vectors through pandas passes as object arrays — 42 of the path's
+    82 seconds at x1): the tagged relation is now a plain union that
+    flows into ONE hash exchange on ``leaf_id``.  In-leaf candidate
+    nomination is a per-shuffle-partition numpy argsort/split by leaf
+    plus a replicas·homesᵀ matmul per leaf at ``threshold − margin``
+    (``repartition + mapInArrow`` — no post-exchange row sort, no
+    per-leaf Python call); survivors (an output-sized relation) get
+    the exact expression.  The quantizer (≤ K·dim doubles) is
+    driver-held metadata shipped in task closures; the corpus never
+    leaves executors.
 
     Full-corpus passes are all linear in n at fixed ``leaf_target``
     (per-row factors: K^⅓ assignment after the three-level balance,
     the home-conditioned candidate-list scan in replication):
     Arrow assignment, Arrow replication, one groupBy over K radius
-    rows, the vector-attach join (replication-factor × corpus volume),
-    the leaf-grain matmul, and exact verification of ~output-sized
-    candidates.  The replication factor is the honest data-dependence:
+    rows, the one leaf-keyed exchange of the tagged relation
+    (replication-factor × corpus volume in f16), the leaf-grain
+    matmul, and exact verification of ~output-sized candidates.  The replication factor is the honest data-dependence:
     tight content clusters keep it small; uniform high-dim noise makes
     covering radii rival θ_t and degenerates toward all-pairs — the
     unavoidable cost of EXACT completeness on structureless data (the
@@ -1425,7 +1460,14 @@ def embedding_near_dup_pairs_hier(
     bcenters, leaf_centers, leaf_branch, esc_cap = fit
     embedding_near_dup_pairs_hier.last_k = len(leaf_centers)
     n_b = len(bcenters)
-    leaves_of = [np.nonzero(leaf_branch == b)[0] for b in range(n_b)]
+    # per-branch leaf index lists via one stable argsort + searchsorted
+    # (r9): the per-branch nonzero form was Θ(B·K) — ~2.9e8 comparisons
+    # at the x100 probe shape — for the same ascending lists.
+    _lb_order = np.argsort(leaf_branch, kind="stable")
+    _lb_bounds = np.searchsorted(leaf_branch[_lb_order],
+                                 np.arange(n_b + 1))
+    leaves_of = [_lb_order[_lb_bounds[b]:_lb_bounds[b + 1]]
+                 for b in range(n_b)]
     # --- third level: supers clustered over the BRANCH CENTERS (B
     # points, driver-side, milliseconds — recomputed per call, so the
     # memoized two-level fit tuple is unchanged).  S = √(P·B) minimizes
@@ -1480,12 +1522,14 @@ def embedding_near_dup_pairs_hier(
     # ``__vh`` is the unit-normalized vector rounded to float16 and
     # shipped as its int16 bit pattern (Spark has no half type): pass 1
     # already holds the normalized rows in memory, so emitting it here
-    # costs one rounding pass and makes the cached ``home`` relation
-    # the tail's vector source — the tagged join then ships HALF the
-    # bytes of the old float32 form through the path's one big shuffle
-    # (measured r9: the exchange+sort+Arrow transfer of the tagged
-    # relation was ~69% of the pair-join tail at x30).  Nomination
-    # tolerates the rounding: margin note at the tail.
+    # costs one rounding pass and gives the tail's home-side rows
+    # their nomination vector with no re-read — HALF the bytes of the
+    # old float32 form through the path's one big shuffle (measured
+    # r9: the exchange+sort+Arrow transfer of the tagged relation was
+    # ~69% of the pair-join tail at x30).  Pass 2 emits the identical
+    # bits per replica row, so no vector-attach join exists anywhere
+    # on the tail.  Nomination tolerates the rounding: margin note at
+    # the tail.
     home_schema = T.StructType([
         T.StructField("__id", id_field.dataType),
         T.StructField("leaf_id", T.IntegerType()),
@@ -1669,16 +1713,23 @@ def embedding_near_dup_pairs_hier(
     for r in radius_rows:
         radius[r["leaf_id"]] = r["__radius"]
     live = ~np.isnan(radius)  # leaves with no home can't host a partner
+    live_idx = np.nonzero(live)[0]
+    # s_c = angle(branch(c), c) + R_c per live leaf, computed ONCE
+    # (r9): branch_R(β) = max_{c∈β} s_c now comes from one K-row
+    # einsum + maximum.at instead of a Θ(B) python loop of per-branch
+    # 1×|β| matmuls, and the 'scan' tiering below reuses the same s_c
+    # values instead of recomputing them.
+    s_live = np.full(len(leaf_centers), np.inf)
     branch_r = np.full(n_b, -1.0)
-    for b in range(n_b):
-        lidx = leaves_of[b][live[leaves_of[b]]]
-        if len(lidx):
-            lb_ang = _angles(bcenters[b:b + 1], leaf_centers[lidx])[0]
-            branch_r[b] = float((lb_ang + radius[lidx]).max())
+    if len(live_idx):
+        bl_ang = np.arccos(np.clip(np.einsum(
+            "ij,ij->i", bcenters[leaf_branch[live_idx]],
+            leaf_centers[live_idx]), -1.0, 1.0))
+        s_live[live_idx] = bl_ang + radius[live_idx]
+        np.maximum.at(branch_r, leaf_branch[live_idx], s_live[live_idx])
     # per-target-leaf / per-branch admit thresholds, pre-cosined: the
     # executor compares float32 dots against them — no arccos in
     # pass 2 at all.  Dead leaves/branches keep +2.0 = never admitted.
-    live_idx = np.nonzero(live)[0]
     cos_thr_leaf = np.full(len(leaf_centers), 2.0, dtype=np.float32)
     cos_thr_leaf[live_idx] = (
         np.cos(np.minimum(np.pi, theta_t + eps + radius[live_idx]))
@@ -1718,12 +1769,7 @@ def embedding_near_dup_pairs_hier(
     # branch_R admit threshold" for any future consumer.
     cos_thr_branch_tight = cos_thr_branch
     if len(live_idx) >= 64:
-        s_live = np.empty(len(leaf_centers))
-        s_live.fill(np.inf)
-        bl_ang = np.arccos(np.clip(np.einsum(
-            "ij,ij->i", bcenters[leaf_branch[live_idx]],
-            leaf_centers[live_idx]), -1.0, 1.0))
-        s_live[live_idx] = bl_ang + radius[live_idx]
+        # s_live was computed with branch_r above
         n_wide = min(len(live_idx) // 8, 32768)
         if n_wide:
             # exact n_wide selection by argpartition (ADVICE r8 #2: a
@@ -1867,10 +1913,22 @@ def embedding_near_dup_pairs_hier(
     _mark("cand_build")
 
     # --- pass 2: covering-radius REPLICATION (id -> every leaf that can
-    # host a qualifying partner) — same Arrow shape, id-only output.
+    # host a qualifying partner) — same Arrow shape.  Each replica row
+    # carries the f16 nomination vector DIRECTLY (r9): pass 2 already
+    # holds the float64-normalized rows in memory, so emitting the same
+    # f16 bits pass 1 ships costs one rounding pass + a row gather,
+    # and the tail then needs NO vector-attach join at all — the old
+    # ``(rep ∪ home) ⋈ home`` re-attach shuffled the full replica
+    # relation plus the corpus-sized ``__vh`` projection by ``__id``
+    # before the leaf exchange could even start.  The guard cache
+    # grows from id-only to id+f16 (≈10×128 B per corpus row at the
+    # probe shapes) — MEMORY_AND_DISK, spills gracefully — in exchange
+    # for one fewer full-relation exchange and hash join on the
+    # path's biggest relation.
     rep_schema = T.StructType([
         T.StructField("__id", id_field.dataType),
         T.StructField("leaf_id", T.IntegerType()),
+        T.StructField("__vh", T.ArrayType(T.ShortType())),
     ])
 
     def _emit_leaf_filter(xn32, rows, lidx, src_list, leaf_list):
@@ -1987,11 +2045,21 @@ def embedding_near_dup_pairs_hier(
             if not src_list:
                 return None
             src = _np.concatenate(src_list)
+            # f16 bits of the float64-normalized unit rows — the SAME
+            # values pass 1 ships for these ids (identical float64
+            # normalization + f16 rounding), gathered per replica row
+            bits = _np.ascontiguousarray(
+                xn.astype(_np.float16)).view(_np.int16)[src]
+            vh = _pa.ListArray.from_arrays(
+                _pa.array(_np.arange(0, (len(src) + 1) * dim, dim,
+                                     dtype=_np.int32), type=_pa.int32()),
+                _pa.array(bits.ravel(), type=_pa.int16()))
             return _pa.RecordBatch.from_arrays(
                 [ids.take(_pa.array(src, type=_pa.int64())),
                  _pa.array(_np.concatenate(leaf_list).astype(_np.int32),
-                           type=_pa.int32())],
-                names=["__id", "leaf_id"],
+                           type=_pa.int32()),
+                 vh],
+                names=["__id", "leaf_id", "__vh"],
             )
 
         pend: list = []
@@ -2022,37 +2090,50 @@ def embedding_near_dup_pairs_hier(
         embedding_near_dup_pairs_hier.last_replication = mean_rep
         _mark("replicate_guard")
 
-    # --- leaf-grain CANDIDATE generation: vectors re-attach to the
-    # replica relation via a JVM hash join (never through a Python
-    # pass), then inside each leaf a numpy replicas·homesᵀ matmul
-    # nominates the pairs at cosine ≥ threshold − margin, so the exact
-    # verify join only ships vectors for an OUTPUT-sized relation —
-    # the blocked path's candidates-only contract, applied per leaf.
+    # --- leaf-grain CANDIDATE generation: inside each leaf a numpy
+    # replicas·homesᵀ matmul nominates the pairs at cosine ≥ threshold
+    # − margin, so the exact verify join only ships vectors for an
+    # OUTPUT-sized relation — the blocked path's candidates-only
+    # contract, applied per leaf.  Tail shape (r9, second revision):
+    # both passes now EMIT the f16 nomination vector with every row,
+    # so the tagged relation is a plain union — the r6-r8 vector-
+    # attach hash join (which shuffled the full replica relation plus
+    # a corpus-sized ``__vh`` projection by ``__id`` before the leaf
+    # exchange) is gone — and leaf grouping is ONE hash exchange on
+    # ``leaf_id`` + an in-worker numpy argsort/split per partition
+    # (``repartition + mapInArrow``) instead of
+    # ``groupBy().applyInArrow``, whose physical plan appends a
+    # full row SORT of the path's biggest relation after the exchange
+    # plus one Python call per leaf (~K calls of ~leaf_target rows).
+    # Sorting the (int32 leaf_id) key column inside the worker costs
+    # Θ(rows log rows) on 4-byte keys, not Θ(rows log rows) UnsafeRow
+    # comparisons on ~150 B rows, and the pair math is batched per
+    # PARTITION.  Grouping correctness: hash partitioning sends every
+    # row of a leaf to the same partition; row order within the leaf
+    # is irrelevant (the nomination is a set filter and .distinct()
+    # owns dedup), so the output is unchanged (pinned by the
+    # hier≡blocked bit-equality tests).
+    #
     # Nomination ships UNIT-NORMALIZED FLOAT16 vectors (r9; the r6-r8
     # form shipped float32): the tagged relation (replicas × vector
     # payload) is the path's one big shuffle, measured as ~69% of the
     # pair-join tail at the x30 probe, and candidate NOMINATION
-    # tolerates rounding.  The vectors come from the cached pass-1
-    # ``home`` relation (__vh, f16 bits as int16 — computed where the
-    # normalized rows were already in memory), so no recompute and no
-    # second corpus-side projection.  Soundness of the wider margin:
-    # normalizing in float64 FIRST keeps every component in [-1, 1]
-    # (no overflow on cast — ADVICE r6), a unit vector rounded to f16
-    # has ‖Δ‖₂ ≤ 2⁻¹¹, so for unit a, b:
+    # tolerates rounding.  Soundness of the wider margin: normalizing
+    # in float64 FIRST keeps every component in [-1, 1] (no overflow
+    # on cast — ADVICE r6), a unit vector rounded to f16 has
+    # ‖Δ‖₂ ≤ 2⁻¹¹, so for unit a, b:
     #   |a16·b16 − a·b| ≤ ‖Δa‖ + ‖Δb‖ + ‖Δa‖‖Δb‖ < 9.8e-4,
     # plus the float32 matmul accumulation (< dim·2⁻²⁴ ≈ 4e-6) — the
     # 2e-3 margin covers the worst case 2× over.  Every qualifying
     # pair therefore still clears the cut; the extra near-threshold
     # nominations are decided by the exact float64 verification
-    # expression below, so the OUTPUT is unchanged (pinned by the
-    # hier≡blocked bit-equality tests).
+    # expression below, so the OUTPUT is unchanged.
     margin = 2e-3
     cut = threshold - margin
     tagged = (
         rep.withColumn("__side", F.lit(0))
-        .unionByName(home.select("__id", "leaf_id",
+        .unionByName(home.select("__id", "leaf_id", "__vh",
                                  F.lit(1).alias("__side")))
-        .join(home.select("__id", "__vh"), "__id")
         .select("leaf_id", "__id", "__vh", "__side")
     )
     cand_schema = T.StructType([
@@ -2060,61 +2141,79 @@ def embedding_near_dup_pairs_hier(
         T.StructField("id_b", id_field.dataType),
     ])
 
-    def leaf_pairs(key, tbl):
-        # applyInArrow, not applyInPandas: the group payload is a dense
-        # numeric matrix, and Arrow -> numpy is a flat-buffer reshape
-        # with no per-row Python objects (the pandas twin spent its
-        # time building object Series of small arrays).  IDs are
-        # selected from the Arrow column by INDEX (take), so the output
-        # type matches the input id type exactly whatever it is.
+    def leaf_pairs_part(it):
+        # One call per shuffle PARTITION: buffer the partition (its
+        # size is bounded by corpus/shuffle.partitions × replication —
+        # the same order as the per-task flush the replicate pass
+        # already holds), group rows by leaf with one int32
+        # argsort/split, and run the per-leaf nomination matmuls over
+        # f32 views of the partition-wide f16 matrix.  IDs are selected
+        # from the Arrow column by INDEX (take), so the output type
+        # matches the input id type exactly whatever it is.
         import numpy as _np
         import pyarrow as _pa
 
+        batches = [b for b in it if b.num_rows]
+        if not batches:
+            return
+        tbl = _pa.Table.from_batches(batches)
+        leaf = tbl.column("leaf_id").to_numpy(zero_copy_only=False)
         side = tbl.column("__side").to_numpy(zero_copy_only=False)
         idcol = tbl.column("__id").combine_chunks()
-        vcol = tbl.column("__vh").combine_chunks()
-        mat = (vcol.flatten().to_numpy(zero_copy_only=False)
-               .reshape(-1, dim).view(_np.float16)
-               .astype(_np.float32))
-        r = _np.nonzero(side == 0)[0]
-        h = _np.nonzero(side == 1)[0]
-        empty = _pa.array([], type=_pa.int64())
-        if not len(r) or not len(h):
-            return _pa.table(
-                {"id_a": idcol.take(empty), "id_b": idcol.take(empty)})
-        rm, hm = mat[r], mat[h]
-        # __vh is the f16 rounding of the float64-normalized unit row —
-        # the f32 matmul is the cosine to < 1e-3 (margin bound at the
-        # tagged relation), so no per-group norm recompute (ADVICE r6).
-        sims = rm @ hm.T
-        ri, hj = _np.nonzero(sims >= cut)
+        mat16 = (tbl.column("__vh").combine_chunks().flatten()
+                 .to_numpy(zero_copy_only=False)
+                 .reshape(-1, dim).view(_np.float16))
         ids = idcol.to_numpy(zero_copy_only=False)
-        ra_idx, hb_idx = r[ri], h[hj]
-        keep = ids[ra_idx] != ids[hb_idx]
-        ra_idx, hb_idx = ra_idx[keep], hb_idx[keep]
-        a_first = ids[ra_idx] < ids[hb_idx]
-        lo = _np.where(a_first, ra_idx, hb_idx)
-        hi = _np.where(a_first, hb_idx, ra_idx)
-        # no per-group dedup: the same unordered pair CAN surface twice
+        order = _np.argsort(leaf, kind="stable")
+        sl = leaf[order]
+        cuts_ = _np.nonzero(_np.diff(sl))[0] + 1
+        lo_all: list = []
+        hi_all: list = []
+        for idx, s0 in zip(_np.split(order, cuts_),
+                           _np.concatenate(([0], cuts_))):
+            gs = side[idx]
+            r = idx[gs == 0]
+            h = idx[gs == 1]
+            if not len(r) or not len(h):
+                continue
+            # __vh is the f16 rounding of the float64-normalized unit
+            # row — the f32 matmul is the cosine to < 1e-3 (margin
+            # bound above), so no per-group norm recompute (ADVICE r6).
+            sims = mat16[r].astype(_np.float32) @ \
+                mat16[h].astype(_np.float32).T
+            ri, hj = _np.nonzero(sims >= cut)
+            if not len(ri):
+                continue
+            ra_idx, hb_idx = r[ri], h[hj]
+            keep = ids[ra_idx] != ids[hb_idx]
+            ra_idx, hb_idx = ra_idx[keep], hb_idx[keep]
+            a_first = ids[ra_idx] < ids[hb_idx]
+            lo_all.append(_np.where(a_first, ra_idx, hb_idx))
+            hi_all.append(_np.where(a_first, hb_idx, ra_idx))
+        if not lo_all:
+            return
+        # no per-leaf dedup: the same unordered pair CAN surface twice
         # in one leaf (a-as-replica x b-as-home and vice versa) but the
         # relation is output-sized and .distinct() below owns dedup.
-        return _pa.table({
-            "id_a": idcol.take(_pa.array(lo, type=_pa.int64())),
-            "id_b": idcol.take(_pa.array(hi, type=_pa.int64())),
-        })
+        yield _pa.RecordBatch.from_arrays(
+            [idcol.take(_pa.array(_np.concatenate(lo_all),
+                                  type=_pa.int64())),
+             idcol.take(_pa.array(_np.concatenate(hi_all),
+                                  type=_pa.int64()))],
+            names=["id_a", "id_b"])
 
     cands = (
-        tagged.groupBy("leaf_id")
-        .applyInArrow(leaf_pairs, cand_schema)
+        tagged.repartition("leaf_id")
+        .mapInArrow(leaf_pairs_part, cand_schema)
         .distinct()  # cross-leaf AND in-leaf mirrored duplicates
     )
     if os.environ.get("SPARK_GRAFT_HIER_STAGE_DEBUG"):
         # Probe-only tail attribution (r9): materialize the tail's two
         # intermediates so their driver marks split "tail" into
-        # tagged-join / pair-matmul+distinct / exact-verify shares.
+        # tagged-union / pair-matmul+distinct / exact-verify shares.
         # EXTRA work (tagged recomputes for cands), never on by default.
         tagged.write.mode("overwrite").format("noop").save()
-        _mark("dbg_tagged_join")
+        _mark("dbg_tagged_union")
         cands.write.mode("overwrite").format("noop").save()
         _mark("dbg_pairs_distinct")
     a = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"),

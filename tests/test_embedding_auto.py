@@ -439,3 +439,44 @@ def test_on_blowup_fallback_routes_to_semdedup(spark):
     assert embedding_near_dup_pairs_auto.last_method == "exact"
     assert res.columns == ["id_a", "id_b", "cosine", "method"]
     assert _pairs(res.drop("method")) == brute
+
+
+def test_exact_home_prepare_matches_inline_build():
+    """r9 esc-cap fix: the executor scan hoists the quantizer-derived
+    state (``_exact_home_prepare``) once per task instead of rebuilding
+    it per Arrow batch.  Pin that (a) the hoisted state produces
+    BIT-IDENTICAL exact home angles to the build-inline form, and
+    (b) the argsort-based ``leaves_of`` equals the per-branch nonzero
+    lists it replaced — including leafless (dead) branches."""
+    from kafka_bigdata_jobs_spark.operators.similarity import (
+        _exact_home_angles,
+        _exact_home_prepare,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, n_b, k = 16, 13, 61
+    bcenters = rng.normal(size=(n_b, dim))
+    bcenters /= np.linalg.norm(bcenters, axis=1, keepdims=True)
+    leaf_centers = rng.normal(size=(k, dim))
+    leaf_centers /= np.linalg.norm(leaf_centers, axis=1, keepdims=True)
+    # branch 5 deliberately leafless (dead-branch path)
+    leaf_branch = np.array(
+        [b for b in (rng.integers(0, n_b, size=k)) if True], dtype=np.int64)
+    leaf_branch[leaf_branch == 5] = 6
+    mat = rng.normal(size=(500, dim))
+
+    prep = _exact_home_prepare(bcenters, leaf_centers, leaf_branch)
+    # (b) leaves_of == the nonzero form, ascending per branch
+    leaves_of = prep[1]
+    for b in range(n_b):
+        assert np.array_equal(
+            leaves_of[b], np.nonzero(leaf_branch == b)[0]), b
+    # (a) angles identical with and without the hoisted state
+    got = _exact_home_angles(mat, bcenters, leaf_centers, leaf_branch,
+                             prep=prep)
+    want = _exact_home_angles(mat, bcenters, leaf_centers, leaf_branch)
+    assert np.array_equal(got, want)
+    # sanity: every angle is the true full-leaf exact minimum
+    xn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    brute = np.arccos(np.clip((xn @ leaf_centers.T).max(axis=1), -1, 1))
+    assert np.allclose(got, brute, atol=1e-12)
