@@ -86,8 +86,53 @@ def _cpu_has_avx2_fma() -> bool:
     return False
 
 
+#: glibc malloc thresholds for numpy-heavy processes (bytes).  Large
+#: numpy temporaries (the engine's GEMM/outer/mask blocks run 48-200 MB)
+#: sit above glibc's default mmap threshold, so every allocation is a
+#: fresh mmap and every free an munmap: the pages go back to the kernel
+#: each loop iteration and the next iteration re-faults them — pure
+#: overhead on any host, and catastrophic on hosts with slow first-touch
+#: (this sandbox measured ~15-30 MB/s page-fault throughput under
+#: hypervisor ballooning; a 20-iteration 450 MB-temp loop ran 55.9 s
+#: default vs 28.8 s with these thresholds, the tuned residual being the
+#: ONE-time first-touch).  Raising mmap+trim thresholds keeps freed
+#: large blocks in the arena, warm and reusable.  Cost: worker RSS
+#: retains its high-water mark (bounded by each pass's own chunking,
+#: ~0.5-1 GB/worker in this engine).  Override via
+#: SPARK_GRAFT_MALLOC_THRESHOLD (bytes; "0" disables the tuning).
+_MALLOC_THRESHOLD = 256 << 20
+
+
+def _malloc_threshold() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_MALLOC_THRESHOLD", "")
+                   or _MALLOC_THRESHOLD)
+    except ValueError:
+        return _MALLOC_THRESHOLD
+
+
+def _tune_malloc_in_process() -> None:
+    """Apply the thresholds to THIS process via mallopt (the MALLOC_*
+    env vars are only read at process startup, so exporting them helps
+    future workers but not an already-running driver)."""
+    thr = _malloc_threshold()
+    if not thr:
+        return
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL(None, use_errno=True)
+        # glibc mallopt param numbers: M_TRIM_THRESHOLD=-1,
+        # M_MMAP_THRESHOLD=-3 (stable public ABI)
+        libc.mallopt(-3, ctypes.c_int(thr))
+        libc.mallopt(-1, ctypes.c_int(thr))
+    except Exception:
+        pass  # non-glibc platform: defaults stand
+
+
 def fix_openblas_env() -> None:
     """Apply the guarded fix; idempotent, must run before numpy loads."""
+    _tune_malloc_in_process()
     if os.environ.get("OPENBLAS_CORETYPE"):
         pass  # operator override or inherited from the driver: respect it
     elif _cpu_has_avx2_fma():
@@ -130,5 +175,12 @@ def export_worker_env() -> dict[str, str]:
     # os.environ here cannot shrink the driver pool.
     env["OPENBLAS_NUM_THREADS"] = os.environ.get(
         "SPARK_GRAFT_WORKER_BLAS_THREADS", "2")
+    # glibc reads MALLOC_* env at process startup, so exporting here
+    # reaches the pyspark daemon (and its forked workers) launched by
+    # the JVM — the in-process driver twin is _tune_malloc_in_process.
+    thr = _malloc_threshold()
+    if thr:
+        env.setdefault("MALLOC_MMAP_THRESHOLD_", str(thr))
+        env.setdefault("MALLOC_TRIM_THRESHOLD_", str(thr))
     os.environ.update(env)
     return env

@@ -874,7 +874,17 @@ def connected_components(
                 parent[hi] = lo
         out = [(node, find(node)) for node in list(parent)]
         spark = edges.sparkSession
-        return spark.createDataFrame(out, "node long, comp long")
+        # createDataFrame-from-rows plans as Scan ExistingRDD with NO
+        # size statistics, so the planner assumes worst-case size and a
+        # downstream equi-join lands on SortMergeJoin (measured: the
+        # embedding_dedup_retention consumer paid 2 Exchange + 2 Sort
+        # to join this ≤2·driver_edge_limit-row relation against the
+        # corpus).  The driver path is size-bounded BY CONSTRUCTION —
+        # ≤ 2 M node rows ≈ 32 MB at the default limit — so hint it
+        # broadcastable; the hint never changes join results, and the
+        # unbounded distributed path below stays unhinted.
+        return F.broadcast(
+            spark.createDataFrame(out, "node long, comp long"))
 
     bidir = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))

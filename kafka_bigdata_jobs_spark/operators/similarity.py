@@ -837,9 +837,25 @@ def _exact_home_angles(mat, bcenters, leaf_centers, leaf_branch,
 #: (below it the Spark job overhead exceeds the driver scan).
 ESC_SCAN_DRIVER_MAX_ROWS = 1 << 16
 
+#: Row cap for the executor esc-cap scan (r9, VERDICT item 2's "cap the
+#: sample for it with the bound documented").  The fit sample grows ∝ n
+#: below FIT_SAMPLE_ROWS_CAP, and scanning ALL of it made the esc-cap
+#: term the fit's largest residual (~100 s at the x100 probe even
+#: executor-side: per-row cost is Θ(B) f32 compares + the survivor
+#: exact scan, and B ∝ n^⅔).  The cap is sound because the esc cap
+#: only bounds escalation COST: a max over FEWER same-distribution
+#: draws is a (slightly) lower ceiling, so some extra borderline rows
+#: take the exact top-P branch rescan — never a radius, never a
+#: completeness term, and the output pairs are exact-verified
+#: regardless (pairs pinned bit-equal at every probe scale either side
+#: of this cap).  256k draws put the sample max well inside the
+#: distribution tail; override via leaf/probe knobs is deliberate
+#: non-API.
+ESC_SCAN_ROWS_CAP = 1 << 18
+
 
 def _esc_cap_max(spark, sample, bcenters, leaf_centers, leaf_branch,
-                 base=None, frac=None, seed=None, dim=None):
+                 base=None, frac=None, seed=None, dim=None, n_rows=None):
     """Max exact home angle of the fit sample — the esc-cap input.
 
     Both fit paths only consume ``_exact_home_angles(...).max()``, and
@@ -863,7 +879,15 @@ def _esc_cap_max(spark, sample, bcenters, leaf_centers, leaf_branch,
     ceiling; the cap bounds escalation COST, never completeness or
     output pairs, which are exact-verified), scans each Arrow batch
     against the broadcast quantizer in the python workers, and
-    max-reduces one double per batch through a JVM aggregate."""
+    max-reduces one double per batch through a JVM aggregate.
+
+    Third revision (r9): the scanned fraction is additionally CAPPED at
+    ~ESC_SCAN_ROWS_CAP expected rows.  Spark's seeded Bernoulli sampler
+    draws one uniform per row, so a SMALLER fraction at the SAME seed
+    selects a subset of the larger fraction's rows — still the fit
+    sample's own distribution, just fewer draws (see the constant's
+    soundness note).  This removes the term's n-growth outright: the
+    scan is Θ(min(sample, cap) · B)."""
     if (spark is None or base is None
             or len(sample) <= ESC_SCAN_DRIVER_MAX_ROWS):
         return float(_exact_home_angles(
@@ -885,10 +909,9 @@ def _esc_cap_max(spark, sample, bcenters, leaf_centers, leaf_branch,
         import pyarrow as _pa
 
         bcv, lcv, lbv = bc.value
-        # quantizer scan state ONCE per task, not per Arrow batch —
-        # the per-batch rebuild (Θ(B·K) leaves_of + transcendental
-        # tables) was the dominant share of the x100 esc-cap term
-        # (see _exact_home_prepare)
+        # quantizer scan state ONCE per task, not per Arrow batch
+        # (_exact_home_prepare; measured a second-order win at x100 —
+        # the scan's own Θ(rows·B) blocks dominate, hence the row cap)
         prep = _exact_home_prepare(bcv, lcv, lbv)
         for batch in it:
             if not batch.num_rows:
@@ -905,8 +928,11 @@ def _esc_cap_max(spark, sample, bcenters, leaf_centers, leaf_branch,
                     type=_pa.float64())],
                 names=["__m"])
 
+    eff_frac = frac
+    if n_rows:
+        eff_frac = min(frac, 1.05 * ESC_SCAN_ROWS_CAP / n_rows)
     try:
-        row = (base.select("__v").sample(fraction=frac, seed=seed)
+        row = (base.select("__v").sample(fraction=eff_frac, seed=seed)
                .mapInArrow(batch_max, out_schema)
                .agg(F.max("__m").alias("m")).collect())
         return float(row[0]["m"])
@@ -1146,7 +1172,7 @@ def _fit_two_level_distributed(base, n_rows: int, leaf_target: int,
     esc_cap = _esc_cap_max(base.sparkSession, sample, bcenters,
                            leaf_centers, leaf_branch,
                            base=base, frac=frac, seed=seed,
-                           dim=dim) + 0.05
+                           dim=dim, n_rows=n_rows) + 0.05
     _fit_mark("esc_cap", _ft)
     return np.asarray(bcenters), leaf_centers, leaf_branch, esc_cap
 
@@ -1451,7 +1477,7 @@ def embedding_near_dup_pairs_hier(
         _ft0 = _time.monotonic()
         esc_cap = _esc_cap_max(spark, sample, *two_level,
                                base=base, frac=frac, seed=seed,
-                               dim=dim) + 0.05
+                               dim=dim, n_rows=n_rows) + 0.05
         _fit_mark("esc_cap", _ft0)
         fit = (*two_level, esc_cap)
         if memo_key is not None:
