@@ -642,6 +642,16 @@ CAND_LISTS_MAX_BYTES = 1 << 30
 #: either; both produce the same replica relation, pinned bit-equal).
 REPLICATION_SCAN_MAX_BRANCHES = 8192
 
+#: Arrow-batch coalescing target for the hier passes: both full-corpus
+#: maps (pass-1 home assignment and pass-2 replication) buffer input
+#: batches to ~this many rows before flushing one numpy block through
+#: the GEMM pipeline.  At the default ~10k-row Arrow batch the per-
+#: flush fixed costs (the Θ(P·S) super-group loop, numpy temporaries,
+#: Arrow assembly — and for 'cand', 1-2-row home groups) run 6× more
+#: often than needed.  Per-row results are identical under any
+#: grouping; this is purely a batching constant.
+COALESCE_ROWS = 1 << 16
+
 
 def _lloyd_rounds(points, k: int, seed: int, iters: int = 8):
     """Driver-side spherical k-means over a BOUNDED point set (a seeded
@@ -1697,6 +1707,17 @@ def embedding_near_dup_pairs_hier(
         return leaf, hsim
 
     def assign_home(it):
+        # NOT batch-coalesced, by measurement (r9 third session): the
+        # "coalesce to COALESCE_ROWS like pass 2" idea was built and
+        # A/B-probed — pairs bit-identical, but assign_radii ran ~2×
+        # SLOWER at x10 (1.97→4.49 s) and x30 (5.08→10.28 s) on a run
+        # whose other stages were faster.  Mechanism: _probe_home /
+        # _top_branches are gather-bound (xn32[rows] fancy-indexing per
+        # probed super/branch group); a ~10k-row batch's 2.5 MB f32
+        # working set stays cache-resident across those passes, a 64k
+        # flush's 16 MB does not.  Pass 2 still coalesces: its 'scan'
+        # strategy is chunked dense GEMM (streams regardless) and
+        # 'cand' NEEDS big batches for home-group sizes.
         import numpy as _np
         import pyarrow as _pa
 
@@ -2044,11 +2065,6 @@ def embedding_near_dup_pairs_hier(
             if lidx is None or not len(lidx):
                 continue
             _emit_leaf_filter(xn32, rows, lidx, src_list, leaf_list)
-
-    #: 'cand' groups by home leaf, so it coalesces input batches to
-    #: this many rows first — at the default ~10k Arrow batch the
-    #: groups are 1-2 rows and per-group overhead dominates (measured).
-    COALESCE_ROWS = 1 << 16
 
     def replicate(it):
         import numpy as _np

@@ -323,6 +323,21 @@ def series_corr_pairs_gram(
     if n_keys is None:
         n_keys = df.select(key_col).distinct().count()
     n_blocks = max(1, math.ceil(n_keys / block_keys))
+    # Parallelism floor (r9; guide §2.6 idle capacity): below
+    # ``block_keys`` keys the whole K² pair surface ran as ONE block
+    # pair — one task on one core — while the rest of the cluster sat
+    # idle (measured: correlated_user_spend_pairs 11.0 s at sf0.1,
+    # 1500 keys = 1 block on local[32]; the Gram products are int64,
+    # so no BLAS threading hides the serialization).  Raise the block
+    # count until the unordered block-pair count covers default
+    # parallelism, floored at 64 keys per block so tiny inputs don't
+    # dissolve into per-task artifact loads.  Blocking is result-
+    # invariant: every unordered key pair is still covered exactly
+    # once (i≤j block enumeration, both orientations emitted cross-
+    # block), pinned by the join-path equivalence test and the oracle.
+    par = spark.sparkContext.defaultParallelism
+    want_blocks = math.ceil((math.isqrt(8 * par + 1) - 1) / 2)
+    n_blocks = max(n_blocks, min(want_blocks, math.ceil(n_keys / 64)))
     keyed = df.select(
         F.col(key_col).alias("k"),
         F.col(bucket_col).cast("string").alias("b"),
