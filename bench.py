@@ -149,19 +149,31 @@ def main() -> None:
     # should carry steady-state per-query numbers, not whichever run
     # happened last.  Merge per-query minima from any prior artifact
     # (the out-path's own previous run AND the quiet/driver twin) that
-    # measured the SAME code at the SAME sf — the code signature gates
-    # the merge so a plan change always invalidates old numbers, the
-    # same rule tools/scaleprobe.py applies to probe rows.
+    # measured the SAME code at the SAME sf ON THE SAME CORE COUNT —
+    # the code signature gates the merge so a plan change always
+    # invalidates old numbers (the same rule tools/scaleprobe.py
+    # applies to probe rows), and the cpus gate (r9 verdict item 2)
+    # keeps the driver's low-core scaling runs from inheriting 32-core
+    # minima: r9's SPARK_GRAFT_CPUS=8 run folded in committed 32-core
+    # numbers (27/46 timings bit-identical across the two artifacts)
+    # and the driver's scaling probe measured the merge, not
+    # parallelism.  Off-default core counts also write to a
+    # cpus-suffixed artifact so they never clobber the 32-core minima.
     here = os.path.dirname(os.path.abspath(__file__))
     code_sig = _code_sig(here)
-    out_name = os.environ.get("SPARK_GRAFT_BENCH_OUT") or "BENCH_local.json"
-    for prior_name in {out_name, "BENCH_local.json", "BENCH_quiet.json"}:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    timings_raw = dict(timings)  # this run's own cold numbers, pre-merge
+    default_out = ("BENCH_local.json" if cpus == 32
+                   else f"BENCH_local_c{cpus}.json")
+    out_name = os.environ.get("SPARK_GRAFT_BENCH_OUT") or default_out
+    for prior_name in {out_name, default_out, "BENCH_quiet.json"}:
         try:
             with open(os.path.join(here, prior_name), encoding="utf-8") as fh:
                 prior = json.load(fh)
         except (OSError, ValueError):
             continue
-        if prior.get("sf") != sf or prior.get("code_sig") != code_sig:
+        if (prior.get("sf") != sf or prior.get("code_sig") != code_sig
+                or prior.get("cpus") != cpus):
             continue
         for k, v in prior.get("queries", {}).items():
             if k in timings:
@@ -170,6 +182,7 @@ def main() -> None:
             if k in cold_builds:
                 cold_builds[k] = min(cold_builds[k], v)
     total = round(sum(timings.values()), 3)
+    total_raw = round(sum(timings_raw.values()), 3)
 
     # Representative cross-section (joins, windows, dedup/ANN, text,
     # TPC-H heavies) kept small enough that the final stdout line fits
@@ -206,8 +219,16 @@ def main() -> None:
         # named separately from the warm consumer timings (r4 verdict
         # item 3: both numbers documented, deterministically).
         "cold_builds": cold_builds,
+        # THIS run's own pre-merge suite total (r9 verdict item 2): the
+        # uncontaminated cold number the driver always gets, whatever
+        # committed minima the merge folded in.  The full pre-merge
+        # per-query map is in the artifact file as "queries_raw"
+        # (the printed line must fit the driver's ~2000-char tail).
+        "value_raw": total_raw,
+        "cpus": cpus,
     }
-    full = dict(payload, queries=timings, code_sig=code_sig)
+    full = dict(payload, queries=timings, queries_raw=timings_raw,
+                code_sig=code_sig)
     # SPARK_GRAFT_BENCH_OUT lets `make bench-quiet` write the committed
     # quiet-host artifact (BENCH_quiet.json) without racing the
     # driver's own BENCH_local.json clobber (r4 verdict item 1).  A

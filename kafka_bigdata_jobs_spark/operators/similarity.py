@@ -561,8 +561,18 @@ def _guard_replication(rep: DataFrame, n_rows: int, max_replication: float,
     caches are id+f16 / corpus-sized respectively and evict LRU; a
     long-lived driver looping over MANY corpora should call
     ``spark.catalog.clearCache()`` between them (the probe and bench
-    harnesses do exactly this)."""
-    rep = rep.cache()
+    harnesses do exactly this).
+
+    ``SPARK_GRAFT_GUARD_CACHE_LEVEL`` (probe A/B knob, r10 VERDICT
+    item 1): overrides the storage level — e.g. ``DISK_ONLY`` to
+    measure whether skipping the in-memory columnar build beats
+    MEMORY_AND_DISK's first-touch on a given host."""
+    level = os.environ.get("SPARK_GRAFT_GUARD_CACHE_LEVEL")
+    if level:
+        from pyspark import StorageLevel
+        rep = rep.persist(getattr(StorageLevel, level))
+    else:
+        rep = rep.cache()
     mean_rep = rep.count() / float(n_rows)
     if mean_rep > max_replication:
         rep.unpersist()
@@ -642,15 +652,72 @@ CAND_LISTS_MAX_BYTES = 1 << 30
 #: either; both produce the same replica relation, pinned bit-equal).
 REPLICATION_SCAN_MAX_BRANCHES = 8192
 
-#: Arrow-batch coalescing target for the hier passes: both full-corpus
-#: maps (pass-1 home assignment and pass-2 replication) buffer input
-#: batches to ~this many rows before flushing one numpy block through
-#: the GEMM pipeline.  At the default ~10k-row Arrow batch the per-
-#: flush fixed costs (the Θ(P·S) super-group loop, numpy temporaries,
-#: Arrow assembly — and for 'cand', 1-2-row home groups) run 6× more
-#: often than needed.  Per-row results are identical under any
+#: Arrow-batch coalescing target for PASS 2 (replication) ONLY: the
+#: replicate map buffers input batches to ~this many rows before
+#: flushing one numpy block through the GEMM pipeline ('scan' streams
+#: chunked dense GEMMs — cache-oblivious — and 'cand' needs large
+#: batches so home groups amortize).  Pass 1 (home assignment)
+#: deliberately does NOT coalesce: its probe passes are gather-bound
+#: (per-super fancy-indexed row gathers), and a 64k flush's ~16 MB
+#: working set falls out of cache between passes — built and A/B'd in
+#: r9, assign_radii ran ~2× SLOWER at x10 AND x30 (see the negative-
+#: result note at ``assign_home``), so the revert is the measured
+#: choice, not an omission.  Per-row results are identical under any
 #: grouping; this is purely a batching constant.
 COALESCE_ROWS = 1 << 16
+
+#: Per-task byte target for the hier tail's leaf exchange (guide §5 /
+#: r9 VERDICT item 4): ``leaf_pairs_part`` buffers its whole shuffle
+#: partition (one Arrow table) before the int32 argsort/split, so its
+#: peak per-task allocation is tagged-relation-bytes / partitions.
+#: With the default shuffle partition count that quotient grows
+#: linearly with the corpus; flooring the partition count at
+#: tagged_bytes / this target bounds the buffer at scale while leaving
+#: bench-scale plans untouched (the floor binds only past
+#: ~shuffle.partitions × 128 MB of tagged rows — ~50M corpus rows at
+#: dim 64 and the default 200 partitions).
+LEAF_PART_TARGET_BYTES = 128 << 20
+
+#: Estimated bytes per tagged-relation row beyond the f16 vector
+#: payload (id 8 B + leaf_id 4 B + side 4 B + Arrow list offset 4 B +
+#: shuffle framing slop).
+TAGGED_ROW_OVERHEAD_BYTES = 32
+
+
+def _guard_mode() -> str:
+    """Replication-guard strategy (r10 VERDICT item 1 A/B knob):
+
+    - ``'cache'``: cache + count the replica relation, tail reads the
+      cache (the r6-r9 form).
+    - ``'recount'``: count with a payload-free twin pass; the tail
+      recomputes pass 2 once, streaming straight into its leaf
+      exchange — no corpus×replication-sized cache is ever built.
+
+    Probe-measured default (see OPTIMIZATION_r10.md for the A/B);
+    ``SPARK_GRAFT_GUARD_MODE`` overrides either way.  Both modes
+    produce identical counts and identical pair outputs (the count
+    twin shares the full pass's admit computation)."""
+    return os.environ.get("SPARK_GRAFT_GUARD_MODE", "cache")
+
+
+def _tail_partition_floor(n_rows: int, mean_rep, dim: int,
+                          shuffle_parts: int):
+    """Partition count for the hier tail's leaf exchange, or ``None``
+    to keep the session default (``repartition("leaf_id")``, which AQE
+    may still coalesce).  A pinned count is returned ONLY when the
+    estimated tagged-relation bytes would make the default per-task
+    buffer exceed :data:`LEAF_PART_TARGET_BYTES` — so at bench scales
+    the plan is bit-identical to the unfloored form, and at 100 TB
+    scale ``leaf_pairs_part``'s whole-partition Arrow buffer stays
+    bounded.  ``mean_rep`` is the guard-measured replication factor
+    (``None`` when the guard was skipped — small corpus, floor
+    irrelevant)."""
+    if mean_rep is None:
+        return None
+    rows_tagged = int(n_rows * (1.0 + float(mean_rep)))
+    bytes_tagged = rows_tagged * (dim * 2 + TAGGED_ROW_OVERHEAD_BYTES)
+    floor_parts = -(-bytes_tagged // LEAF_PART_TARGET_BYTES)
+    return int(floor_parts) if floor_parts > shuffle_parts else None
 
 
 def _lloyd_rounds(points, k: int, seed: int, iters: int = 8):
@@ -1377,8 +1444,20 @@ def embedding_near_dup_pairs_hier(
         # would poison its home leaf's covering radius.  See
         # embedding_near_dup_pairs.
         .where(F.col("__n2") > 0)
-        .cache()
     )
+    # Probe A/B knob (r10 VERDICT item 6): scan-cache storage level —
+    # e.g. DISK_ONLY to measure whether skipping the in-memory columnar
+    # build wins on hosts where first-touch dominates, or NONE to
+    # measure recompute-from-parquet.  Default unchanged (MEMORY_AND_
+    # DISK via .cache()).
+    _scl = os.environ.get("SPARK_GRAFT_SCAN_CACHE_LEVEL")
+    if _scl == "NONE":
+        pass
+    elif _scl:
+        from pyspark import StorageLevel
+        base = base.persist(getattr(StorageLevel, _scl))
+    else:
+        base = base.cache()
     n_rows = base.count()
     _mark("scan_cache")
     if n_rows == 0:
@@ -1845,6 +1924,20 @@ def embedding_near_dup_pairs_hier(
     lcw32 = lc32[wide_idx]
     cos_thr_wide = cos_thr_leaf[wide_idx]
     embedding_near_dup_pairs_hier.last_wide_leaves = len(wide_idx)
+    if os.environ.get("SPARK_GRAFT_HIER_FIT_DUMP"):
+        # Probe-only driver-state dump (r10): the quantizer metadata the
+        # replication pass closes over, for OFFLINE numpy prototyping of
+        # scan-strategy changes (the r6 discipline: establish the win
+        # driver-side before touching the operator).  Never on by
+        # default; no behavior change.
+        np.savez(os.environ["SPARK_GRAFT_HIER_FIT_DUMP"] +
+                 f".k{len(leaf_centers)}.npz",
+                 bcenters=bcenters, leaf_centers=leaf_centers,
+                 leaf_branch=leaf_branch, radius=radius, s_live=s_live,
+                 live_idx=live_idx, wide_idx=wide_idx,
+                 cos_thr_leaf=cos_thr_leaf,
+                 cos_thr_branch_tight=cos_thr_branch_tight,
+                 theta_t=np.float64(theta_t), esc_cap=np.float64(esc_cap))
 
     # --- replication STRATEGY dispatch (r7 verdict item 2): the flat
     # n×B branch scan is pure GEMM and, in cos-space float32, measured
@@ -2066,26 +2159,53 @@ def embedding_near_dup_pairs_hier(
                 continue
             _emit_leaf_filter(xn32, rows, lidx, src_list, leaf_list)
 
+    def _coalesced(it):
+        """COALESCE_ROWS batching shared by the full replicate pass and
+        its count-only guard twin (results are per-row, so grouping is
+        timing-only — see the constant's doc)."""
+        pend: list = []
+        n_pend = 0
+        for batch in it:
+            if not batch.num_rows:
+                continue
+            pend.append(batch)
+            n_pend += batch.num_rows
+            if n_pend >= COALESCE_ROWS:
+                yield pend
+                pend, n_pend = [], 0
+        if pend:
+            yield pend
+
+    def _block_admits(tbl):
+        """Normalize one coalesced block and run the dispatched pass-2
+        strategy; returns (xn, src_list, leaf_list).  The ONLY admit
+        computation — the full pass and the count twin both call it,
+        so the guard's count is the real pass's count by construction."""
+        import numpy as _np
+
+        x = (tbl.column("__v").combine_chunks().flatten()
+             .to_numpy(zero_copy_only=False)
+             .reshape(-1, dim).astype(_np.float64, copy=False))
+        xn = x / _np.linalg.norm(x, axis=1, keepdims=True)
+        xn32 = xn.astype(_np.float32)
+        src_list: list = []
+        leaf_list: list = []
+        if rep_strategy == "scan":
+            _replicate_scan(xn32, src_list, leaf_list)
+        else:
+            _replicate_cand(xn32, src_list, leaf_list)
+        return xn, src_list, leaf_list
+
     def replicate(it):
         import numpy as _np
         import pyarrow as _pa
 
         def flush(batches):
             tbl = _pa.Table.from_batches(batches)
-            x = (tbl.column("__v").combine_chunks().flatten()
-                 .to_numpy(zero_copy_only=False)
-                 .reshape(-1, dim).astype(_np.float64, copy=False))
-            xn = x / _np.linalg.norm(x, axis=1, keepdims=True)
-            xn32 = xn.astype(_np.float32)
-            ids = tbl.column("__id").combine_chunks()
-            src_list: list = []
-            leaf_list: list = []
-            if rep_strategy == "scan":
-                _replicate_scan(xn32, src_list, leaf_list)
-            else:
-                _replicate_cand(xn32, src_list, leaf_list)
+            xn, src_list, leaf_list = _block_admits(tbl)
             if not src_list:
                 return None
+            ids = tbl.column("__id").combine_chunks()
             src = _np.concatenate(src_list)
             # f16 bits of the float64-normalized unit rows — the SAME
             # values pass 1 ships for these ids (identical float64
@@ -2104,31 +2224,67 @@ def embedding_near_dup_pairs_hier(
                 names=["__id", "leaf_id", "__vh"],
             )
 
-        pend: list = []
-        n_pend = 0
-        for batch in it:
-            if not batch.num_rows:
-                continue
-            pend.append(batch)
-            n_pend += batch.num_rows
-            if n_pend >= COALESCE_ROWS:
-                out = flush(pend)
-                pend, n_pend = [], 0
-                if out is not None:
-                    yield out
-        if pend:
+        for pend in _coalesced(it):
             out = flush(pend)
             if out is not None:
                 yield out
 
+    def replicate_counts(it):
+        """Count-only twin of ``replicate`` (guard_mode='recount'):
+        same admit computation, but emits ONE int64 row per coalesced
+        block — no id gather, no f16 assembly, no Arrow list payload —
+        so the guard count costs the GEMM scan and nothing else."""
+        import pyarrow as _pa
+
+        for pend in _coalesced(it):
+            tbl = _pa.Table.from_batches(pend)
+            _, _, leaf_list = _block_admits(tbl)
+            n = int(sum(len(a) for a in leaf_list))
+            yield _pa.RecordBatch.from_arrays(
+                [_pa.array([n], type=_pa.int64())], names=["n"])
+
     rep = base.select("__id", "__v").mapInArrow(replicate, rep_schema)
     embedding_near_dup_pairs_hier.last_replication = None
+    mean_rep = None
     if max_replication is not None and n_rows >= guard_min_rows:
         # Runtime blowup guard (docstring): small corpora skip it — a
         # sub-guard_min_rows worst case is trivial, and the extra count
         # action would dominate unit-test-sized runs.
-        rep, mean_rep = _guard_replication(
-            rep, n_rows, max_replication, threshold)
+        if _guard_mode() == "recount":
+            # r10 (VERDICT item 1): count WITHOUT materializing the
+            # id+f16 replica cache.  The guard pays one count-only
+            # GEMM pass (tiny output, no Arrow payload, no cache
+            # first-touch) and the tail recomputes pass 2 ONCE,
+            # streaming straight into its leaf exchange — instead of
+            # building + re-reading a corpus×replication-sized cache
+            # whose materialization was the dominant replicate_guard
+            # share at the x100 probe (r9: ~60 s of an 88.9 s stage was
+            # first-touch of the ~6.6 GB cache).  Counts are identical
+            # by construction (_block_admits is the only admit path).
+            total = (base.select("__v")
+                     .mapInArrow(replicate_counts,
+                                 T.StructType([T.StructField(
+                                     "n", T.LongType())]))
+                     .agg(F.sum("n")).collect()[0][0]) or 0
+            mean_rep = total / float(n_rows)
+            if mean_rep > max_replication:
+                raise CoveringRadiusBlowupError(
+                    f"mean covering-radius replication factor "
+                    f"{mean_rep:.1f} exceeds max_replication="
+                    f"{max_replication}: at threshold {threshold} the "
+                    "corpus has no usable cluster structure and the "
+                    "EXACT pair search degenerates toward all-pairs. "
+                    "Use the approximate paths instead — SemDeDup-style "
+                    "within-cell pairs (embedding_near_dup_pairs("
+                    "cell_col=...) over kmeans_ivf_cells) or ANN top-k "
+                    "(topk_neighbors_ivf_kmeans / hyperplane LSH / PQ) "
+                    "— or raise the threshold, or pass "
+                    "max_replication=None to accept the quadratic cost "
+                    "knowingly."
+                )
+        else:
+            rep, mean_rep = _guard_replication(
+                rep, n_rows, max_replication, threshold)
         embedding_near_dup_pairs_hier.last_replication = mean_rep
         _mark("replicate_guard")
 
@@ -2244,8 +2400,19 @@ def embedding_near_dup_pairs_hier(
                                   type=_pa.int64()))],
             names=["id_a", "id_b"])
 
+    # Partition-count floor (guide §5 / r9 VERDICT item 4): bound
+    # leaf_pairs_part's whole-partition Arrow buffer by tagged-relation
+    # bytes.  None at bench scales (plan unchanged, AQE coalescing
+    # preserved); a pinned count only when the default quotient would
+    # exceed LEAF_PART_TARGET_BYTES per task.  Hash partitioning by
+    # leaf_id is what the grouping needs either way, so the output is
+    # invariant to the count.
+    tail_parts = _tail_partition_floor(
+        n_rows, mean_rep, dim,
+        int(spark.conf.get("spark.sql.shuffle.partitions")))
     cands = (
-        tagged.repartition("leaf_id")
+        (tagged.repartition(tail_parts, "leaf_id") if tail_parts
+         else tagged.repartition("leaf_id"))
         .mapInArrow(leaf_pairs_part, cand_schema)
         .distinct()  # cross-leaf AND in-leaf mirrored duplicates
     )

@@ -337,6 +337,11 @@ def series_corr_pairs_gram(
     # block), pinned by the join-path equivalence test and the oracle.
     par = spark.sparkContext.defaultParallelism
     want_blocks = math.ceil((math.isqrt(8 * par + 1) - 1) / 2)
+    if want_blocks * (want_blocks + 1) // 2 < par:
+        # isqrt floors the root before the ceil, so B(B+1)/2 can land
+        # just short of par for some values (e.g. par=1000 -> B=44 ->
+        # 990 pairs); one bump restores the invariant (ADVICE r9).
+        want_blocks += 1
     n_blocks = max(n_blocks, min(want_blocks, math.ceil(n_keys / 64)))
     keyed = df.select(
         F.col(key_col).alias("k"),

@@ -480,3 +480,75 @@ def test_exact_home_prepare_matches_inline_build():
     xn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     brute = np.arccos(np.clip((xn @ leaf_centers.T).max(axis=1), -1, 1))
     assert np.allclose(got, brute, atol=1e-12)
+
+
+def test_tail_partition_floor_binds_only_at_scale():
+    """r10 VERDICT item 4: the hier tail's leaf-exchange partition
+    floor must (a) keep bench-scale plans untouched (None — the
+    unfloored repartition), (b) bound the per-task tagged bytes at
+    scale, and (c) stay None when the guard was skipped."""
+    from kafka_bigdata_jobs_spark.operators.similarity import (
+        LEAF_PART_TARGET_BYTES,
+        TAGGED_ROW_OVERHEAD_BYTES,
+        _tail_partition_floor,
+    )
+
+    # guard skipped (small corpus) -> no floor
+    assert _tail_partition_floor(10_000, None, 64, 200) is None
+    # probe-scale corpus (x100: 5M rows, rep ~9, dim 64): tagged bytes
+    # ~8 GB << 200 x 128 MB -> default partitioning preserved
+    assert _tail_partition_floor(5_000_000, 9.0, 64, 200) is None
+    # 100x that corpus: floor binds, and bounds per-task bytes
+    n, rep, dim, parts = 500_000_000, 9.0, 64, 200
+    got = _tail_partition_floor(n, rep, dim, parts)
+    assert got is not None and got > parts
+    bytes_tagged = int(n * (1 + rep)) * (dim * 2 + TAGGED_ROW_OVERHEAD_BYTES)
+    assert bytes_tagged / got <= LEAF_PART_TARGET_BYTES
+    # and the floor is tight (no over-partitioning): one fewer
+    # partition would exceed the target
+    assert bytes_tagged / (got - 1) > LEAF_PART_TARGET_BYTES
+
+
+def test_guard_recount_mode_bit_equal(spark, monkeypatch):
+    """r10 VERDICT item 1: guard_mode='recount' (payload-free count
+    twin + tail recompute, no replica cache) must measure the SAME
+    replication factor and return the SAME pairs as the cached form,
+    and must still trip on structureless corpora."""
+    from kafka_bigdata_jobs_spark.operators.similarity import (
+        CoveringRadiusBlowupError,
+        embedding_near_dup_pairs_blocked,
+    )
+
+    rng = np.random.default_rng(13)
+    dim = 8
+    rows = _clustered_corpus(rng, n_clusters=40, per_cluster=40, dim=dim)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    blocked = _pairs(embedding_near_dup_pairs_blocked(
+        df, "vec_id", "embedding", threshold=0.97, dim=dim))
+
+    def run():
+        got = _pairs(embedding_near_dup_pairs_hier(
+            df, "vec_id", "embedding", threshold=0.97, dim=dim,
+            leaf_target=8, guard_min_rows=0))
+        return got, embedding_near_dup_pairs_hier.last_replication
+
+    monkeypatch.delenv("SPARK_GRAFT_GUARD_MODE", raising=False)
+    cached_pairs, cached_rep = run()
+    monkeypatch.setenv("SPARK_GRAFT_GUARD_MODE", "recount")
+    spark.catalog.clearCache()
+    recount_pairs, recount_rep = run()
+    assert recount_pairs == cached_pairs == blocked
+    assert recount_rep == pytest.approx(cached_rep, rel=0, abs=0)
+
+    # blowup still trips BEFORE the tail in recount mode
+    noise = []
+    rng2 = np.random.default_rng(5)
+    for vid in range(3000):
+        v = rng2.normal(size=16)
+        noise.append((vid, [float(x) for x in v / np.linalg.norm(v)]))
+    ndf = spark.createDataFrame(noise,
+                                "vec_id long, embedding array<double>")
+    with pytest.raises(CoveringRadiusBlowupError, match="replication factor"):
+        embedding_near_dup_pairs_hier(
+            ndf, "vec_id", "embedding", threshold=0.7, dim=16,
+            leaf_target=16, guard_min_rows=0)
